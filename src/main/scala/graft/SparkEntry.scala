@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{EventsQueries, TpchQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB oracle twin in [[oracleSql]]
+  * (identical column names/aliases — the driver's compare sorts columns
+  * by name before hashing). Queries without an exact SQL-expressible
+  * oracle (LSH-style approximations) are registered without an oracle
+  * and get the driver's weaker rows-only check.
+  */
 object SparkEntry {
+
+  private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    EventsQueries.all.map { case (n, f, o) => (n, f, Option(o)) } ++
+      TpchQueries.all.map { case (n, f, o) => (n, f, Option(o)) }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    EventsQueries.hourlyMetrics(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

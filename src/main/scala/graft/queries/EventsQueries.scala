@@ -1,0 +1,661 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables
+import graft.util.Tables._
+
+/** Reference-parity analytics over the driver `events` table.
+  *
+  * The reference (sejalv/energy-data-stream-processing) computes an hourly
+  * 16-metric rollup from a raw event stream (consumer/consumer.py:81-98,
+  * 240-293), three SQL views over it (database/schema.sql:64-147) and 11
+  * Grafana dashboard queries (monitoring/grafana/dashboards/
+  * business-metrics.json). Here the same operator shapes run over the
+  * driver-generated `events` table (event_id, ts, user_id, event_type,
+  * value, props) with the domain mapping:
+  *
+  *   customer_id      -> user_id
+  *   event_time       -> ts
+  *   session_id       -> props.k  (JSON int field)
+  *   tariff_switch    -> purchase     (revenue-bearing)
+  *   green switch     -> purchase with value >= 100
+  *   incentive_claim  -> click
+  *   user_login       -> signup
+  *   bill_payment     -> view
+  *   energy_consumed  -> error       (value = kWh analog)
+  *
+  * Every public query here has a DuckDB oracle twin; numeric conventions
+  * are in [[graft.util.Tables]] (exact decimal sums, epoch-micros time).
+  */
+object EventsQueries {
+
+  // ---------------------------------------------------------------------
+  // Shared building blocks
+  // ---------------------------------------------------------------------
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** Session id lives in the props JSON blob: {"k": <int>}. */
+  private val sessionId: Column =
+    get_json_object(col("props"), "$.k").cast(IntegerType)
+
+  private val isPurchase = col("event_type") === "purchase"
+  private val isClick    = col("event_type") === "click"
+  private val isSignup   = col("event_type") === "signup"
+  private val isView     = col("event_type") === "view"
+  private val isError    = col("event_type") === "error"
+  private val isPremium  = isPurchase && col("value") >= 100.0
+
+  /** The hourly rollup with EXACT (decimal/long) metric columns — the
+    * analog of `hourly_business_metrics` (reference database/schema.sql:
+    * 30-59, maintained by consumer/consumer.py:240-293). Downstream
+    * window queries consume these exact columns so sliding-frame math
+    * stays order-independent; the user-facing query casts to
+    * double/epoch at the end.
+    */
+  private[graft] def hourlyExact(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isPurchase).as("purchases"),
+        sum(when(isPurchase, col("value").cast(Money))).as("purchase_revenue_dec"),
+        countIf(isPremium).as("premium_purchases"),
+        countIf(isClick).as("clicks"),
+        sum(when(isClick, col("value").cast(Money))).as("click_value_dec"),
+        countIf(isSignup).as("signups"),
+        count_distinct(when(isSignup, sessionId)).as("new_sessions"),
+        countIf(isView).as("views"),
+        sum(when(isView, col("value").cast(Money))).as("view_value_dec"),
+        sum(when(isError, col("value").cast(Money))).as("error_value_dec"),
+        max(when(isError, col("value"))).as("peak_error_value"),
+        count_distinct(col("user_id")).as("active_users"))
+
+  /** DuckDB twin of [[hourlyExact]] as a reusable CTE body. */
+  private val hourlyCte: String =
+    """SELECT date_trunc('hour', ts) AS hour,
+      |       count(*) AS total_events,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |       sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS purchase_revenue_dec,
+      |       count(CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN 1 END) AS premium_purchases,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |       sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,6)) END) AS click_value_dec,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+      |       count(DISTINCT CASE WHEN event_type = 'signup' THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS new_sessions,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+      |       sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,6)) END) AS view_value_dec,
+      |       sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END) AS error_value_dec,
+      |       max(CASE WHEN event_type = 'error' THEN value END) AS peak_error_value,
+      |       count(DISTINCT user_id) AS active_users
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1/A2: the hourly business-metrics rollup (user-facing form)
+  // ---------------------------------------------------------------------
+
+  /** SURVEY §2 A1a–A1h: hourly conditional counts/sums, exact distincts,
+    * max, and flush-time derived averages (consumer/consumer.py:313-318). */
+  def hourlyMetrics(spark: SparkSession, dir: String): DataFrame =
+    hourlyExact(events(spark, dir))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("total_events"),
+        col("purchases"),
+        col("purchase_revenue_dec").cast(DoubleType).as("purchase_revenue"),
+        col("premium_purchases"),
+        col("clicks"),
+        col("click_value_dec").cast(DoubleType).as("click_value"),
+        col("signups"),
+        col("new_sessions"),
+        col("views"),
+        col("view_value_dec").cast(DoubleType).as("view_value"),
+        col("error_value_dec").cast(DoubleType).as("total_error_value"),
+        col("peak_error_value"),
+        col("active_users"),
+        ratio(col("purchase_revenue_dec"), col("purchases")).as("avg_purchase_value"),
+        ratio(col("view_value_dec"), col("views")).as("avg_view_value"),
+        ratio(col("error_value_dec"), col("active_users")).as("avg_error_per_user"))
+      .orderBy(col("hour_us"))
+
+  val hourlyMetricsSql: String =
+    s"""WITH hourly AS ($hourlyCte)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       total_events, purchases,
+       |       CAST(purchase_revenue_dec AS DOUBLE) AS purchase_revenue,
+       |       premium_purchases, clicks,
+       |       CAST(click_value_dec AS DOUBLE) AS click_value,
+       |       signups, new_sessions, views,
+       |       CAST(view_value_dec AS DOUBLE) AS view_value,
+       |       CAST(error_value_dec AS DOUBLE) AS total_error_value,
+       |       peak_error_value, active_users,
+       |       CAST(purchase_revenue_dec AS DOUBLE) / nullif(CAST(purchases AS DOUBLE), 0.0) AS avg_purchase_value,
+       |       CAST(view_value_dec AS DOUBLE) / nullif(CAST(views AS DOUBLE), 0.0) AS avg_view_value,
+       |       CAST(error_value_dec AS DOUBLE) / nullif(CAST(active_users AS DOUBLE), 0.0) AS avg_error_per_user
+       |FROM hourly
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1: rolling_24h_metrics view (database/schema.sql:64-77)
+  // ---------------------------------------------------------------------
+
+  /** 24-row rolling averages over the hourly rollup. Sliding AVG is
+    * computed as exact SUM over the frame / COUNT over the frame so both
+    * engines produce bit-identical doubles (segment-tree vs sequential
+    * float summation would not). */
+  def rolling24h(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
+    hourlyExact(events(spark, dir))
+      .select(
+        col("hour"),
+        col("purchases"), col("active_users"), col("error_value_dec"))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        (sum(col("purchases")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).as("avg_purchases_24h"),
+        (sum(col("active_users")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).as("avg_active_users_24h"),
+        (sum(col("error_value_dec")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)).as("avg_error_value_24h"))
+      .orderBy(col("hour_us"))
+  }
+
+  val rolling24hSql: String =
+    s"""WITH hourly AS ($hourlyCte)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       CAST(sum(purchases) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS avg_purchases_24h,
+       |       CAST(sum(active_users) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS avg_active_users_24h,
+       |       CAST(sum(error_value_dec) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS avg_error_value_24h
+       |FROM hourly
+       |WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A5/X4/F6: daily_energy_summary view (database/schema.sql:81-93)
+  // ---------------------------------------------------------------------
+
+  def dailySummary(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isPurchase).as("purchases"),
+        dsumIf(isPurchase, col("value")).as("purchase_revenue"),
+        dsumIf(isError, col("value")).as("total_error_value"),
+        count_distinct(col("user_id")).as("active_users"),
+        countIf(isPremium).as("premium_purchases"))
+      .orderBy(col("day"))
+
+  val dailySummarySql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |       count(*) AS total_events,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS purchase_revenue,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS total_error_value,
+      |       count(DISTINCT user_id) AS active_users,
+      |       count(CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN 1 END) AS premium_purchases
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A7/A8/J3: customer_view (database/schema.sql:96-147)
+  // ---------------------------------------------------------------------
+
+  /** Per-user profile: 13 aggregates + sorted distinct arrays + the
+    * correlated-subquery pair (most-recent / second-most-recent purchase)
+    * rewritten as a row_number window (SURVEY §2 J3). */
+  def customerView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+
+    val profile = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("total_events"),
+      count_distinct(sessionId).as("total_sessions"),
+      epochUs(min(col("ts"))).as("first_seen_us"),
+      epochUs(max(col("ts"))).as("last_seen_us"),
+      countIf(isSignup).as("signups"),
+      countIf(isView).as("views"),
+      countIf(isClick).as("clicks"),
+      countIf(isPurchase).as("purchases"),
+      countIf(isError).as("errors"),
+      coalesce(dsumIf(isPurchase, col("value")), lit(0.0)).as("total_spend"),
+      coalesce(dsumIf(isError, col("value")), lit(0.0)).as("total_error_value"),
+      epochUs(max(when(isPurchase, col("ts")))).as("last_purchase_us"),
+      array_sort(collect_set(col("event_type"))).as("event_types_seen"))
+
+    // J3 rewrite: rank purchases per user by recency; rn=1 is the
+    // "current plan", rn=2 the previous one (reference LIMIT 1 /
+    // LIMIT 1 OFFSET 1 correlated subqueries, database/schema.sql:116-137).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = ev.filter(isPurchase)
+      .select(col("user_id"), col("ts"), col("event_id"), sessionId.as("k"))
+      .withColumn("rn", row_number().over(w))
+    val current = ranked.filter(col("rn") === 1)
+      .select(col("user_id"), col("k").as("current_plan"))
+    val previous = ranked.filter(col("rn") === 2)
+      .select(col("user_id"), col("k").as("previous_plan"))
+
+    profile
+      .join(current, Seq("user_id"), "left")
+      .join(previous, Seq("user_id"), "left")
+      .orderBy(col("user_id"))
+  }
+
+  val customerViewSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |), profile AS (
+      |  SELECT user_id,
+      |         count(*) AS total_events,
+      |         count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS total_sessions,
+      |         epoch_us(min(ts)) AS first_seen_us,
+      |         epoch_us(max(ts)) AS last_seen_us,
+      |         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+      |         count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |         count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+      |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS total_spend,
+      |         coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS total_error_value,
+      |         epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) AS last_purchase_us,
+      |         list_sort(list(DISTINCT event_type)) AS event_types_seen
+      |  FROM events
+      |  GROUP BY user_id
+      |)
+      |SELECT p.*, c.k AS current_plan, pr.k AS previous_plan
+      |FROM profile p
+      |LEFT JOIN (SELECT user_id, k FROM ranked WHERE rn = 1) c USING (user_id)
+      |LEFT JOIN (SELECT user_id, k FROM ranked WHERE rn = 2) pr USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F7/A6: Channel Performance (business-metrics.json:448)
+  // ---------------------------------------------------------------------
+
+  /** Per-"channel" (event_type here) rollup with FILTER-style
+    * conditional aggregates. */
+  def channelPerformance(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type").as("channel"))
+      .agg(
+        count(lit(1)).as("events"),
+        count_distinct(col("user_id")).as("unique_users"),
+        dsumIf(col("value") > 50.0, col("value")).as("high_value_total"),
+        countIf(col("value") > 50.0).as("high_value_events"),
+        dsum(col("value")).as("total_value"))
+      .withColumn("value_per_user",
+        ratio(col("total_value"), col("unique_users")))
+      .orderBy(col("total_value").desc, col("channel"))
+
+  val channelPerformanceSql: String =
+    """SELECT event_type AS channel,
+      |       count(*) AS events,
+      |       count(DISTINCT user_id) AS unique_users,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE value > 50.0) AS DOUBLE) AS high_value_total,
+      |       count(*) FILTER (WHERE value > 50.0) AS high_value_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0.0) AS value_per_user
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY total_value DESC, channel""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A9: Engagement Funnel (business-metrics.json:352)
+  // ---------------------------------------------------------------------
+
+  /** Multi-distinct funnel: distinct users per stage + conversion
+    * rates, in one aggregate (Spark plans expand + re-agg). */
+  def engagementFunnel(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .agg(
+        count_distinct(when(isSignup, col("user_id"))).as("signed_up"),
+        count_distinct(when(isView, col("user_id"))).as("viewed"),
+        count_distinct(when(isClick, col("user_id"))).as("clicked"),
+        count_distinct(when(isPurchase, col("user_id"))).as("purchased"))
+      .select(
+        col("signed_up"), col("viewed"), col("clicked"), col("purchased"),
+        (ratio(col("viewed"), col("signed_up")) * 100.0).as("view_rate_pct"),
+        (ratio(col("clicked"), col("viewed")) * 100.0).as("click_rate_pct"),
+        (ratio(col("purchased"), col("clicked")) * 100.0).as("purchase_rate_pct"))
+
+  val engagementFunnelSql: String =
+    """SELECT signed_up, viewed, clicked, purchased,
+      |       CAST(viewed AS DOUBLE) / nullif(CAST(signed_up AS DOUBLE), 0.0) * 100.0 AS view_rate_pct,
+      |       CAST(clicked AS DOUBLE) / nullif(CAST(viewed AS DOUBLE), 0.0) * 100.0 AS click_rate_pct,
+      |       CAST(purchased AS DOUBLE) / nullif(CAST(clicked AS DOUBLE), 0.0) * 100.0 AS purchase_rate_pct
+      |FROM (
+      |  SELECT count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS signed_up,
+      |         count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewed,
+      |         count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clicked,
+      |         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchased
+      |  FROM events
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J2/O4/O5: Customer Activity funnel (business-metrics.json:576)
+  // ---------------------------------------------------------------------
+
+  /** Semi-join (users restricted to those with a signup) + UNION ALL of
+    * labelled stage rows. */
+  def customerActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signedUp = ev.filter(isSignup).select(col("user_id")).distinct()
+    def stage(label: String, order: Int, pred: Column): DataFrame =
+      ev.filter(pred)
+        .join(signedUp, Seq("user_id"), "left_semi")
+        .agg(count_distinct(col("user_id")).as("users"))
+        .select(lit(label).as("stage"), lit(order).as("stage_order"),
+          col("users"))
+    stage("Signed Up", 1, isSignup)
+      .union(stage("Engaged", 2, isClick || isView))
+      .union(stage("Converted", 3, isPurchase))
+      .orderBy(col("stage_order"))
+  }
+
+  val customerActivitySql: String =
+    """WITH signed_up AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |SELECT 'Signed Up' AS stage, 1 AS stage_order,
+      |       count(DISTINCT e.user_id) AS users
+      |FROM events e INNER JOIN signed_up s ON e.user_id = s.user_id
+      |WHERE e.event_type = 'signup'
+      |UNION ALL
+      |SELECT 'Engaged', 2, count(DISTINCT e.user_id)
+      |FROM events e INNER JOIN signed_up s ON e.user_id = s.user_id
+      |WHERE e.event_type IN ('click', 'view')
+      |UNION ALL
+      |SELECT 'Converted', 3, count(DISTINCT e.user_id)
+      |FROM events e INNER JOIN signed_up s ON e.user_id = s.user_id
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY stage_order""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W2: Green Adoption — cumulative sums (business-metrics.json:806)
+  // ---------------------------------------------------------------------
+
+  def cumulativeAdoption(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourlyExact(events(spark, dir))
+      .select(col("hour"), col("purchases"), col("premium_purchases"))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        sum(col("purchases")).over(w).as("cumulative_purchases"),
+        sum(col("premium_purchases")).over(w).as("cumulative_premium"))
+      .orderBy(col("hour_us"))
+  }
+
+  val cumulativeAdoptionSql: String =
+    s"""WITH hourly AS ($hourlyCte)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       sum(purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_purchases,
+       |       sum(premium_purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_premium
+       |FROM hourly
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W3: Demand Elasticity — LAG + pct change (business-metrics.json:945)
+  // ---------------------------------------------------------------------
+
+  def demandElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hour"))
+    hourlyExact(events(spark, dir))
+      .select(col("hour"), col("error_value_dec"))
+      .select(
+        col("hour"),
+        col("error_value_dec"),
+        lag(col("error_value_dec"), 1).over(w).as("prev_dec"))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("error_value_dec").cast(DoubleType).as("error_value"),
+        col("prev_dec").cast(DoubleType).as("prev_error_value"),
+        ((col("error_value_dec").cast(DoubleType) -
+          col("prev_dec").cast(DoubleType)) /
+          nullif(col("prev_dec").cast(DoubleType), lit(0.0)) * 100.0)
+          .as("pct_change"))
+      .orderBy(col("hour_us"))
+  }
+
+  val demandElasticitySql: String =
+    s"""WITH hourly AS ($hourlyCte),
+       |lagged AS (
+       |  SELECT hour, error_value_dec,
+       |         lag(error_value_dec, 1) OVER (ORDER BY hour) AS prev_dec
+       |  FROM hourly
+       |)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       CAST(error_value_dec AS DOUBLE) AS error_value,
+       |       CAST(prev_dec AS DOUBLE) AS prev_error_value,
+       |       (CAST(error_value_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE))
+       |         / nullif(CAST(prev_dec AS DOUBLE), 0.0) * 100.0 AS pct_change
+       |FROM lagged
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // X5: Peak Load by hour-of-day / day-of-week (business-metrics.json:1062)
+  // ---------------------------------------------------------------------
+
+  /** Postgres EXTRACT(dow) is 0=Sunday; Spark dayofweek is 1=Sunday, so
+    * subtract 1 for oracle parity (SURVEY §7.1 quirk 8). */
+  def peakLoad(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        hour(col("ts")).as("hour_of_day"),
+        (dayofweek(col("ts")) - 1).as("day_of_week"))
+      .agg(
+        count(lit(1)).as("events"),
+        dsumIf(isError, col("value")).as("error_value"),
+        count_distinct(col("user_id")).as("active_users"))
+      .orderBy(col("hour_of_day"), col("day_of_week"))
+
+  val peakLoadSql: String =
+    """SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+      |       CAST(EXTRACT(dow FROM ts) AS INTEGER) AS day_of_week,
+      |       count(*) AS events,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS error_value,
+      |       count(DISTINCT user_id) AS active_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_of_day, day_of_week""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A4/J1/X12: Business KPIs — current vs previous period
+  // (business-metrics.json:140)
+  // ---------------------------------------------------------------------
+
+  /** Two one-row filtered aggregates cross-joined, with growth
+    * percentages. Periods are fixed literals over the 2024-01 data span
+    * (the Grafana $__timeFrom/To parameters of the reference). */
+  def businessKpis(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val curFrom = lit("2024-01-16").cast(TimestampType)
+    def period(from: Column, to: Column, prefix: String): DataFrame =
+      ev.filter(col("ts") >= from && col("ts") < to)
+        .agg(
+          dsumIf(isPurchase, col("value")).as(s"${prefix}_revenue"),
+          count_distinct(col("user_id")).as(s"${prefix}_users"),
+          countIf(isPurchase).as(s"${prefix}_purchases"))
+    val cur = period(curFrom, lit("2024-02-01").cast(TimestampType), "cur")
+    val prev = period(lit("2024-01-01").cast(TimestampType), curFrom, "prev")
+    cur.crossJoin(prev).select(
+      col("cur_revenue"), col("prev_revenue"),
+      ((col("cur_revenue") - col("prev_revenue")) /
+        nullif(col("prev_revenue"), lit(0.0)) * 100.0).as("revenue_growth_pct"),
+      col("cur_users"), col("prev_users"),
+      ((col("cur_users").cast(DoubleType) - col("prev_users").cast(DoubleType)) /
+        nullif(col("prev_users").cast(DoubleType), lit(0.0)) * 100.0)
+        .as("user_growth_pct"),
+      col("cur_purchases"), col("prev_purchases"))
+  }
+
+  val businessKpisSql: String =
+    """WITH cur AS (
+      |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS cur_revenue,
+      |         count(DISTINCT user_id) AS cur_users,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cur_purchases
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-02-01'
+      |), prev AS (
+      |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS prev_revenue,
+      |         count(DISTINCT user_id) AS prev_users,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS prev_purchases
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-16'
+      |)
+      |SELECT cur_revenue, prev_revenue,
+      |       (cur_revenue - prev_revenue) / nullif(prev_revenue, 0.0) * 100.0 AS revenue_growth_pct,
+      |       cur_users, prev_users,
+      |       (CAST(cur_users AS DOUBLE) - CAST(prev_users AS DOUBLE)) / nullif(CAST(prev_users AS DOUBLE), 0.0) * 100.0 AS user_growth_pct,
+      |       cur_purchases, prev_purchases
+      |FROM cur, prev""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W4/W5: Dynamic Pricing — seasonal baseline + PERCENT_RANK
+  // (business-metrics.json:1179)
+  // ---------------------------------------------------------------------
+
+  /** 14-sample same-hour-of-day rolling baseline (partitioned ROWS frame)
+    * + revenue percentile. */
+  def dynamicPricing(spark: SparkSession, dir: String): DataFrame = {
+    val seasonal = Window.partitionBy(hour(col("hour")))
+      .orderBy(col("hour")).rowsBetween(-13, 0)
+    val pr = Window.orderBy(col("purchase_revenue_dec").asc_nulls_first)
+    hourlyExact(events(spark, dir))
+      .select(col("hour"), col("purchase_revenue_dec"))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("purchase_revenue_dec").cast(DoubleType).as("revenue"),
+        (sum(col("purchase_revenue_dec")).over(seasonal).cast(DoubleType) /
+          count(lit(1)).over(seasonal).cast(DoubleType))
+          .as("seasonal_baseline"),
+        percent_rank().over(pr).as("revenue_percentile"))
+      .orderBy(col("hour_us"))
+  }
+
+  val dynamicPricingSql: String =
+    s"""WITH hourly AS ($hourlyCte)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       CAST(purchase_revenue_dec AS DOUBLE) AS revenue,
+       |       CAST(sum(purchase_revenue_dec) OVER sw AS DOUBLE)
+       |         / CAST(count(*) OVER sw AS DOUBLE) AS seasonal_baseline,
+       |       percent_rank() OVER (ORDER BY purchase_revenue_dec ASC NULLS FIRST) AS revenue_percentile
+       |FROM hourly
+       |WINDOW sw AS (PARTITION BY EXTRACT(hour FROM hour) ORDER BY hour ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F8: A/B Framework — CASE-driven segmentation (business-metrics.json:1392)
+  // ---------------------------------------------------------------------
+
+  def abFramework(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("segment",
+        when(col("user_id") % 3 === 0, "control")
+          .when(col("user_id") % 3 === 1, "variant_a")
+          .otherwise("variant_b"))
+      .groupBy(col("segment"))
+      .agg(
+        count_distinct(col("user_id")).as("users"),
+        countIf(isPurchase).as("purchases"),
+        dsumIf(isPurchase, col("value")).as("revenue"),
+        (ratio(countIf(isPurchase), count_distinct(col("user_id"))))
+          .as("purchases_per_user"))
+      .orderBy(col("segment"))
+
+  val abFrameworkSql: String =
+    """SELECT CASE WHEN user_id % 3 = 0 THEN 'control'
+      |            WHEN user_id % 3 = 1 THEN 'variant_a'
+      |            ELSE 'variant_b' END AS segment,
+      |       count(DISTINCT user_id) AS users,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS revenue,
+      |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      |         / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0.0) AS purchases_per_user
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // F1–F4: validation / dead-letter classification (producer/producer.py:
+  // 55-67, consumer/consumer.py:64-123)
+  // ---------------------------------------------------------------------
+
+  /** Row-level validation as a CASE cascade; the reference routes
+    * invalid rows to an error log with a reason — here we surface the
+    * reason histogram (the dead-letter *sink* is exercised in the
+    * streaming pipeline + its spec). */
+  def validationSummary(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("reason",
+        when(col("event_type").isNull ||
+          length(trim(col("event_type"))) === 0, "missing_event_type")
+          .when(col("ts").isNull, "invalid_event_time")
+          .when(col("user_id").isNull, "missing_user")
+          .when(!col("event_type").isin(
+            "click", "purchase", "error", "signup", "view"), "unknown_type")
+          .when(col("value") < 0.0, "negative_value")
+          .otherwise("valid"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("reason"))
+
+  val validationSummarySql: String =
+    """SELECT CASE WHEN event_type IS NULL OR length(trim(event_type)) = 0 THEN 'missing_event_type'
+      |            WHEN ts IS NULL THEN 'invalid_event_time'
+      |            WHEN user_id IS NULL THEN 'missing_user'
+      |            WHEN event_type NOT IN ('click','purchase','error','signup','view') THEN 'unknown_type'
+      |            WHEN value < 0.0 THEN 'negative_value'
+      |            ELSE 'valid' END AS reason,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY reason""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Total "energy" over time — plain projection + sort
+  // (business-metrics.json Total Energy panel)
+  // ---------------------------------------------------------------------
+
+  def totalErrorValue(spark: SparkSession, dir: String): DataFrame =
+    hourlyExact(events(spark, dir))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("error_value_dec").cast(DoubleType).as("total_error_value"),
+        col("peak_error_value"))
+      .orderBy(col("hour_us"))
+
+  val totalErrorValueSql: String =
+    s"""WITH hourly AS ($hourlyCte)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       CAST(error_value_dec AS DOUBLE) AS total_error_value,
+       |       peak_error_value
+       |FROM hourly
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  /** name -> (query fn, oracle SQL) */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("ev_hourly_metrics", hourlyMetrics _, hourlyMetricsSql),
+    ("ev_rolling_24h", rolling24h _, rolling24hSql),
+    ("ev_daily_summary", dailySummary _, dailySummarySql),
+    ("ev_customer_view", customerView _, customerViewSql),
+    ("ev_channel_performance", channelPerformance _, channelPerformanceSql),
+    ("ev_engagement_funnel", engagementFunnel _, engagementFunnelSql),
+    ("ev_customer_activity", customerActivity _, customerActivitySql),
+    ("ev_cumulative_adoption", cumulativeAdoption _, cumulativeAdoptionSql),
+    ("ev_demand_elasticity", demandElasticity _, demandElasticitySql),
+    ("ev_peak_load", peakLoad _, peakLoadSql),
+    ("ev_business_kpis", businessKpis _, businessKpisSql),
+    ("ev_dynamic_pricing", dynamicPricing _, dynamicPricingSql),
+    ("ev_ab_framework", abFramework _, abFrameworkSql),
+    ("ev_validation_summary", validationSummary _, validationSummarySql),
+    ("ev_total_error_value", totalErrorValue _, totalErrorValueSql))
+}

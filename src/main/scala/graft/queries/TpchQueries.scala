@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables
+import graft.util.Tables._
+
+/** Scale-oriented analytical queries over the TPC-H-ish star schema
+  * (TESTDATA.md). These exercise the join/aggregation machinery the
+  * events-domain queries don't: large-fact scans with pushed filters,
+  * broadcast dimension joins, shuffled fact-fact joins, and top-k.
+  *
+  * At cluster scale: lineitem is the 100 TB fact — every query filters
+  * and prunes columns at the parquet scan, joins dimensions via
+  * broadcast (no shuffle of the fact), and aggregates partially
+  * map-side before the single shuffle on the group keys.
+  */
+object TpchQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // ---------------------------------------------------------------------
+  // Pricing summary (TPC-H Q1 shape): one fact scan, one shuffle on a
+  // low-cardinality key, all sums map-side-combined.
+  // ---------------------------------------------------------------------
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Money)).cast(DoubleType).as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(Money)).cast(DoubleType)
+          .as("sum_charge"),
+        ratio(sum(col("l_quantity").cast(Money)), count(lit(1)))
+          .as("avg_qty"),
+        ratio(sum(col("l_extendedprice").cast(Money)), count(lit(1)))
+          .as("avg_price"),
+        ratio(sum(col("l_discount").cast(Money)), count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0.0) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Shipping priority (TPC-H Q3 shape): broadcast customer -> orders,
+  // shuffle join orders -> lineitem, top-10 by revenue.
+  // ---------------------------------------------------------------------
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).cast(DoubleType).as("revenue"))
+      .select(col("o_orderkey"),
+        epochUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate_us, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Regional revenue (TPC-H Q5 shape): snowflake of broadcast dims
+  // around the fact; single shuffle for the final group-by.
+  // ---------------------------------------------------------------------
+
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = t(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val regionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Order-priority counts with an EXISTS semi-join (TPC-H Q4 shape).
+  // ---------------------------------------------------------------------
+
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val lateLines = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-06-01").cast(TimestampType))
+      .select(col("l_orderkey"))
+    ord.join(lateLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-06-01')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Customers with no high-value orders: anti join (NOT EXISTS).
+  // ---------------------------------------------------------------------
+
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val bigOrders = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val customersNoOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
+    ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
+    ("tpch_region_revenue", regionRevenue _, regionRevenueSql),
+    ("tpch_order_priority", orderPriority _, orderPrioritySql),
+    ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql))
+}
