@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventsQueries, TpchQueries}
+import graft.queries.{DedupQueries, EventsQueries, MultimodalQueries, SimilarityQueries, TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,8 +15,9 @@ import graft.queries.{EventsQueries, TpchQueries}
 object SparkEntry {
 
   private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    EventsQueries.all.map { case (n, f, o) => (n, f, Option(o)) } ++
-      TpchQueries.all.map { case (n, f, o) => (n, f, Option(o)) }
+    (EventsQueries.all ++ TpchQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all)
+      .map { case (n, f, o) => (n, f, Option(o)) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.util.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * n-gram Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine
+  * near-dup (BASELINE.json north star).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on md5(text) — never on the raw
+  *    text bytes.
+  *  - near-dup candidate generation is *inverted-index* shaped (join on
+  *    shingle / band-key / bit-chunk), never a cross join: the shuffle
+  *    key is the shingle hash, and pair expansion happens only inside a
+  *    posting list. MinHash banding caps posting-list width at the
+  *    signature level (b bands of r rows, collision prob j^r per band).
+  *  - verification (exact Jaccard / Hamming / cosine) runs only on
+  *    candidate pairs.
+  *
+  * All hash arithmetic is exact int64 (see [[graft.functions.TextFunctions]])
+  * so every stage — including the approximate ones — has a DuckDB
+  * oracle twin generated from the same constants.
+  */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** (doc_id, s) exploded distinct 3-shingle hashes. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("s"))
+
+  private val shinglesCte: String =
+    s"""SELECT doc_id, unnest(${shingleHashesSql(3)}) AS s FROM documents"""
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs via
+    * the inverted index — returns pairs with `jaccard` attached. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("za").withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.as("zb").withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_exact: hash-groupBy duplicate detection
+  // ---------------------------------------------------------------------
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - count_distinct(col("h"))).as("n_dup_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+
+  val exactSql: String =
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_distinct,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+      |       min(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_ngram_jaccard: exact near-dup via shingle inverted index
+  // ---------------------------------------------------------------------
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // one row per shared shingle -> groupBy counts |A ∩ B| directly;
+    // no separate candidate pass (the posting-list join IS the pairs)
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shinglesCte),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_minhash_sig: k=16 MinHash signatures
+  // ---------------------------------------------------------------------
+
+  /** Unsorted signature (partial-agg'd map-side, one shuffle on doc_id). */
+  private def minhashSigBody(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(minHash(0, col("s"))).as("m0"),
+        (1 until 16).map(i => min(minHash(i, col("s"))).as(s"m$i")): _*)
+
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSigBody(spark, dir).orderBy(col("doc_id"))
+
+  /** Signature SELECT over an `sh` CTE (shared by sig and pairs oracles). */
+  private val minhashSigBody: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(${minHashSql(i, "s")}) AS m$i").mkString(",\n       ")
+    s"""SELECT doc_id,
+       |       $mins
+       |FROM sh
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  val minhashSigSql: String =
+    s"""WITH sh AS ($shinglesCte)
+       |$minhashSigBody
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_minhash_pairs: LSH banding (4 bands x 4 rows) + exact verify
+  // ---------------------------------------------------------------------
+
+  /** Candidate pairs share at least one band of 4 consecutive minhash
+    * values; candidates are then verified with exact Jaccard >= 0.3.
+    * At scale this replaces the full shingle self-join: the shuffle is
+    * on (band_id, band_key) and posting lists are tiny for j^4-rare
+    * collisions. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigBody(spark, dir)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band_id"),
+          concat_ws(":", (0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, shingles(spark, dir))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashPairsSql: String = {
+    val bandRows = (0 until 4).map { j =>
+      val key = (0 until 4).map(r => s"CAST(m${4 * j + r} AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $j AS band_id, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS ($shinglesCte),
+       |sig AS ($minhashSigBody),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+       |            JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_simhash: 60-bit SimHash per doc + banded Hamming pairs
+  // ---------------------------------------------------------------------
+
+  /** Per-doc signature. The repartition is a deliberate materialization
+    * barrier: without it CollapseProject inlines the shingle-array
+    * expression (~50 md5 calls) into each of the 120 references the
+    * 60-bit vote makes, a ~100x blowup measured at sf0.1. With the
+    * exchange the array is computed once per row; at cluster scale the
+    * doc_id partitioning is also what the downstream chunk join wants.
+    * The coalesce marks simhash non-nullable — otherwise the chunk
+    * join infers IsNotNull(chunk) and pushes a filter containing the
+    * fully-inlined simhash expression down to the scan (measured 40x
+    * slowdown at sf0.1). Semantics unchanged: the vote sum is never
+    * null (empty shingle arrays vote 0 on every bit). */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        coalesce(expr(simHashExpr("sh")), lit(0L)).as("simhash"))
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).orderBy(col("doc_id"))
+
+  val simhashSql: String =
+    s"""SELECT doc_id, ${simHashSql(shingleHashesSql(3))} AS simhash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup pairs by SimHash: candidates share one of six 10-bit
+    * chunks (guarantees recall for Hamming <= 5), verified with
+    * bit_count(xor) <= 9. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(spark, dir)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 6).map { j =>
+        struct(lit(j).as("chunk_id"),
+          (shiftright(col("simhash"), 10 * j) % 1024).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashPairsSql: String = {
+    val chunkRows = (0 until 6)
+      .map(j => s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${10 * j}) % 1024 AS chunk FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${simHashSql(shingleHashesSql(3))} AS simhash FROM documents),
+       |chunks AS (
+       |  $chunkRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // dedup_embedding_cosine: near-dup by cosine within label blocks
+  // ---------------------------------------------------------------------
+
+  /** Blocked pairwise cosine: pairs only within the same `label`
+    * (the blocking key — at scale this is the LSH bucket / IVF cell),
+    * kept when cosine >= 0.4. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("label"),
+      col("embedding"), sqrt(norm2(col("embedding"))).as("nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingCosineSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("dedup_exact", exact _, exactSql),
+    ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
+    ("dedup_minhash_sig", minhashSig _, minhashSigSql),
+    ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
+    ("dedup_simhash", simhash _, simhashSql),
+    ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
+    ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql))
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.util.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, deterministic stand-in "decode" /
+  * feature-extract / frame-sample stages (no codec libraries in this
+  * environment — see [[graft.operators.MediaPipeline]] for the typed
+  * mapPartitions form where a real decoder plugs in).
+  *
+  * The binary payload here is the utf-8 encoding of `documents.text`
+  * (all-ASCII in the testdata), which lets the DuckDB oracle compute
+  * byte-level equivalents with string functions while the Spark side
+  * genuinely runs on a BinaryType column (cast, length, md5, substr all
+  * operate on the bytes).
+  *
+  * Scale: one scan, zero shuffles before the final sort; all expression
+  * work codegen'd per row. At 100 TB the binary column stays unread
+  * unless referenced (parquet column pruning).
+  */
+object MultimodalQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast(BinaryType)
+    val h = h60(col("text"))
+    val nBytes = length(blob).cast(LongType)
+    // deterministic fake "decoded" dimensions from the content hash —
+    // placeholder for a real image/audio probe
+    val width = (lit(16L) * (lit(1L) + h % 64)).as("width")
+    val height = (lit(16L) * (lit(1L) + shiftright(h % 4096, 6))).as("height")
+    // stable 16-byte windows at fixed offsets, hashed from the raw bytes
+    val frames = (0 until 4).map(i => h60(substring(blob, i * 16 + 1, 16)))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_format"),
+        nBytes.as("n_bytes"),
+        md5(blob).as("content_md5"),
+        width, height,
+        (nBytes.cast(DoubleType) * 8.0 / 1000.0).as("kbits"),
+        array(frames: _*).as("frame_sigs"))
+      .orderBy(col("doc_id"))
+  }
+
+  // DuckDB's blob surface in v1.0 has no length/substr/md5 overloads, so
+  // the oracle computes the same values on the ASCII string (bytes ==
+  // chars for this corpus).
+  val mediaFeaturesSql: String = {
+    val frames = (0 until 4).map { i =>
+      h60Sql(s"substr(text, ${i * 16 + 1}, 16)")
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |            WHEN doc_id % 3 = 1 THEN 'audio'
+       |            ELSE 'video' END AS media_format,
+       |       CAST(length(text) AS BIGINT) AS n_bytes,
+       |       md5(text) AS content_md5,
+       |       16 * (1 + ${h60Sql("text")} % 64) AS width,
+       |       16 * (1 + ((${h60Sql("text")} % 4096) >> 6)) AS height,
+       |       CAST(length(text) AS DOUBLE) * 8.0 / 1000.0 AS kbits,
+       |       $frames AS frame_sigs
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("mm_media_features", mediaFeatures _, mediaFeaturesSql))
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.util.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * LLM-training-data extension surface (BASELINE.json north star): token
+  * counting, quality scoring, n-gram language ID, and document
+  * fingerprinting.
+  *
+  * Scale notes (100 TB): every query is a single scan + narrow
+  * projections (all per-row expression work, fully whole-stage-codegen)
+  * followed by at most one shuffle (the group-by / top-k). No UDFs —
+  * everything is built-in `functions._` so Catalyst prunes `documents`
+  * to the referenced columns at the parquet scan.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Small stopword list used for the quality ratio. */
+  private val Stopwords = Seq("the", "a", "data")
+  private val StopwordsSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Language marker words (disjoint sets; the synthetic corpus shares
+    * one vocabulary across langs, so this scores the *mechanism*, which
+    * is what the oracle checks). */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "key", "group", "hash"),
+    "en" -> Seq("the", "a", "fast", "query"),
+    "es" -> Seq("row", "line", "slow", "sort"),
+    "fr" -> Seq("join", "merge", "filter", "scan"),
+    "zh" -> Seq("customer", "vector", "window", "batch"))
+
+  // ---------------------------------------------------------------------
+  // txt_stats: token counting + quality scoring
+  // ---------------------------------------------------------------------
+
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val nUniq = size(array_distinct(toks)).cast(LongType)
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
+    val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
+    val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n_chars_m"))
+      .select(
+        col("doc_id"),
+        col("n_chars_m"),
+        nTok.as("n_tokens"),
+        nUniq.as("n_uniq_tokens"),
+        ttr.as("type_token_ratio"),
+        nStop.as("n_stopwords"),
+        stopRatio.as("stopword_ratio"),
+        ((col("n_chars_m") - (nTok - lit(1L))).cast(DoubleType) / nTok.cast(DoubleType))
+          .as("avg_token_len"),
+        (lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio) +
+          lit(0.3) * least(nTok.cast(DoubleType) / lit(64.0), lit(1.0)))
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val statsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS BIGINT) AS n_chars_m,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens,
+       |         CAST(len(list_filter(string_split(text,' '), x -> x IN ($StopwordsSqlList))) AS BIGINT) AS n_stopwords
+       |  FROM documents)
+       |SELECT doc_id, n_chars_m, n_tokens, n_uniq_tokens,
+       |       CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       |       n_stopwords,
+       |       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       |       CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+       |       CAST(0.4 AS DOUBLE) * (CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |         + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS quality_score
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // txt_langid: marker-word n-gram heuristic, confusion-matrix rollup
+  // ---------------------------------------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(markers)))
+    val scored = docs(spark, dir).select(
+      col("lang") +: LangMarkers.map { case (l, m) => score(m).as(s"s_$l") }: _*)
+    // argmax with ties broken by language-code order (de<en<es<fr<zh)
+    val langs = LangMarkers.map(_._1)
+    val predicted = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val beatsAll = langs.filter(_ > l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val beatsEarlier = langs.filter(_ < l)
+        .map(o => col(s"s_$l") > col(s"s_$o"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(beatsAll && beatsEarlier, lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  val langIdSql: String = {
+    val langs = LangMarkers.map(_._1)
+    val scores = LangMarkers.map { case (l, m) =>
+      s"len(list_filter(string_split(text,' '), x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n         ")
+    val cases = langs.init.map { l =>
+      val conds =
+        langs.filter(_ > l).map(o => s"s_$l >= s_$o") ++
+          langs.filter(_ < l).map(o => s"s_$l > s_$o")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n              ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         $scores
+       |  FROM documents)
+       |SELECT lang,
+       |       CASE $cases
+       |            ELSE '${langs.last}' END AS predicted_lang,
+       |       count(*) AS n_docs
+       |FROM scored
+       |GROUP BY 1, 2
+       |ORDER BY lang, predicted_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // txt_token_hist: corpus token frequencies, top 50
+  // ---------------------------------------------------------------------
+
+  def tokenHist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val tokenHistSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // txt_fingerprint: whole-doc + min-shingle (winnowing-style) hashes
+  // ---------------------------------------------------------------------
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        h60(col("text")).as("fp60"),
+        array_min(shingleHashes(col("text"), 3)).as("min_shingle"),
+        size(shingleHashes(col("text"), 3)).cast(LongType).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |       ${h60Sql("text")} AS fp60,
+       |       list_min(${shingleHashesSql(3)}) AS min_shingle,
+       |       CAST(len(${shingleHashesSql(3)}) AS BIGINT) AS n_shingles
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("txt_stats", stats _, statsSql),
+    ("txt_langid", langId _, langIdSql),
+    ("txt_token_hist", tokenHist _, tokenHistSql),
+    ("txt_fingerprint", fingerprint _, fingerprintSql))
+}
