@@ -1,0 +1,242 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference's streaming core, rebuilt on Structured Streaming.
+  *
+  * Reference pipeline (sejalv/energy-data-stream-processing): a Kafka
+  * consumer validates JSON events (consumer/consumer.py:102-123),
+  * batch-inserts raw rows into Postgres (:186-237), maintains an
+  * in-memory hourly aggregate (:81-98, 240-293) and upserts it every
+  * 30 s (:296-391); invalid events go to an error log with a reason
+  * (:76-79, 125-128).
+  *
+  * Spark mapping: one declarative pipeline per sink —
+  * `lines -> parse/validate split -> (a) raw append, (b) dead-letter
+  * append, (c) withWatermark(24h).groupBy(window 1h).agg(16 metrics)
+  * -> foreachBatch upsert`. The partial/final aggregation split the
+  * reference hand-codes (HourlyStats dict + ON CONFLICT merge) is
+  * Spark's own partial agg + state store; the thread/lock machinery
+  * has no equivalent because the state store owns it.
+  *
+  * Documented divergences (SURVEY.md §7.1):
+  *  - events >24h late are dropped by the watermark (the reference
+  *    accepts them forever, only pruning memory);
+  *  - per-hour distinct counts are true distincts (the reference
+  *    double-counts across flush epochs on restart);
+  *  - peak_hour_usage merges as MAX, not last-write-wins;
+  *  - exactly-once via checkpoint + idempotent batch-id sink vs the
+  *    reference's at-least-once manual offset commits.
+  *
+  * Parsing uses `get_json_object` rather than a fixed `from_json`
+  * struct because payload numerics legitimately arrive as strings
+  * ("20.5", tests/test_consumer.py:17) or numbers — JSON-path
+  * extraction canonicalizes both to text, then typed casts apply the
+  * reference's coercion rules (consumer/consumer.py:64-74).
+  */
+object EventsPipeline {
+
+  /** Event types and their required payload fields
+    * (consumer/consumer.py:102-110). */
+  val RequiredPayloadFields: Map[String, Seq[String]] = Map(
+    "user_login" -> Seq("customer_id", "session_id", "channel"),
+    "user_logout" -> Seq("customer_id", "session_id", "channel"),
+    "view_tariffs" -> Seq("customer_id", "session_id", "channel", "tariff_type"),
+    "tariff_switch" -> Seq("customer_id", "session_id", "channel", "tariff_type"),
+    "incentive_claim" -> Seq("customer_id", "session_id", "channel", "tariff_type"),
+    "energy_consumed" -> Seq("customer_id", "session_id", "channel", "energy_consumed"),
+    "bill_payment" -> Seq("customer_id", "session_id", "channel", "payment_amount"))
+
+  private def payloadField(name: String): Column =
+    get_json_object(col("value"), s"$$.payload.$name")
+
+  /** Numeric coercion per the reference: parseable and >= 0 -> value,
+    * otherwise null (consumer/consumer.py:64-74; the raw-insert path
+    * nulls invalid numerics, consumer/consumer.py:198-206). */
+  private def validNumeric(c: Column, dt: DataType): Column = {
+    val d = c.try_cast(DoubleType) // ANSI-safe: malformed -> null
+    when(d.isNotNull && d >= 0.0, d.cast(dt))
+  }
+
+  /** Parse raw JSON lines (column `value`) and classify each row.
+    * Output: all typed event columns + `reason` ("valid" or the
+    * dead-letter reason, mirroring producer/producer.py:55-67 and
+    * consumer/consumer.py:112-123). */
+  def parseAndValidate(lines: DataFrame): DataFrame = {
+    val parsed = lines.select(
+      col("value"),
+      get_json_object(col("value"), "$.event_type").as("event_type"),
+      get_json_object(col("value"), "$.event_time").as("event_time_raw"),
+      get_json_object(col("value"), "$.payload").as("payload_raw"),
+      payloadField("customer_id").as("customer_id"),
+      payloadField("session_id").try_cast(IntegerType).as("session_id"),
+      payloadField("channel").as("channel"),
+      payloadField("tariff_type").as("tariff_type"),
+      payloadField("energy_consumed").as("energy_raw"),
+      payloadField("payment_amount").as("payment_raw"))
+      .withColumn("event_time",
+        // accepts both "2025-06-01T02:04:33.033906" and "...T12:00:00Z"
+        expr("try_cast(event_time_raw AS timestamp)"))
+
+    val missingPayloadField: Column =
+      RequiredPayloadFields.foldLeft(lit(false)) { case (acc, (tpe, fields)) =>
+        val missing = fields.map {
+          case "energy_consumed" => col("energy_raw").isNull
+          case "payment_amount" => col("payment_raw").isNull
+          case f => col(f).isNull
+        }.reduce(_ || _)
+        when(col("event_type") === tpe, missing).otherwise(acc)
+      }
+
+    parsed.withColumn("reason",
+      when(get_json_object(col("value"), "$").isNull, "malformed_json")
+        .when(col("event_type").isNull || col("event_time_raw").isNull ||
+          col("payload_raw").isNull, "missing_required_keys")
+        .when(length(trim(col("event_type"))) === 0, "empty_event_type")
+        .when(!col("event_type").isin(RequiredPayloadFields.keys.toSeq: _*),
+          "unknown_event_type")
+        .when(col("event_time").isNull, "invalid_event_time")
+        .when(missingPayloadField, "missing_payload_fields")
+        .otherwise("valid"))
+  }
+
+  /** The flattened raw-events relation (database/schema.sql:12-23):
+    * invalid numerics are NULLed, not dropped. */
+  def rawEvents(validated: DataFrame): DataFrame =
+    validated.filter(col("reason") === "valid").select(
+      col("customer_id"),
+      col("event_type"),
+      col("event_time"),
+      validNumeric(col("energy_raw"), DecimalType(10, 3)).as("energy_consumed"),
+      validNumeric(col("payment_raw"), DecimalType(10, 2)).as("payment_amount"),
+      col("session_id"),
+      col("tariff_type"),
+      col("channel"))
+
+  /** Dead-letter relation: raw line + reason (producer/producer.py:35-39). */
+  def deadLetter(validated: DataFrame): DataFrame =
+    validated.filter(col("reason") =!= "valid")
+      .select(col("value").as("raw"), col("reason"))
+
+  /** The 16-metric hourly aggregate (consumer/consumer.py:240-318,
+    * database/schema.sql:30-59). Works on both batch and streaming
+    * inputs: distinct counts use collect_set (streaming-legal) whose
+    * size equals the exact distinct count the reference's in-memory
+    * sets produce. Aggregate-path numerics are *skipped* when invalid
+    * (not nulled) per consumer/consumer.py:257,276,284. */
+  def hourlyMetrics(events: DataFrame): DataFrame = {
+    def isT(t: String): Column = col("event_type") === t
+    val pay = col("payment_amount")
+    val energy = col("energy_consumed")
+    // group on the window struct itself (not a derived field) so
+    // streaming watermark state cleanup recognizes the event-time
+    // window; `hour` is projected out after the aggregate
+    val agged = events
+      .groupBy(window(col("event_time"), "1 hour").as("win"))
+      .agg(
+        count(when(isT("tariff_switch"), 1)).as("tariff_switches"),
+        coalesce(sum(when(isT("tariff_switch"), pay)), lit(0).cast(DecimalType(12, 2)))
+          .as("total_switch_revenue"),
+        count(when(isT("tariff_switch") && col("tariff_type") === "green", 1))
+          .as("green_tariff_switches"),
+        count(when(isT("incentive_claim"), 1)).as("incentive_claims"),
+        coalesce(sum(when(isT("incentive_claim"), pay)), lit(0).cast(DecimalType(12, 2)))
+          .as("total_incentive_payouts"),
+        count(when(isT("user_login"), 1)).as("total_logins"),
+        size(collect_set(when(isT("user_login"), col("session_id"))))
+          .cast(LongType).as("new_sessions"),
+        count(when(isT("bill_payment"), 1)).as("payment_events"),
+        coalesce(sum(when(isT("bill_payment"), pay)), lit(0).cast(DecimalType(12, 2)))
+          .as("total_payments"),
+        coalesce(sum(when(isT("energy_consumed"), energy)), lit(0).cast(DecimalType(13, 3)))
+          .as("total_energy_consumed"),
+        max(when(isT("energy_consumed"), energy)).as("peak_hour_usage"),
+        size(collect_set(col("customer_id"))).cast(LongType).as("active_customers"))
+    agged
+      .select(col("win").getField("start").as("hour") +:
+        agged.columns.filterNot(_ == "win").map(col): _*)
+      .select(
+        col("*"),
+        // flush-time derived averages (consumer/consumer.py:313-318)
+        when(col("tariff_switches") > 0,
+          col("total_switch_revenue").cast(DoubleType) / col("tariff_switches"))
+          .otherwise(0.0).as("avg_switch_value"),
+        when(col("active_customers") > 0,
+          col("total_energy_consumed").cast(DoubleType) / col("active_customers"))
+          .otherwise(0.0).as("avg_consumption_per_customer"),
+        when(col("payment_events") > 0,
+          col("total_payments").cast(DoubleType) / col("payment_events"))
+          .otherwise(0.0).as("avg_payment_amount"))
+  }
+
+  /** End-to-end batch run over a directory of JSONL files — the
+    * semantic ground truth the streaming variant must equal. */
+  def batchHourlyMetrics(spark: SparkSession, inputDir: String): DataFrame =
+    hourlyMetrics(rawEvents(parseAndValidate(spark.read.text(inputDir))))
+
+  /** Streaming run: file source -> validate split -> watermarked hourly
+    * aggregate -> idempotent upsert sink (parquet append tagged with
+    * batch epoch; readers take the latest epoch per hour — the
+    * ON CONFLICT upsert of consumer/consumer.py:321-367 without a
+    * transactional store). Dead letters append under `outDir`/dead.
+    *
+    * Returns the aggregate query; call `processAllAvailable()`/`stop()`
+    * or awaitTermination on it.
+    */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      checkpointDir: String,
+      outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
+    val lines = spark.readStream.text(inputDir)
+    val validated = parseAndValidate(lines)
+
+    val agg = hourlyMetrics(
+      rawEvents(validated).withWatermark("event_time", "24 hours"))
+
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointDir/agg")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.withColumn("batch_epoch", lit(epoch))
+          .withColumn("updated_at", current_timestamp())
+          .write.mode("append").parquet(s"$outDir/hourly_business_metrics")
+        ()
+      }
+      .start()
+  }
+
+  /** Dead-letter sink as its own query (shares the source). */
+  def startDeadLetter(
+      spark: SparkSession,
+      inputDir: String,
+      checkpointDir: String,
+      outDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    deadLetter(parseAndValidate(spark.readStream.text(inputDir)))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/dead")
+      .trigger(trigger)
+      .format("json")
+      .option("path", s"$outDir/dead_letter")
+      .start()
+
+  /** Latest-epoch-wins view over the upsert sink — what dashboards
+    * read (equivalent to the reference's hourly_business_metrics
+    * table after its additive merges, modulo the documented
+    * true-distinct divergence). */
+  def readHourlyMetrics(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/hourly_business_metrics")
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("batch_epoch").desc)
+    df.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_epoch", "updated_at")
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide instance). */
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Write a fixture table as `<dir>/<name>.parquet` for query fns. */
+  def writeFixture(dir: java.nio.file.Path, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve(s"$name.parquet").toString)
+
+  def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+}

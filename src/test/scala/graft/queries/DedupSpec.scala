@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-duplicate fixtures: the approximate dedup paths (MinHash
+  * LSH banding, SimHash chunking) must recover the near-dup pairs the
+  * exact n-gram Jaccard finds. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = tmpDir("graft-dedup")
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge every sunny morning while birds sing loud songs across the green valley fields"
+    val nearDup = base.replace("sunny", "rainy") // one token changed
+    val other = "completely different text about spark catalyst optimizer rules and physical plans with columnar batches"
+    val docs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, nearDup, "en", "srcA", nearDup.length.toLong),
+      (2L, base, "en", "srcB", base.length.toLong), // exact dup of 0, other source
+      (3L, other, "en", "srcB", other.length.toLong),
+      (4L, "another unrelated document mentioning window functions aggregates and shuffle partitions in distributed engines", "en", "srcB", 100L),
+      (5L, other, "en", "srcB", other.length.toLong)) // exact dup of 3, same source
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeFixture(d, "documents", docs)
+    d
+  }
+
+  test("exact dedup counts duplicate texts per source") {
+    val r = DedupQueries.exact(spark, dir.toString).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("n_dup_docs")).toMap
+    // srcA: two distinct texts; srcB: docs 3 and 5 share a text
+    assert(r == Map("srcA" -> 0L, "srcB" -> 1L))
+  }
+
+  test("n-gram Jaccard finds planted near-dups and exact dup") {
+    val pairs = DedupQueries.ngramJaccard(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 5L)), pairs)
+    val exactPair = pairs.find(p => p._1 == 0L && p._2 == 2L).get
+    assert(exactPair._3 == 1.0)
+  }
+
+  test("MinHash LSH banding recovers the same pairs as exact Jaccard") {
+    val exact = DedupQueries.ngramJaccard(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = DedupQueries.minhashPairs(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact)
+  }
+
+  test("SimHash signatures of near-dups are close, unrelated docs far") {
+    val sig = DedupQueries.simhash(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(0L, 2L) == 0) // identical text
+    assert(ham(0L, 1L) < ham(0L, 3L))
+    assert(ham(0L, 1L) < ham(0L, 4L))
+    val pairs = DedupQueries.simhashPairs(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("embedding cosine near-dup finds planted near-identical vectors") {
+    val d = tmpDir("graft-emb")
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(7)
+    def randVec(): Array[Float] = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val a = randVec()
+    val aNear = unit(a.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x })
+    val rows = Seq(
+      (0L, a.toSeq, 1), (50L, aNear.toSeq, 1),
+      (100L, randVec().toSeq, 1), (150L, randVec().toSeq, 2),
+      (200L, randVec().toSeq, 2))
+    writeFixture(d, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val pairs = DedupQueries.embeddingCosine(spark, d.toString).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 50L && p._3 > 0.99), pairs.toSeq)
+  }
+}
