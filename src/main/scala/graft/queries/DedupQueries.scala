@@ -34,10 +34,15 @@ object DedupQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** (doc_id, s) exploded distinct 3-shingle hashes. */
+  /** (doc_id, s) exploded distinct 3-shingle hashes. The repartition
+    * before the Generate spreads the md5 shingle hashing across cores —
+    * a single parquet file otherwise pins it to one task (and at
+    * cluster scale this is the shuffle that co-locates a doc's
+    * shingles). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      explode(shingleHashes(col("text"), 3)).as("s"))
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
 
   private val shinglesCte: String =
     s"""SELECT doc_id, unnest(${shingleHashesSql(3)}) AS s FROM documents"""
@@ -89,7 +94,10 @@ object DedupQueries {
   // ---------------------------------------------------------------------
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // the posting-list table feeds the self-join (2x) and both size
+    // lookups — persist instead of recomputing the md5 explode 4x
+    // (cluster-scale analog: materialize the shingle index once)
+    val sh = shingles(spark, dir).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // one row per shared shingle -> groupBy counts |A ∩ B| directly;
     // no separate candidate pass (the posting-list join IS the pairs)
@@ -127,15 +135,14 @@ object DedupQueries {
   // ---------------------------------------------------------------------
 
   /** Unsorted signature (partial-agg'd map-side, one shuffle on doc_id). */
-  private def minhashSigBody(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .groupBy(col("doc_id"))
+  private def minhashSigFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(
         min(minHash(0, col("s"))).as("m0"),
         (1 until 16).map(i => min(minHash(i, col("s"))).as(s"m$i")): _*)
 
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
-    minhashSigBody(spark, dir).orderBy(col("doc_id"))
+    minhashSigFrom(shingles(spark, dir)).orderBy(col("doc_id"))
 
   /** Signature SELECT over an `sh` CTE (shared by sig and pairs oracles). */
   private val minhashSigBody: String = {
@@ -162,7 +169,10 @@ object DedupQueries {
     * on (band_id, band_key) and posting lists are tiny for j^4-rare
     * collisions. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigBody(spark, dir)
+    // shingle index feeds signature build + exact verify (4 subtree
+    // uses); signature feeds both sides of the band self-join
+    val sh = shingles(spark, dir).persist()
+    val sig = minhashSigFrom(sh).persist()
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),
@@ -174,7 +184,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingles(spark, dir))
+    verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -211,23 +221,27 @@ object DedupQueries {
   // dedup_simhash: 60-bit SimHash per doc + banded Hamming pairs
   // ---------------------------------------------------------------------
 
-  /** Per-doc signature. The repartition is a deliberate materialization
-    * barrier: without it CollapseProject inlines the shingle-array
-    * expression (~50 md5 calls) into each of the 120 references the
-    * 60-bit vote makes, a ~100x blowup measured at sf0.1. With the
-    * exchange the array is computed once per row; at cluster scale the
-    * doc_id partitioning is also what the downstream chunk join wants.
-    * The coalesce marks simhash non-nullable — otherwise the chunk
-    * join infers IsNotNull(chunk) and pushes a filter containing the
-    * fully-inlined simhash expression down to the scan (measured 40x
-    * slowdown at sf0.1). Semantics unchanged: the vote sum is never
-    * null (empty shingle arrays vote 0 on every bit). */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        coalesce(expr(simHashExpr("sh")), lit(0L)).as("simhash"))
+  /** Per-doc 60-bit SimHash, relational formulation: explode shingles,
+    * one codegen'd aggregation pass computing per-bit one-counts (60
+    * conditional sums + total), then reconstruct the majority-vote
+    * bits. Semantically identical to the array-lambda form in
+    * [[graft.functions.TextFunctions.simHashSql]] (the oracle), but
+    * whole-stage-codegen'd and parallel — the HOF form is interpreted
+    * per element and was the round's worst hotspot when planner rules
+    * (CollapseProject, join null-filter pushdown) duplicated it.
+    * The coalesces keep every column non-nullable so downstream joins
+    * infer no IsNotNull filters to push around. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val votes = sh.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until 60).map(b =>
+        sum(shiftright(col("s"), b) % 2).as(s"c$b")): _*)
+    votes.select(col("doc_id"),
+      (0 until 60)
+        .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+        .reduce((a, b) => a + b).as("simhash"))
+  }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy(col("doc_id"))
@@ -282,14 +296,17 @@ object DedupQueries {
     * (the blocking key — at scale this is the LSH bucket / IVF cell),
     * kept when cosine >= 0.4. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    // codegen'd dot/norm (graft.functions.VectorExpressions): identical
+    // accumulation order to the HOF form, ~10x faster on the pair loop
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir).select(col("vec_id"), col("label"),
-      col("embedding"), sqrt(norm2(col("embedding"))).as("nrm"))
+      col("embedding"), sqrt(expr("graft_norm2(embedding)")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        (dot(col("a.embedding"), col("b.embedding")) /
+        (expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))

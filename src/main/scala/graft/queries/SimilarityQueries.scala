@@ -35,13 +35,17 @@ object SimilarityQueries {
   /** Query subset: every 50th vector. */
   private val isQuery: Column = col("vec_id") % 50 === 0
 
+  /** Codegen'd dot/norm (graft.functions.VectorExpressions) — bit-
+    * identical to the HOF fold, native loop in whole-stage codegen. */
   private def cosine(a: String, b: String): Column =
-    dot(col(s"$a.embedding"), col(s"$b.embedding")) /
+    expr(s"graft_dot($a.embedding, $b.embedding)") /
       (col(s"$a.nrm") * col(s"$b.nrm"))
 
-  private def withNorm(e: DataFrame): DataFrame =
+  private def withNorm(e: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(e.sparkSession)
     e.select(col("vec_id"), col("label"), col("embedding"),
-      sqrt(norm2(col("embedding"))).as("nrm"))
+      sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+  }
 
   // ---------------------------------------------------------------------
   // ann_cosine_topk: exact brute-force baseline
