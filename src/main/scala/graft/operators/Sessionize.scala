@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization — the typed custom-state operator surface
+  * (`KeyValueGroupedDataset.flatMapGroupsWithState`).
+  *
+  * The reference carries explicit `session_id`s, so it never needs
+  * time-gap sessions (SURVEY.md §2.8); this is part of the extension
+  * surface: derive sessions from activity gaps (30 min) per customer.
+  *
+  * Batch and streaming share the same fold; streaming closes sessions
+  * via event-time timeout once the watermark passes `last + gap`
+  * (state is bounded by the watermark, exactly like the reference's
+  * 24h in-memory pruning). Events are processed in event-time order
+  * within each batch; cross-batch out-of-order input inside the
+  * watermark merges into the open session (late events that would
+  * split an already-closed session are a documented approximation —
+  * exact retro-splitting needs per-event state buffering).
+  */
+object Sessionize {
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  final case class SessionEvent(
+      customerId: String, eventTime: Timestamp, eventType: String)
+
+  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
+
+  final case class Session(
+      customerId: String,
+      sessionStart: Timestamp,
+      sessionEnd: Timestamp,
+      nEvents: Int,
+      durationSec: Long)
+
+  private def close(key: String, s: OpenSession): Session =
+    Session(key, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+      s.nEvents, (s.lastMs - s.startMs) / 1000L)
+
+  /** Fold sorted events into sessions; returns (closed, open-tail). */
+  private def fold(key: String, sorted: Seq[SessionEvent],
+      open: Option[OpenSession]): (Seq[Session], Option[OpenSession]) =
+    sorted.foldLeft((Vector.empty[Session], open)) {
+      case ((closed, cur), e) =>
+        val t = e.eventTime.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= GapMs =>
+            (closed, Some(s.copy(lastMs = math.max(s.lastMs, t),
+              nEvents = s.nEvents + 1)))
+          case Some(s) =>
+            (closed :+ close(key, s), Some(OpenSession(t, t, 1)))
+          case None =>
+            (closed, Some(OpenSession(t, t, 1)))
+        }
+    }
+
+  /** Batch sessionization: per-customer sort + gap fold. */
+  def batchSessions(events: Dataset[SessionEvent]): Dataset[Session] = {
+    implicit val enc = Encoders.product[Session]
+    events.groupByKey(_.customerId)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val sorted = it.toSeq.sortBy(e => (e.eventTime.getTime, e.eventType))
+        val (closed, open) = fold(key, sorted, None)
+        (closed ++ open.map(close(key, _))).iterator
+      }
+  }
+
+  /** Streaming sessionization with event-time timeout. Apply to a
+    * watermarked Dataset[SessionEvent]; emits a session once the
+    * watermark passes its end + gap. Use with OutputMode.Append. */
+  def streamingSessions(events: Dataset[SessionEvent]): Dataset[Session] = {
+    implicit val enc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    events.groupByKey(_.customerId)(Encoders.STRING)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = close(key, state.get)
+            state.remove()
+            Iterator(out)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.eventTime.getTime, e.eventType))
+            val (closed, open) = fold(key, sorted, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastMs + GapMs)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+}

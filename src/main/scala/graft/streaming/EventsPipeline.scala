@@ -193,7 +193,13 @@ object EventsPipeline {
       outDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
     val lines = spark.readStream.text(inputDir)
-    val validated = parseAndValidate(lines)
+    // observe(): per-batch valid/invalid counters surfaced in
+    // StreamingQueryProgress.observedMetrics — the declarative analog
+    // of the reference's Prometheus counters (consumer/consumer.py:
+    // 30-37, SURVEY §2 A10)
+    val validated = parseAndValidate(lines).observe("graft_ingest",
+      count(when(col("reason") === "valid", 1)).as("valid_events"),
+      count(when(col("reason") =!= "valid", 1)).as("invalid_events"))
 
     val agg = hourlyMetrics(
       rawEvents(validated).withWatermark("event_time", "24 hours"))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Sessionize.{Session, SessionEvent}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(m)
+
+  private val events = Seq(
+    // CUST1: two sessions separated by a 40-min gap
+    SessionEvent("CUST1", ts("2025-06-04 12:00:00"), "user_login"),
+    SessionEvent("CUST1", ts("2025-06-04 12:10:00"), "view_tariffs"),
+    SessionEvent("CUST1", ts("2025-06-04 12:20:00"), "tariff_switch"),
+    SessionEvent("CUST1", ts("2025-06-04 13:00:00"), "user_login"),
+    SessionEvent("CUST1", ts("2025-06-04 13:05:00"), "user_logout"),
+    // CUST2: one long session, events within gap of each other
+    SessionEvent("CUST2", ts("2025-06-04 12:00:00"), "user_login"),
+    SessionEvent("CUST2", ts("2025-06-04 12:29:00"), "energy_consumed"),
+    SessionEvent("CUST2", ts("2025-06-04 12:58:00"), "bill_payment"))
+
+  test("batch sessionization splits on 30-min gaps") {
+    val sessions = Sessionize.batchSessions(events.toDS()).collect()
+      .sortBy(s => (s.customerId, s.sessionStart.getTime))
+    assert(sessions.map(s => (s.customerId, s.nEvents, s.durationSec)).toSeq ==
+      Seq(("CUST1", 3, 1200L), ("CUST1", 2, 300L), ("CUST2", 3, 3480L)))
+  }
+
+  test("shuffled input produces the same sessions") {
+    val shuffled = new scala.util.Random(3).shuffle(events)
+    val a = Sessionize.batchSessions(events.toDS()).collect().toSet
+    val b = Sessionize.batchSessions(shuffled.toDS()).collect().toSet
+    assert(a == b)
+  }
+
+  test("streaming sessionization emits closed sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Sessionize.streamingSessions(
+      mem.toDS().withWatermark("eventTime", "0 seconds"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(events.take(3): _*) // CUST1 session 1
+      q.processAllAvailable()
+      // advance watermark far past the gap -> session 1 must close
+      mem.addData(SessionEvent("CUST1", ts("2025-06-04 15:00:00"), "user_login"))
+      q.processAllAvailable()
+      mem.addData(SessionEvent("CUST9", ts("2025-06-04 18:00:00"), "user_login"))
+      q.processAllAvailable()
+
+      val closed = spark.table("sess_mem").as[Session].collect()
+      assert(closed.exists(s =>
+        s.customerId == "CUST1" && s.nEvents == 3 && s.durationSec == 1200L),
+        closed.toSeq)
+    } finally q.stop()
+  }
+}

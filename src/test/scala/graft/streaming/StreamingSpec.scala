@@ -112,5 +112,14 @@ class StreamingSpec extends SparkSpec {
     assert(dead.length == 2)
     assert(dead.map(_.getAs[String]("reason")).sorted.toSeq ==
       Seq("malformed_json", "missing_payload_fields"))
+
+    // observe() counters (A10): the second run ingested lines 5..9
+    // (4 valid + 1 invalid or similar split depending on the shuffle)
+    val observed = q2.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("graft_ingest")))
+    assert(observed.nonEmpty, "no observed metrics emitted")
+    val totalSeen = observed.map(r =>
+      r.getAs[Long]("valid_events") + r.getAs[Long]("invalid_events")).sum
+    assert(totalSeen == lines.drop(5).length, observed.mkString(","))
   }
 }
