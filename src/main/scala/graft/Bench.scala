@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // no static broadcasts: planning-time broadcast of expensive
+      // *derived* tables (dedup signature/posting self-joins) re-executes
+      // their whole subtree in a single-threaded broadcast job — measured
+      // 10-100x outliers at sf0.1. AQE still converts joins to broadcast
+      // at runtime from materialized shuffle stats, which is the
+      // stats-driven behavior a real cluster wants.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
