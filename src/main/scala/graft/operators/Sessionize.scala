@@ -24,11 +24,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   val GapMs: Long = 30 * 60 * 1000L
+  val GapUs: Long = GapMs * 1000L
+
+  /** Timestamp -> epoch micros (java.sql.Timestamp.getTime is millis;
+    * the fractional part lives in getNanos). */
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def toTs(usv: Long): Timestamp = {
+    val t = new Timestamp(usv / 1000000L * 1000L)
+    t.setNanos(((usv % 1000000L) * 1000L).toInt)
+    t
+  }
 
   final case class SessionEvent(
       customerId: String, eventTime: Timestamp, eventType: String)
 
-  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Int)
 
   final case class Session(
       customerId: String,
@@ -38,18 +50,18 @@ object Sessionize {
       durationSec: Long)
 
   private def close(key: String, s: OpenSession): Session =
-    Session(key, new Timestamp(s.startMs), new Timestamp(s.lastMs),
-      s.nEvents, (s.lastMs - s.startMs) / 1000L)
+    Session(key, toTs(s.startUs), toTs(s.lastUs),
+      s.nEvents, (s.lastUs - s.startUs) / 1000000L)
 
   /** Fold sorted events into sessions; returns (closed, open-tail). */
   private def fold(key: String, sorted: Seq[SessionEvent],
       open: Option[OpenSession]): (Seq[Session], Option[OpenSession]) =
     sorted.foldLeft((Vector.empty[Session], open)) {
       case ((closed, cur), e) =>
-        val t = e.eventTime.getTime
+        val t = us(e.eventTime)
         cur match {
-          case Some(s) if t - s.lastMs <= GapMs =>
-            (closed, Some(s.copy(lastMs = math.max(s.lastMs, t),
+          case Some(s) if t - s.lastUs <= GapUs =>
+            (closed, Some(s.copy(lastUs = math.max(s.lastUs, t),
               nEvents = s.nEvents + 1)))
           case Some(s) =>
             (closed :+ close(key, s), Some(OpenSession(t, t, 1)))
@@ -63,7 +75,7 @@ object Sessionize {
     implicit val enc = Encoders.product[Session]
     events.groupByKey(_.customerId)(Encoders.STRING)
       .flatMapGroups { (key, it) =>
-        val sorted = it.toSeq.sortBy(e => (e.eventTime.getTime, e.eventType))
+        val sorted = it.toSeq.sortBy(e => (us(e.eventTime), e.eventType))
         val (closed, open) = fold(key, sorted, None)
         (closed ++ open.map(close(key, _))).iterator
       }
@@ -84,12 +96,12 @@ object Sessionize {
             state.remove()
             Iterator(out)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.eventTime.getTime, e.eventType))
+            val sorted = it.toSeq.sortBy(e => (us(e.eventTime), e.eventType))
             val (closed, open) = fold(key, sorted, state.getOption)
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastMs + GapMs)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + GapMs)
               case None => state.remove()
             }
             closed.iterator

@@ -638,6 +638,62 @@ object EventsQueries {
        |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Sessionization: gap-based sessions, relational formulation
+  // ---------------------------------------------------------------------
+
+  /** 30-min-gap sessions per user via lag + running flag-sum — the
+    * window-function twin of the typed custom-state operator
+    * [[graft.operators.Sessionize]] (equivalence asserted in
+    * SessionizeSpec). Exact integer time arithmetic (epoch micros)
+    * keeps both engines bit-identical. */
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(order) > gapUs, 1L)
+          .otherwise(when(lag(col("ts_us"), 1).over(order).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("session_no", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val sessionizationSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      |              THEN 1
+      |              WHEN lag(epoch_us(ts), 1)
+      |                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no,
+      |       min(ts_us) AS start_us,
+      |       max(ts_us) AS end_us,
+      |       count(*) AS n_events,
+      |       max(ts_us) - min(ts_us) AS duration_us
+      |FROM numbered
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -657,5 +713,6 @@ object EventsQueries {
     ("ev_dynamic_pricing", dynamicPricing _, dynamicPricingSql),
     ("ev_ab_framework", abFramework _, abFrameworkSql),
     ("ev_validation_summary", validationSummary _, validationSummarySql),
-    ("ev_total_error_value", totalErrorValue _, totalErrorValueSql))
+    ("ev_total_error_value", totalErrorValue _, totalErrorValueSql),
+    ("ev_sessionization", sessionization _, sessionizationSql))
 }

@@ -39,6 +39,24 @@ class SessionizeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("typed operator agrees with the relational window formulation (ev_sessionization)") {
+    val dir = "/root/testdata/sf0.001"
+    val relational = graft.queries.EventsQueries.sessionization(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id").toString,
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events"))).toSet
+    val typedEvents = graft.util.Tables.load(spark, dir, "events")
+      .selectExpr("CAST(user_id AS STRING) AS customerId",
+        "ts AS eventTime", "event_type AS eventType")
+      .as[SessionEvent]
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val typed = Sessionize.batchSessions(typedEvents).collect()
+      .map(s => (s.customerId, us(s.sessionStart), us(s.sessionEnd),
+        s.nEvents.toLong)).toSet
+    assert(typed == relational)
+  }
+
   test("streaming sessionization emits closed sessions as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
