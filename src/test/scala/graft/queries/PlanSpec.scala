@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.PartitionedEvents
+
+/** Physical-plan guards: the properties that make these queries viable
+  * at cluster scale must hold in the compiled plan, not just in intent.
+  * A regression that un-pushes a filter or widens a scan fails here
+  * long before it shows up in a benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("pricing summary: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan("tpch_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 7 referenced columns are read (toString truncates the
+    // full ReadSchema, so check the scan column list + absent columns)
+    assert(p.contains("FileScan parquet [l_quantity#"), p)
+    assert(!p.contains("l_orderkey"), p)
+    assert(!p.contains("l_partkey"), p)
+    // map-side partial aggregation before the shuffle
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("shipping priority: dimension filter pushed; aggregation partial") {
+    val p = plan("tpch_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("hourly metrics: events scan pruned to referenced columns") {
+    val p = plan("ev_hourly_metrics")
+    assert(!p.contains("event_id"), p) // unused column not read
+    assert(p.contains("partial_"), p)
+  }
+
+  test("date-partitioned events: time predicate prunes partitions") {
+    val out = tmpDir("graft-part").resolve("events_by_date").toString
+    val ev = graft.util.Tables.load(spark, dir, "events")
+    PartitionedEvents.write(ev, out)
+
+    val filtered = PartitionedEvents.read(spark, out)
+      .filter(col("event_date") === "2024-01-15")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"), p)
+    // pruning actually reduces the scanned file set
+    val all = PartitionedEvents.read(spark, out)
+    assert(filtered.count() > 0)
+    assert(filtered.count() < all.count())
+  }
+}
