@@ -107,6 +107,24 @@ object VectorExpressions {
   }
 }
 
+/** `spark.sql.extensions`-style injector: build sessions with
+  * `.withExtensions(new GraftExtensions)` (or set the config key to
+  * this class name) to get the graft functions at session start —
+  * the deploy-time path; [[VectorFunctions.ensureRegistered]] is the
+  * late-binding equivalent for sessions we don't construct. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(VectorExpressions.DotFF.getClass.getName, "graft_dot"),
+      (children: Seq[Expression]) =>
+        VectorExpressions.DotFF(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(VectorExpressions.Norm2FF.getClass.getName, "graft_norm2"),
+      (children: Seq[Expression]) =>
+        VectorExpressions.Norm2FF(children.head)))
+  }
+}
+
 object VectorFunctions {
 
   /** Idempotently register graft_dot / graft_norm2 in the session's

@@ -10,6 +10,8 @@ object SparkTestSession {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    // deploy-time registration path for the custom expressions
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (2L, Seq(0.5f, -0.5f, 0.25f), Seq(-1.0f, 1.0f, 2.0f)))
+
+  test("codegen dot/norm2 are bit-identical to the HOF fold") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+      expr("graft_dot(a, b)").as("dot_native"),
+      TextFunctions.dot(col("a"), col("b")).as("dot_hof"),
+      expr("graft_norm2(a)").as("n2_native"),
+      TextFunctions.norm2(col("a")).as("n2_hof")).collect()
+    for (r <- rows) {
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("GraftExtensions (spark.sql.extensions) registers functions without late binding") {
+    // a fresh session's registry is built from extensions only —
+    // VectorFunctions.ensureRegistered has never run on it
+    val s = spark.newSession()
+    import s.implicits._
+    val out = Seq(Seq(3.0f, 4.0f)).toDF("v")
+      .selectExpr("graft_norm2(v) AS n").collect()
+    assert(out.head.getDouble(0) == 25.0)
+  }
+}
