@@ -694,6 +694,33 @@ object EventsQueries {
       |ORDER BY user_id, session_no""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Sketch variant: HLL++ approximate distincts (the 100 TB path)
+  // ---------------------------------------------------------------------
+
+  /** [[hourlyMetrics]] with approx_count_distinct (HyperLogLog++,
+    * rsd=0.5%) replacing the exact distincts. At cluster scale the
+    * exact per-hour distinct forces an expand + second shuffle keyed by
+    * (hour, user) / (hour, session); the sketch is one pass, one
+    * shuffle, constant memory per group. No DuckDB oracle (sketch
+    * estimates aren't cross-engine reproducible) — the spec bounds its
+    * error against the exact query instead. */
+  def hourlyMetricsApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isPurchase).as("purchases"),
+        sum(when(isPurchase, col("value").cast(Money))).cast(DoubleType)
+          .as("purchase_revenue"),
+        approx_count_distinct(when(isSignup, sessionId), 0.005)
+          .as("new_sessions_approx"),
+        approx_count_distinct(col("user_id"), 0.005).as("active_users_approx"))
+      .select(epochUs(col("hour")).as("hour_us"), col("total_events"),
+        col("purchases"), col("purchase_revenue"),
+        col("new_sessions_approx"), col("active_users_approx"))
+      .orderBy(col("hour_us"))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -714,5 +741,8 @@ object EventsQueries {
     ("ev_ab_framework", abFramework _, abFrameworkSql),
     ("ev_validation_summary", validationSummary _, validationSummarySql),
     ("ev_total_error_value", totalErrorValue _, totalErrorValueSql),
-    ("ev_sessionization", sessionization _, sessionizationSql))
+    ("ev_sessionization", sessionization _, sessionizationSql),
+    // sketch estimates aren't cross-engine reproducible -> no oracle
+    // (driver records rows-only); error bounded vs exact in specs
+    ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))
 }
