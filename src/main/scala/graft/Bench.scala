@@ -26,6 +26,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally {
+        // queries may persist() intermediates; drop them so later
+        // queries don't silently time against a warm cache
+        spark.sharedState.cacheManager.clearCache()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

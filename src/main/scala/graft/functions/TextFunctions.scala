@@ -31,8 +31,6 @@ object TextFunctions {
   /** Whitespace tokens (testdata text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  val tokensSql: String = "string_split(text, ' ')"
-
   /** Distinct h60 hashes of all n-token shingles; empty if fewer than
     * n tokens. DuckDB twin: [[shingleHashesSql]]. */
   def shingleHashes(text: Column, n: Int): Column = {
@@ -77,16 +75,10 @@ object TextFunctions {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 60-bit SimHash over an array-of-h60-shingles column: for each bit,
-    * majority vote (2*ones > n) sets the bit. Exact int64 arithmetic on
-    * both engines. Expression string form so the variable shift amount
-    * works (the Scala DSL's shiftleft takes a literal). */
-  def simHashExpr(shCol: String): String =
-    s"""aggregate(transform(sequence(0, 59),
-       |  b -> IF(2 * size(filter($shCol, s -> (s >> b) & 1 = 1)) > size($shCol),
-       |          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n\\s*", " ")
-
+  /** 60-bit SimHash of an array-of-h60-shingles expression: for each
+    * bit, majority vote (2*ones > n) sets the bit. Exact int64
+    * arithmetic; the Spark side uses the equivalent relational
+    * formulation (DedupQueries.simhashSig). */
   def simHashSql(shExpr: String): String =
     s"""list_sum(list_transform(generate_series(0, 59),
        |  b -> CASE WHEN 2 * len(list_filter($shExpr, s -> (s >> b) & 1 = 1)) > len($shExpr)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -28,9 +29,16 @@ object VectorExpressions {
     * in index order (i = 0..min(len)-1). */
   case class DotFF(left: Expression, right: Expression)
       extends BinaryExpression {
-    // inputs are always ArrayType(FloatType) (built internally only)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -68,9 +76,15 @@ object VectorExpressions {
   /** norm2(a): Σ a[i]^2 in double, index order. */
   case class Norm2FF(child: Expression)
       extends UnaryExpression {
-    // input is always ArrayType(FloatType) (built internally only)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_norm2"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+      }
 
     override protected def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

@@ -76,6 +76,13 @@ object MediaPipeline {
       }
   }
 
+  /** doc_id -> media format assignment, shared with
+    * [[graft.queries.MultimodalQueries]] (oracle SQL mirrors it). */
+  def mediaFormat(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(docId % 3 === 0, "image")
+      .when(docId % 3 === 1, "audio")
+      .otherwise("video")
+
   /** Build assets from the documents table (utf-8 payloads) — the
     * ingest shape a binary-file source (`spark.read.format
     * ("binaryFile")`) would produce. */
@@ -84,9 +91,7 @@ object MediaPipeline {
     graft.util.Tables.load(spark, dir, "documents")
       .select(
         col("doc_id").as("assetId"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("mediaFormat"),
+        mediaFormat(col("doc_id")).as("mediaFormat"),
         col("text").cast("binary").as("payload"))
       .as[MediaAsset]
   }

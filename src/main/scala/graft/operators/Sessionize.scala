@@ -53,18 +53,23 @@ object Sessionize {
     Session(key, toTs(s.startUs), toTs(s.lastUs),
       s.nEvents, (s.lastUs - s.startUs) / 1000000L)
 
-  /** Fold sorted events into sessions; returns (closed, open-tail). */
+  /** Fold sorted events into sessions; returns (closed, open-tail).
+    * Cross-batch late events (earlier than the open session) either
+    * extend it backwards (within gap of its start) or emit immediately
+    * as their own closed session — history can't be reopened. */
   private def fold(key: String, sorted: Seq[SessionEvent],
       open: Option[OpenSession]): (Seq[Session], Option[OpenSession]) =
     sorted.foldLeft((Vector.empty[Session], open)) {
       case ((closed, cur), e) =>
         val t = us(e.eventTime)
         cur match {
-          case Some(s) if t - s.lastUs <= GapUs =>
-            (closed, Some(s.copy(lastUs = math.max(s.lastUs, t),
-              nEvents = s.nEvents + 1)))
-          case Some(s) =>
+          case Some(s) if t >= s.startUs - GapUs && t <= s.lastUs + GapUs =>
+            (closed, Some(s.copy(startUs = math.min(s.startUs, t),
+              lastUs = math.max(s.lastUs, t), nEvents = s.nEvents + 1)))
+          case Some(s) if t > s.lastUs + GapUs =>
             (closed :+ close(key, s), Some(OpenSession(t, t, 1)))
+          case Some(s) => // late singleton, > gap before the open session
+            (closed :+ close(key, OpenSession(t, t, 1)), Some(s))
           case None =>
             (closed, Some(OpenSession(t, t, 1)))
         }

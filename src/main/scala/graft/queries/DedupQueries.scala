@@ -47,6 +47,16 @@ object DedupQueries {
   private val shinglesCte: String =
     s"""SELECT doc_id, unnest(${shingleHashesSql(3)}) AS s FROM documents"""
 
+  /** Attach `jaccard` to a (doc_a, doc_b, common) relation using the
+    * per-doc shingle counts. */
+  private def attachJaccard(common: DataFrame, sizes: DataFrame): DataFrame =
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs via
     * the inverted index — returns pairs with `jaccard` attached. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
@@ -56,12 +66,7 @@ object DedupQueries {
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("za").withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.as("zb").withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast(DoubleType) /
-          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+    attachJaccard(common, sizes)
   }
 
   // ---------------------------------------------------------------------
@@ -118,12 +123,7 @@ object DedupQueries {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast(DoubleType) /
-          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+    attachJaccard(common, sizes)
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -252,10 +252,15 @@ object DedupQueries {
       count(lit(1)).as("n"),
       (0 until 60).map(b =>
         sum(shiftright(col("s"), b) % 2).as(s"c$b")): _*)
-    votes.select(col("doc_id"),
+    val sig = votes.select(col("doc_id"),
       (0 until 60)
         .map(b => when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
         .reduce((a, b) => a + b).as("simhash"))
+    // docs with <3 tokens have no shingles: the oracle (FROM documents)
+    // emits simhash=0 for them, so restore those rows here too
+    docs(spark, dir).select(col("doc_id"))
+      .join(sig, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =

@@ -41,9 +41,8 @@ object MultimodalQueries {
     docs(spark, dir)
       .select(
         col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio")
-          .otherwise("video").as("media_format"),
+        graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+          .as("media_format"),
         nBytes.as("n_bytes"),
         md5(blob).as("content_md5"),
         width, height,

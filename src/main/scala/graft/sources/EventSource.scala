@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * validation pipeline ([[graft.streaming.EventsPipeline]]) consumes —
   * swap file for Kafka without touching anything downstream.
   *
-  * Note: the Kafka readers/writers need `spark-sql-kafka-0-10` on the
-  * classpath at deploy time (not present in this offline environment;
-  * the file paths are what the tests exercise).
+  * The file paths feed [[graft.streaming.EventsPipeline]] (exercised by
+  * StreamingSpec / StreamBench); the Kafka readers/writers need
+  * `spark-sql-kafka-0-10` on the classpath at deploy time and are not
+  * runnable in this offline environment.
   */
 object EventSource {
 

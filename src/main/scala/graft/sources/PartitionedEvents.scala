@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
 object PartitionedEvents {
 
   /** Write an events relation (with a `ts` timestamp column)
-    * date-partitioned. `targetFileSizeRows` bounds file count per
-    * partition (small-files guard). */
+    * date-partitioned, producing up to `filesPerDay` files per date
+    * (shuffle on (event_date, bucket) so each date's rows land in that
+    * many tasks — the small-files / task-parallelism dial). */
   def write(events: DataFrame, path: String,
-      partitionsPerDay: Int = 1): Unit =
+      filesPerDay: Int = 4): Unit =
     events
       .withColumn("event_date", to_date(col("ts")))
-      .repartition(partitionsPerDay, col("event_date"))
+      .withColumn("bucket", pmod(hash(col("ts")), lit(filesPerDay)))
+      .repartition(col("event_date"), col("bucket"))
+      .drop("bucket")
       .sortWithinPartitions(col("event_date"), col("ts"))
       .write
       .mode("overwrite")

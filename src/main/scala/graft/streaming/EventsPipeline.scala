@@ -175,7 +175,8 @@ object EventsPipeline {
   /** End-to-end batch run over a directory of JSONL files — the
     * semantic ground truth the streaming variant must equal. */
   def batchHourlyMetrics(spark: SparkSession, inputDir: String): DataFrame =
-    hourlyMetrics(rawEvents(parseAndValidate(spark.read.text(inputDir))))
+    hourlyMetrics(rawEvents(parseAndValidate(
+      graft.sources.EventSource.fileBatch(spark, inputDir))))
 
   /** Streaming run: file source -> validate split -> watermarked hourly
     * aggregate -> idempotent upsert sink (parquet append tagged with
@@ -192,7 +193,7 @@ object EventsPipeline {
       checkpointDir: String,
       outDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
-    val lines = spark.readStream.text(inputDir)
+    val lines = graft.sources.EventSource.fileStream(spark, inputDir)
     // observe(): per-batch valid/invalid counters surfaced in
     // StreamingQueryProgress.observedMetrics — the declarative analog
     // of the reference's Prometheus counters (consumer/consumer.py:
@@ -224,7 +225,8 @@ object EventsPipeline {
       checkpointDir: String,
       outDir: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
-    deadLetter(parseAndValidate(spark.readStream.text(inputDir)))
+    deadLetter(parseAndValidate(
+      graft.sources.EventSource.fileStream(spark, inputDir)))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointDir/dead")

@@ -57,6 +57,38 @@ class SessionizeSpec extends SparkSpec {
     assert(typed == relational)
   }
 
+  test("cross-batch late events extend the open session backwards or close as singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = Sessionize.streamingSessions(
+      mem.toDS().withWatermark("eventTime", "6 hours"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // open session 12:00-12:20
+      mem.addData(
+        SessionEvent("C", ts("2025-06-04 12:00:00"), "a"),
+        SessionEvent("C", ts("2025-06-04 12:20:00"), "b"))
+      q.processAllAvailable()
+      // late within gap of the start -> extends backwards;
+      // late far before -> immediate singleton session
+      mem.addData(
+        SessionEvent("C", ts("2025-06-04 11:45:00"), "late-near"),
+        SessionEvent("C", ts("2025-06-04 08:00:00"), "late-far"))
+      q.processAllAvailable()
+      // advance watermark to close the open session
+      mem.addData(SessionEvent("Z", ts("2025-06-05 12:00:00"), "tick"))
+      q.processAllAvailable()
+
+      val closed = spark.table("sess_late").as[Session].collect()
+        .filter(_.customerId == "C").sortBy(_.sessionStart.getTime)
+      assert(closed.map(s => (s.nEvents, s.durationSec)).toSeq ==
+        Seq((1, 0L), (3, 2100L)), closed.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions as the watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]

@@ -21,7 +21,8 @@ class DedupSpec extends SparkSpec {
       (2L, base, "en", "srcB", base.length.toLong), // exact dup of 0, other source
       (3L, other, "en", "srcB", other.length.toLong),
       (4L, "another unrelated document mentioning window functions aggregates and shuffle partitions in distributed engines", "en", "srcB", 100L),
-      (5L, other, "en", "srcB", other.length.toLong)) // exact dup of 3, same source
+      (5L, other, "en", "srcB", other.length.toLong), // exact dup of 3, same source
+      (6L, "two tokens", "en", "srcB", 10L)) // <3 tokens: no shingles
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     writeFixture(d, "documents", docs)
     d
@@ -32,6 +33,13 @@ class DedupSpec extends SparkSpec {
       .map(x => x.getAs[String]("source") -> x.getAs[Long]("n_dup_docs")).toMap
     // srcA: two distinct texts; srcB: docs 3 and 5 share a text
     assert(r == Map("srcA" -> 0L, "srcB" -> 1L))
+  }
+
+  test("docs with fewer than 3 tokens still get a simhash row (oracle emits simhash=0)") {
+    val sig = DedupQueries.simhash(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig.keySet == (0L to 6L).toSet)
+    assert(sig(6L) == 0L)
   }
 
   test("n-gram Jaccard finds planted near-dups and exact dup") {
