@@ -266,8 +266,11 @@ object DedupQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashSig(spark, dir).orderBy(col("doc_id"))
 
+  // CAST: DuckDB list_sum(BIGINT) yields HUGEINT, which the driver's
+  // pandas compare converts to float64 (losing 60-bit precision);
+  // BIGINT keeps both engines int64 end-to-end
   val simhashSql: String =
-    s"""SELECT doc_id, ${simHashSql(shingleHashesSql(3))} AS simhash
+    s"""SELECT doc_id, CAST(${simHashSql(shingleHashesSql(3))} AS BIGINT) AS simhash
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
@@ -297,7 +300,7 @@ object DedupQueries {
       .map(j => s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${10 * j}) % 1024 AS chunk FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sig AS (
-       |  SELECT doc_id, ${simHashSql(shingleHashesSql(3))} AS simhash FROM documents),
+       |  SELECT doc_id, CAST(${simHashSql(shingleHashesSql(3))} AS BIGINT) AS simhash FROM documents),
        |chunks AS (
        |  $chunkRows)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

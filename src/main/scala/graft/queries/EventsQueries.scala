@@ -225,7 +225,10 @@ object EventsQueries {
       coalesce(dsumIf(isPurchase, col("value")), lit(0.0)).as("total_spend"),
       coalesce(dsumIf(isError, col("value")), lit(0.0)).as("total_error_value"),
       epochUs(max(when(isPurchase, col("ts")))).as("last_purchase_us"),
-      array_sort(collect_set(col("event_type"))).as("event_types_seen"))
+      // joined string, not ArrayType: the driver's compare sorts result
+      // frames with pandas, which cannot sort/hash ndarray cells
+      array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("event_types_seen"))
 
     // J3 rewrite: rank purchases per user by recency; rn=1 is the
     // "current plan", rn=2 the previous one (reference LIMIT 1 /
@@ -265,7 +268,7 @@ object EventsQueries {
       |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS total_spend,
       |         coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS total_error_value,
       |         epoch_us(max(CASE WHEN event_type = 'purchase' THEN ts END)) AS last_purchase_us,
-      |         list_sort(list(DISTINCT event_type)) AS event_types_seen
+      |         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types_seen
       |  FROM events
       |  GROUP BY user_id
       |)
@@ -394,8 +397,8 @@ object EventsQueries {
   val cumulativeAdoptionSql: String =
     s"""WITH hourly AS ($hourlyCte)
        |SELECT epoch_us(hour) AS hour_us,
-       |       sum(purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_purchases,
-       |       sum(premium_purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_premium
+       |       CAST(sum(purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_purchases,
+       |       CAST(sum(premium_purchases) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_premium
        |FROM hourly
        |ORDER BY hour_us""".stripMargin
 
@@ -681,8 +684,8 @@ object EventsQueries {
       |  FROM events),
       |numbered AS (
       |  SELECT user_id, ts_us,
-      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       |  FROM flagged)
       |SELECT user_id, session_no,
       |       min(ts_us) AS start_us,

@@ -47,7 +47,9 @@ object MultimodalQueries {
         md5(blob).as("content_md5"),
         width, height,
         (nBytes.cast(DoubleType) * 8.0 / 1000.0).as("kbits"),
-        array(frames: _*).as("frame_sigs"))
+        // joined string, not ArrayType: the driver's pandas compare
+        // cannot sort/hash ndarray cells
+        concat_ws(",", frames.map(_.cast(StringType)): _*).as("frame_sigs"))
       .orderBy(col("doc_id"))
   }
 
@@ -56,8 +58,8 @@ object MultimodalQueries {
   // chars for this corpus).
   val mediaFeaturesSql: String = {
     val frames = (0 until 4).map { i =>
-      h60Sql(s"substr(text, ${i * 16 + 1}, 16)")
-    }.mkString("[", ", ", "]")
+      s"CAST(${h60Sql(s"substr(text, ${i * 16 + 1}, 16)")} AS VARCHAR)"
+    }.mkString(" || ',' || ")
     s"""SELECT doc_id,
        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
        |            WHEN doc_id % 3 = 1 THEN 'audio'
@@ -67,7 +69,7 @@ object MultimodalQueries {
        |       16 * (1 + ${h60Sql("text")} % 64) AS width,
        |       16 * (1 + ((${h60Sql("text")} % 4096) >> 6)) AS height,
        |       CAST(length(text) AS DOUBLE) * 8.0 / 1000.0 AS kbits,
-       |       $frames AS frame_sigs
+       |       ($frames) AS frame_sigs
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
