@@ -10,10 +10,14 @@ object Bench {
       // no static broadcasts: planning-time broadcast of expensive
       // *derived* tables (dedup signature/posting self-joins) re-executes
       // their whole subtree in a single-threaded broadcast job — measured
-      // 10-100x outliers at sf0.1. AQE still converts joins to broadcast
-      // at runtime from materialized shuffle stats, which is the
-      // stats-driven behavior a real cluster wants.
+      // 10-100x outliers at sf0.1.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ...but DO let AQE convert at runtime: the adaptive threshold
+      // DEFAULTS to the static one (so -1 alone disables broadcast
+      // everywhere). Runtime conversion builds the broadcast from the
+      // already-materialized shuffle output — no subtree re-execution —
+      // which is exactly the stats-driven plan a real cluster wants.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,16 +32,25 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct h60 hashes of all n-token shingles; empty if fewer than
-    * n tokens. DuckDB twin: [[shingleHashesSql]]. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * n tokens. DuckDB twin: [[shingleHashesSql]].
+    *
+    * PERF: pass an already-projected token-array *attribute* (not
+    * `split(text)` inline). Catalyst substitutes the argument expression
+    * into every reference — including the per-element `slice` inside the
+    * transform lambda — so an inline split would re-tokenize the text
+    * once per shingle (~50x per doc, the round-1 dedup hotspot). */
+  def shingleHashesOfToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(
           sequence(lit(0), size(toks) - n),
           i => h60(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
       .otherwise(array().cast(ArrayType(LongType)))
-  }
+
+  /** Convenience form for single-use projections; see the PERF note on
+    * [[shingleHashesOfToks]] before using this in a lambda-heavy plan. */
+  def shingleHashes(text: Column, n: Int): Column =
+    shingleHashesOfToks(tokens(text), n)
 
   def shingleHashesSql(n: Int): String = {
     val h = h60Sql(s"array_to_string(string_split(text,' ')[i:i+${n - 1}],' ')")

@@ -38,11 +38,13 @@ object DedupQueries {
     * before the Generate spreads the md5 shingle hashing across cores —
     * a single parquet file otherwise pins it to one task (and at
     * cluster scale this is the shuffle that co-locates a doc's
-    * shingles). */
+    * shingles). Tokenization happens BEFORE the shuffle so the explode
+    * generator references a token-array attribute — inlining the split
+    * would re-tokenize once per shingle (see shingleHashesOfToks). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("text"))
+    docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+      .select(col("doc_id"), explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
 
   private val shinglesCte: String =
     s"""SELECT doc_id, unnest(${shingleHashesSql(3)}) AS s FROM documents"""
@@ -109,8 +111,12 @@ object DedupQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // the posting-list table feeds the self-join (2x) and both size
     // lookups — persist instead of recomputing the md5 explode 4x
-    // (cluster-scale analog: materialize the shingle index once)
+    // (cluster-scale analog: materialize the shingle index once).
+    // count() forces the cache build NOW: AQE otherwise launches the
+    // four consuming subtrees as parallel stages that race to build the
+    // same cache, each re-running the md5 explode.
     val sh = shingles(spark, dir).persist()
+    sh.count()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val coldShingles = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
@@ -185,9 +191,12 @@ object DedupQueries {
     * collisions. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // shingle index feeds signature build + exact verify (4 subtree
-    // uses); signature feeds both sides of the band self-join
+    // uses); signature feeds both sides of the band self-join.
+    // count() serializes the cache builds (see ngramJaccard).
     val sh = shingles(spark, dir).persist()
+    sh.count()
     val sig = minhashSigFrom(sh).persist()
+    sig.count()
     val bands = sig.select(col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),
@@ -278,7 +287,11 @@ object DedupQueries {
     * chunks (guarantees recall for Hamming <= 5), verified with
     * bit_count(xor) <= 9. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(spark, dir)
+    // both sides of the chunk self-join consume the signature; persist
+    // + eager count so the shingle explode + 60-column vote aggregation
+    // runs once, not once per join side (see ngramJaccard)
+    val sig = simhashSig(spark, dir).persist()
+    sig.count()
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 6).map { j =>
         struct(lit(j).as("chunk_id"),

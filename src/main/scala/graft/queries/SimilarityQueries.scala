@@ -146,7 +146,151 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ann_ivf_topk: inverted-file (IVF) bucketed ANN
+  // ---------------------------------------------------------------------
+
+  /** Every 40th vector serves as a deterministic centroid (k-means
+    * omitted: no iterative training in the oracle's reach, and the IVF
+    * *plan shape* — assign, probe, in-cell scan — is what scales). */
+  private val isCentroid: Column = col("vec_id") % 40 === 7
+  private val NProbe = 2
+
+  /** IVF ANN: assign each vector to its nearest centroid (one broadcast
+    * of the tiny centroid set against the corpus — at 100 TB this is
+    * the one full-corpus pass, and the assignment would be persisted as
+    * the index). Queries probe their NProbe nearest cells and score
+    * only those cells' members: the shuffle key is the cell id and the
+    * pairwise work drops by ~|cells|/NProbe vs brute force. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embs(spark, dir))
+    val cents = e.filter(isCentroid)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    // centroid scores for every vector; feeds both the rn=1 assignment
+    // and the rn<=NProbe query probes (persist: two consumers)
+    val scoredAll = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nrm"), col("cent_id"),
+        (expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+          .as("ccos"))
+      .withColumn("crn", row_number().over(aw))
+      .persist()
+    scoredAll.count()
+    val assign = scoredAll.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val probes = scoredAll.filter((col("vec_id") % 50 === 0) && col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    val cv = assign.join(e, Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("n_id"),
+        col("embedding").as("nvec"), col("nrm").as("nnrm"))
+    val qv = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    probes.join(cv, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_dot(qvec, nvec)") / (col("qnrm") * col("nnrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+       |  FROM e WHERE vec_id % 40 = 7),
+       |cscored AS (
+       |  SELECT vec_id, ccos, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |           ${dotSql("e.embedding", "cvec")} / (e.nrm * cnrm) AS ccos
+       |    FROM e, cents)),
+       |assign AS (SELECT vec_id, cent_id AS cell FROM cscored WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell
+       |  FROM cscored WHERE vec_id % 50 = 0 AND crn <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.q_id != a.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id,
+       |         ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cosine
+       |  FROM cand c JOIN e q ON c.q_id = q.vec_id JOIN e n ON c.n_id = n.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cosine, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // emb_label_centroids: element-wise vector aggregation (centroids)
+  // ---------------------------------------------------------------------
+
+  /** Per-label centroid of the embedding column — the element-wise mean
+    * every training pipeline needs (class prototypes, IVF training,
+    * drift monitoring). Relational form: posexplode to (label, pos, v),
+    * one shuffle on (label, pos), partial-agg map-side. Component sums
+    * fold in vec_id order on both engines so doubles are bit-identical.
+    * Emits sampled components + the centroid norm (folded in pos order)
+    * rather than 64 columns. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("vec_id"), col("col").cast(DoubleType).as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("s") / col("n").cast(DoubleType)).as("m"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        max(when(col("pos") === 0, col("m"))).as("c0"),
+        max(when(col("pos") === 31, col("m"))).as("c31"),
+        max(when(col("pos") === 63, col("m"))).as("c63"),
+        sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
+      .select(col("label"), col("n_vecs"), col("c0"), col("c31"), col("c63"),
+        sqrt(aggregate(col("cm"), lit(0.0),
+          (acc, x) => acc + x.getField("m") * x.getField("m")))
+          .as("centroid_norm"))
+      .orderBy(col("label"))
+
+  val labelCentroidsSql: String =
+    s"""WITH x AS (
+       |  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |m AS (
+       |  SELECT label, pos,
+       |         list_sum(list(v ORDER BY vec_id)) / CAST(count(*) AS DOUBLE) AS m,
+       |         count(*) AS n
+       |  FROM x GROUP BY 1, 2)
+       |SELECT label, max(n) AS n_vecs,
+       |       max(CASE WHEN pos = 0 THEN m END) AS c0,
+       |       max(CASE WHEN pos = 31 THEN m END) AS c31,
+       |       max(CASE WHEN pos = 63 THEN m END) AS c63,
+       |       sqrt(list_sum(list_transform(list(m ORDER BY pos), y -> y * y))) AS centroid_norm
+       |FROM m
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
-    ("ann_lsh_topk", lshTopK _, lshTopKSql))
+    ("ann_lsh_topk", lshTopK _, lshTopKSql),
+    ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
+    ("emb_label_centroids", labelCentroids _, labelCentroidsSql))
 }

@@ -42,14 +42,20 @@ object TextQueries {
   // ---------------------------------------------------------------------
 
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // `toks` must be an attribute, not an inline split(text): the six
+    // downstream references would each re-tokenize the text after
+    // CollapseProject inlines them. The repartition is the projection
+    // barrier (and spreads the single-file scan across cores).
+    val toks = col("toks")
     val nTok = size(toks).cast(LongType)
     val nUniq = size(array_distinct(toks)).cast(LongType)
     val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
     val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
     val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
     docs(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n_chars_m"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        length(col("text")).cast(LongType).as("n_chars_m"))
+      .repartition(col("doc_id"))
       .select(
         col("doc_id"),
         col("n_chars_m"),
@@ -90,11 +96,16 @@ object TextQueries {
   // ---------------------------------------------------------------------
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // token attribute + barrier: five marker scores would otherwise
+    // each re-split the text (see stats)
+    val toks = col("toks")
     def score(markers: Seq[String]): Column =
       size(filter(toks, t => t.isInCollection(markers)))
-    val scored = docs(spark, dir).select(
-      col("lang") +: LangMarkers.map { case (l, m) => score(m).as(s"s_$l") }: _*)
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(
+        col("lang") +: LangMarkers.map { case (l, m) => score(m).as(s"s_$l") }: _*)
     // argmax with ties broken by language-code order (de<en<es<fr<zh)
     val langs = LangMarkers.map(_._1)
     val predicted = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
@@ -162,11 +173,16 @@ object TextQueries {
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      .select(col("doc_id"), h60(col("text")).as("fp60"),
+        tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("fp60"),
+        shingleHashesOfToks(col("toks"), 3).as("shl"))
       .select(
         col("doc_id"),
-        h60(col("text")).as("fp60"),
-        array_min(shingleHashes(col("text"), 3)).as("min_shingle"),
-        size(shingleHashes(col("text"), 3)).cast(LongType).as("n_shingles"))
+        col("fp60"),
+        array_min(col("shl")).as("min_shingle"),
+        size(col("shl")).cast(LongType).as("n_shingles"))
       .orderBy(col("doc_id"))
 
   val fingerprintSql: String =
@@ -177,9 +193,88 @@ object TextQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_bpe_tokens: BPE-ish subword tokenization via greedy regex chunks
+  // ---------------------------------------------------------------------
+
+  /** Subword chunking: greedy up-to-4-char alnum runs ("customer" ->
+    * cust, omer) — the regex stand-in for a BPE tokenizer's merge walk.
+    * Greedy {1,4} quantifiers behave identically in Java regex (Spark)
+    * and RE2 (DuckDB): longest match at each position, resume after. */
+  private val SubTokenPattern = "[a-z0-9]{1,4}"
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val subs = col("subs")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(SubTokenPattern), lit(0)).as("subs"),
+        size(tokens(col("text"))).cast(LongType).as("n_words"))
+      .repartition(col("doc_id")) // barrier: 3 refs to `subs` below
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        size(subs).cast(LongType).as("n_subtokens"),
+        size(array_distinct(subs)).cast(LongType).as("n_uniq_subtokens"),
+        (size(subs).cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("subtokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(text, '$SubTokenPattern') AS subs,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_words
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |       CAST(len(subs) AS BIGINT) AS n_subtokens,
+       |       CAST(len(list_distinct(subs)) AS BIGINT) AS n_uniq_subtokens,
+       |       CAST(len(subs) AS DOUBLE) / CAST(n_words AS DOUBLE) AS subtokens_per_word
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // txt_quantiles: exact interpolated percentiles of doc length
+  // ---------------------------------------------------------------------
+
+  /** Per-source token-count quantiles. Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the interpolation lo+(hi-lo)*g at
+    * position (n-1)*q, so doubles are bit-identical. (At 100 TB the
+    * exact form becomes approx_percentile — same plan shape, sketch
+    * buffer instead of the value map.) */
+  def lenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75"),
+        percentile(col("n_tokens"), lit(0.99)).as("p99"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+
+  val lenQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS p25,
+      |       quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS p50,
+      |       quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS p75,
+      |       quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) AS p99,
+      |       max(n_tokens) AS max_tokens
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_langid", langId _, langIdSql),
     ("txt_token_hist", tokenHist _, tokenHistSql),
-    ("txt_fingerprint", fingerprint _, fingerprintSql))
+    ("txt_fingerprint", fingerprint _, fingerprintSql),
+    ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
+    ("txt_quantiles", lenQuantiles _, lenQuantilesSql))
 }
