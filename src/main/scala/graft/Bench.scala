@@ -27,20 +27,31 @@ object Bench {
       try graft.util.Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JMH-style steady-state measurement: run the full suite N times and
+    // report the per-query minimum. Iteration 1 absorbs Janino codegen
+    // compilation and JIT warmup; the min is also robust to transient
+    // host contention (observed 8x uniform inflation on identical code
+    // between two runs of the same suite). Mode is declared in the JSON.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to iters; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally {
         // queries may persist() intermediates; drop them so later
-        // queries don't silently time against a warm cache
+        // queries (and later iterations) never time against a warm cache
         spark.sharedState.cacheManager.clearCache()
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$iters","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

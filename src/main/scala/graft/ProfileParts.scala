@@ -27,41 +27,47 @@ object ProfileParts {
       r
     }
 
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
-      .persist()
-    time("sh materialize")(sh.count())
+    for (round <- 1 to 2) {
+      println(s"=== round $round ===")
+      val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
+        .persist()
+      time("sh materialize")(sh.count())
 
-    val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000).select(col("s"))
-    val postings = sh.join(cold, "s")
-    val common = postings.as("a").join(postings.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    time("self join common 1")(common.count())
-    time("self join common 2")(common.count())
-    time("self join common 3")(common.count())
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(
+          min(minHash(0, col("s"))).as("m0"),
+          (1 until 16).map(i => min(minHash(i, col("s"))).as(s"m$i")): _*)
+        .persist()
+      time("sig materialize")(sig.count())
 
-    // variant: pair expansion inside posting lists (no self-join):
-    // group shingle -> sorted doc list, emit combinations, count pairs
-    val lists = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= 1000 && size(col("ds")) >= 2)
-    val pairs = lists.select(explode(flatten(transform(
-      sequence(lit(0), size(col("ds")) - 2),
-      i => transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-        d => struct(element_at(col("ds"), i + lit(1)).as("doc_a"), d.as("doc_b")))
-    ))).as("p"))
-      .groupBy(col("p.doc_a"), col("p.doc_b"))
-      .agg(count(lit(1)).as("common"))
-    time("pair expansion 1")(pairs.count())
-    time("pair expansion 2")(pairs.count())
-    time("pair expansion 3")(pairs.count())
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band_id"),
+            concat_ws(":", (0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persist()
+      time("cand materialize")(cand.count())
 
-    spark.sharedState.cacheManager.clearCache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      time("verify jaccard")(common.count())
+      spark.sharedState.cacheManager.clearCache()
+    }
     spark.stop()
   }
 }
