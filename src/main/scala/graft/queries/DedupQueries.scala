@@ -189,7 +189,9 @@ object DedupQueries {
     * At scale this replaces the full shingle self-join: the shuffle is
     * on (band_id, band_key) and posting lists are tiny for j^4-rare
     * collisions. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified (doc_a, doc_b, jaccard) near-dup pairs, unsorted — shared
+    * by [[minhashPairs]] and the cluster query. */
+  private def minhashPairsBody(spark: SparkSession, dir: String): DataFrame = {
     // shingle index feeds signature build + exact verify (4 subtree
     // uses); signature feeds both sides of the band self-join.
     // count() serializes the cache builds (see ngramJaccard).
@@ -210,15 +212,19 @@ object DedupQueries {
       .distinct()
     verifyJaccard(cand, sh)
       .filter(col("jaccard") >= 0.3)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashPairsSql: String = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsBody(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL twin
+    * of [[minhashPairsBody]], shared by the pairs and cluster oracles. */
+  private val minhashPairsCtes: String = {
     val bandRows = (0 until 4).map { j =>
       val key = (0 until 4).map(r => s"CAST(m${4 * j + r} AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $j AS band_id, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS ($shinglesCte),
+    s"""sh AS ($shinglesCte),
        |sig AS ($minhashSigBody),
        |bands AS (
        |  $bandRows),
@@ -231,15 +237,89 @@ object DedupQueries {
        |  SELECT doc_a, doc_b, count(*) AS common
        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
        |            JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |       CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) AS jaccard
-       |FROM common
-       |JOIN sizes za ON doc_a = za.doc_id
-       |JOIN sizes zb ON doc_b = zb.doc_id
-       |WHERE CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) >= 0.3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes za ON doc_a = za.doc_id
+       |  JOIN sizes zb ON doc_b = zb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) >= 0.3)""".stripMargin
   }
+
+  val minhashPairsSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_clusters: connected components over the near-dup pair graph
+  // ---------------------------------------------------------------------
+
+  /** Duplicate clusters: connected components of the verified MinHash
+    * near-dup pairs, labeled by the minimum doc_id in the component
+    * (the canonical survivor a corpus-dedup pass would keep).
+    *
+    * Spark side: iterative min-label propagation — per round, each
+    * node takes the min of its own and its neighbors' labels (two
+    * shuffles per round: join labels to edges on src, re-aggregate by
+    * node), converging in O(component diameter) rounds. This is the
+    * standard Pregel-style CC on DataFrames; the driver loop only
+    * checks a one-row convergence count per round, all data stays
+    * distributed. Oracle: DuckDB recursive CTE computing per-node
+    * reachability and taking min over reachable origins (exponential
+    * in component size in general, fine at oracle SF where components
+    * are tiny).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsBody(spark, dir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    pairs.count()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val contrib = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.union(contrib)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      next.count()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |r(doc_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(lbl) AS cluster_id FROM r GROUP BY doc_id),
+       |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size,
+       |       l.doc_id = l.cluster_id AS is_canonical
+       |FROM labels l JOIN csize c USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_simhash: 60-bit SimHash per doc + banded Hamming pairs
@@ -366,5 +446,6 @@ object DedupQueries {
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
     ("dedup_simhash", simhash _, simhashSql),
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
-    ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql))
+    ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
+    ("dedup_clusters", clusters _, clustersSql))
 }

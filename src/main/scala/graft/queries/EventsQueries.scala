@@ -724,6 +724,75 @@ object EventsQueries {
       .orderBy(col("hour_us"))
 
   // ---------------------------------------------------------------------
+  // As-of join: enrich purchases with the error state in effect
+  // ---------------------------------------------------------------------
+
+  /** For every purchase, the `value` of the most recent PRIOR error by
+    * the same user (null if none yet) — the classic as-of enrichment
+    * shape ("sensor reading in effect at transaction time"). Runs on
+    * [[graft.operators.AsofJoin]]: one shuffle on user_id, a single
+    * ordered sweep per user, no range-join explosion. Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(isPurchase)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev.filter(isError)
+      .select(col("user_id"), col("ts"), col("value").as("last_error_value"))
+    graft.operators.AsofJoin.backward(purchases, errors, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+        col("value"), col("last_error_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofLastErrorSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT user_id, ts, value AS last_error_value FROM events WHERE event_type = 'error')
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value, e.last_error_value
+      |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ROLLUP: day x event_type hierarchy with subtotals + grand total
+  // ---------------------------------------------------------------------
+
+  /** Multi-level aggregate via ROLLUP(day, event_type) — per-(day,type)
+    * cells, per-day subtotals, grand total in ONE pass (Spark expands
+    * the grouping sets before the single shuffle; no re-scan per
+    * level). `gid` encodes the level exactly like grouping_id(): 0 =
+    * cell, 1 = day subtotal, 3 = grand total; computed from the
+    * null pattern (source cols are never null) so both engines use the
+    * identical expression. */
+  def typeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val gid = when(col("d").isNull && col("event_type").isNull, 3L)
+      .when(col("event_type").isNull, 1L).otherwise(0L)
+    events(spark, dir)
+      .select(to_date(col("ts")).cast(StringType).as("d"),
+        col("event_type"), col("value"))
+      .rollup(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(gid.as("gid"), coalesce(col("d"), lit("ALL")).as("d"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("gid"), col("d"), col("event_type"))
+  }
+
+  val typeRollupSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type, value FROM events)
+      |SELECT CASE WHEN d IS NULL AND event_type IS NULL THEN 3
+      |            WHEN event_type IS NULL THEN 1 ELSE 0 END AS gid,
+      |       COALESCE(d, 'ALL') AS d,
+      |       COALESCE(event_type, 'ALL') AS event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM ev
+      |GROUP BY ROLLUP(d, event_type)
+      |ORDER BY gid, d, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -745,6 +814,8 @@ object EventsQueries {
     ("ev_validation_summary", validationSummary _, validationSummarySql),
     ("ev_total_error_value", totalErrorValue _, totalErrorValueSql),
     ("ev_sessionization", sessionization _, sessionizationSql),
+    ("ev_asof_join", asofLastError _, asofLastErrorSql),
+    ("ev_type_rollup", typeRollup _, typeRollupSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))

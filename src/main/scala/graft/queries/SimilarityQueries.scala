@@ -288,9 +288,48 @@ object SimilarityQueries {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // emb_quantize: symmetric int8 quantization of the embedding column
+  // ---------------------------------------------------------------------
+
+  /** Per-vector symmetric int8 quantization (scale = 127 / max|x|,
+    * q_i = round(x_i * scale)) — the storage/ANN compression step of a
+    * production vector pipeline (4x smaller than float32, SIMD int8
+    * dot products downstream). Pure per-row map work: zero shuffles,
+    * whole-stage codegen'd array HOFs, embarrassingly parallel at
+    * 100 TB. All arithmetic in double with identical association on
+    * both engines; round() ties go away from zero in both. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("dv"))
+      .select(col("vec_id"), col("dv"),
+        array_max(transform(col("dv"), x => abs(x))).as("max_abs"))
+      .select(col("vec_id"), col("dv"), col("max_abs"),
+        when(col("max_abs") > 0.0, lit(127.0) / col("max_abs")).as("scale"))
+      .select(col("vec_id"), col("max_abs"), col("scale"),
+        transform(col("dv"),
+          x => round(x * col("scale")).cast(IntegerType)).as("qvec"))
+      .orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    """WITH d AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS max_abs FROM d),
+      |s AS (
+      |  SELECT vec_id, dv, max_abs,
+      |         CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs END AS scale FROM m)
+      |SELECT vec_id, max_abs, scale,
+      |       list_transform(dv, x -> CAST(round(x * scale) AS INTEGER)) AS qvec
+      |FROM s
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
-    ("emb_label_centroids", labelCentroids _, labelCentroidsSql))
+    ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
+    ("emb_quantize", quantizeInt8 _, quantizeInt8Sql))
 }

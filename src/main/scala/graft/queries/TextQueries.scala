@@ -270,11 +270,52 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_stopword_filter: token-level corpus cleaning
+  // ---------------------------------------------------------------------
+
+  /** Stopword removal + short-token drop — the token-filter pass of a
+    * training-data cleaning pipeline. Pure per-row array HOF work
+    * (zero shuffles, codegen'd): tokenize once, filter against a
+    * broadcast-literal stopword set, re-hash the cleaned text so the
+    * downstream exact-dedup stage can run on cleaned content. */
+  private val FilterStops = Seq("join", "hash", "row", "scan", "filter")
+
+  def stopwordFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"),
+          t => !t.isin(FilterStops: _*) && length(t) >= 3).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        h60(concat_ws(" ", col("kept"))).as("kept_hash"))
+      .orderBy(col("doc_id"))
+
+  val stopwordFilterSql: String = {
+    val stops = FilterStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |k AS (
+       |  SELECT doc_id, toks,
+       |         list_filter(toks,
+       |           x -> NOT list_contains([$stops], x) AND length(x) >= 3) AS kept
+       |  FROM t)
+       |SELECT doc_id,
+       |       len(toks) AS n_tokens,
+       |       len(kept) AS n_kept,
+       |       ${h60Sql("array_to_string(kept, ' ')")} AS kept_hash
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_langid", langId _, langIdSql),
     ("txt_token_hist", tokenHist _, tokenHistSql),
     ("txt_fingerprint", fingerprint _, fingerprintSql),
     ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
-    ("txt_quantiles", lenQuantiles _, lenQuantilesSql))
+    ("txt_quantiles", lenQuantiles _, lenQuantilesSql),
+    ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql))
 }

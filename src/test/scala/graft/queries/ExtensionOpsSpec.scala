@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariant checks for the round-3 extension operators (rollup,
+  * dedup clusters, int8 quantization, stopword filter) — the oracle
+  * hash-compare is the exactness gate; these pin the semantics. */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ev_type_rollup levels are internally consistent") {
+    val rows = EventsQueries.typeRollup(spark, dir).collect()
+    val cells = rows.filter(_.getAs[Long]("gid") == 0L)
+    val days = rows.filter(_.getAs[Long]("gid") == 1L)
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1)
+    // grand total row count == sum of day subtotals == sum of cells
+    assert(total.head.getAs[Long]("n_events") ==
+      days.map(_.getAs[Long]("n_events")).sum)
+    assert(total.head.getAs[Long]("n_events") ==
+      cells.map(_.getAs[Long]("n_events")).sum)
+    // every day subtotal equals the sum of its cells
+    val cellsByDay = cells.groupBy(_.getAs[String]("d"))
+    days.foreach { d =>
+      assert(d.getAs[Long]("n_events") ==
+        cellsByDay(d.getAs[String]("d")).map(_.getAs[Long]("n_events")).sum)
+    }
+  }
+
+  test("dedup_clusters is a valid components labeling of the pair graph") {
+    val pairs = DedupQueries.minhashPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val out = DedupQueries.clusters(spark, dir).collect()
+    val label = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every near-dup pair ends up in one cluster
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+    // the label is the component minimum and sizes/canonical agree
+    val members = label.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    members.foreach { case (lbl, docs) => assert(lbl == docs.min) }
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") ==
+        members(r.getAs[Long]("cluster_id")).size)
+      assert(r.getAs[Boolean]("is_canonical") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+    }
+    // labels cover exactly the docs that appear in some pair
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("emb_quantize is a faithful symmetric int8 code") {
+    val out = SimilarityQueries.quantizeInt8(spark, dir)
+      .select($"vec_id", $"max_abs", $"scale", $"qvec").collect()
+    val embs = graft.util.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      val v = embs(r.getAs[Long]("vec_id")).map(_.toDouble)
+      val scale = r.getAs[Double]("scale")
+      assert(q.forall(x => math.abs(x) <= 127))
+      // the max-|x| component quantizes to exactly +/-127
+      assert(q.map(math.abs).max == 127)
+      // dequantization error bounded by half a quantization step
+      q.zip(v).foreach { case (qi, vi) =>
+        assert(math.abs(qi / scale - vi) <= 0.5 / scale + 1e-12)
+      }
+    }
+  }
+
+  test("txt_stopword_filter agrees with an independent SQL recomputation") {
+    val got = TextQueries.stopwordFilter(spark, dir)
+      .select("doc_id", "n_tokens", "n_kept")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.util.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("docs_sw")
+    val expected = spark.sql(
+      """SELECT doc_id,
+        |  size(split(text, ' ')) AS n_tokens,
+        |  size(filter(split(text, ' '),
+        |    x -> NOT array_contains(array('join','hash','row','scan','filter'), x)
+        |         AND length(x) >= 3)) AS n_kept
+        |FROM docs_sw""".stripMargin)
+      .as[(Long, Int, Int)].collect()
+      .map(t => (t._1, t._2.toLong, t._3.toLong)).toSet
+    assert(got == expected)
+    assert(got.forall { case (_, n, k) => k <= n })
+  }
+}
