@@ -74,6 +74,46 @@ object MultimodalQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // mm_frame_sample: strided frame sampling -> one row per kept frame
+  // ---------------------------------------------------------------------
+
+  /** Video-style frame sampling: every other 16-byte window of the
+    * payload (stride 32) becomes a sampled "frame" row with its offset
+    * and content hash — the explode shape a video training pipeline
+    * uses to turn N assets into N*k frame records. Per-row generate +
+    * project, zero shuffles before the sort; at scale the explode
+    * multiplies rows AFTER the scan prunes to (doc_id, payload), and
+    * downstream stages shuffle only the fixed-width frame rows, never
+    * the payload. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast(BinaryType)
+    val nBytes = length(blob).cast(LongType)
+    docs(spark, dir)
+      .select(col("doc_id"), blob.as("payload"), nBytes.as("n_bytes"),
+        (floor((nBytes - 16L) / 32L).cast(LongType) + 1L).as("n_frames"))
+      .filter(col("n_bytes") >= 16L)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(1L))).as("frame_no"))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_no"),
+        (col("frame_no") * 32L).as("offset_bytes"),
+        h60(col("payload").substr((col("frame_no") * 32L + 1L).cast(IntegerType), lit(16)))
+          .as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id,
+       |       (length(text) - 16) // 32 + 1 AS n_frames,
+       |       CAST(i AS BIGINT) AS frame_no,
+       |       CAST(i * 32 AS BIGINT) AS offset_bytes,
+       |       ${h60Sql("substr(text, CAST(i * 32 + 1 AS INTEGER), 16)")} AS frame_hash
+       |FROM documents, generate_series(0, 255) t(i)
+       |WHERE length(text) >= 16 AND i <= (length(text) - 16) // 32
+       |ORDER BY doc_id, frame_no""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
-    ("mm_media_features", mediaFeatures _, mediaFeaturesSql))
+    ("mm_media_features", mediaFeatures _, mediaFeaturesSql),
+    ("mm_frame_sample", frameSample _, frameSampleSql))
 }

@@ -195,10 +195,53 @@ object TpchQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Top supplier by quarterly revenue (TPC-H Q15 shape): aggregate ->
+  // unpartitioned window max over the small aggregate -> broadcast dim.
+  // ---------------------------------------------------------------------
+
+  /** Suppliers achieving the maximum quarterly revenue. The argmax runs
+    * as a window max over the ALREADY-AGGREGATED per-supplier rows
+    * (|suppliers| rows, not |lineitem|), so the single-partition window
+    * is safe at any fact scale — same pre-aggregate-then-window pattern
+    * as the reference's dashboard views (SURVEY.md §2.6 note). */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).cast(DoubleType).as("total_revenue"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val best = rev
+      .withColumn("max_rev", max(col("total_revenue")).over(win))
+      .filter(col("total_revenue") === col("max_rev"))
+    t(spark, dir, "supplier")
+      .join(broadcast(best), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
     ("tpch_region_revenue", regionRevenue _, regionRevenueSql),
     ("tpch_order_priority", orderPriority _, orderPrioritySql),
-    ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql))
+    ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql),
+    ("tpch_top_supplier", topSupplier _, topSupplierSql))
 }
