@@ -260,41 +260,55 @@ object DedupQueries {
     * near-dup pairs, labeled by the minimum doc_id in the component
     * (the canonical survivor a corpus-dedup pass would keep).
     *
-    * Spark side: iterative min-label propagation — per round, each
-    * node takes the min of its own and its neighbors' labels (two
-    * shuffles per round: join labels to edges on src, re-aggregate by
-    * node), converging in O(component diameter) rounds. This is the
-    * standard Pregel-style CC on DataFrames; the driver loop only
-    * checks a one-row convergence count per round, all data stays
-    * distributed. Oracle: DuckDB recursive CTE computing per-node
-    * reachability and taking min over reachable origins (exponential
-    * in component size in general, fine at oracle SF where components
-    * are tiny).
+    * Spark side: min-label propagation accelerated with pointer
+    * jumping — per round, each node takes the min of its own and its
+    * neighbors' labels, then labels are short-circuited through one
+    * label-of-label self-join (lbl := lbl(lbl)), which halves chain
+    * depth every round, so convergence is O(log diameter) rounds
+    * instead of O(diameter). Labels only ever decrease, so the
+    * convergence check is a single cheap sum(lbl) comparison (the sum
+    * is stationary iff no label moved), not a join. All data stays
+    * distributed; the driver sees one scalar per round. Oracle: DuckDB
+    * recursive CTE computing per-node reachability and taking min over
+    * reachable origins (exponential in component size in general, fine
+    * at oracle SF where components are tiny).
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint, not persist: each round's output feeds the
+    // next round's LOGICAL plan, so with plain caching the analyzed
+    // tree doubles every round (the full minhash pipeline re-enters the
+    // plan each iteration) and Catalyst re-optimization on the driver
+    // dominates runtime within two rounds. Checkpointing truncates the
+    // lineage to a scan, keeping every round's plan constant-size —
+    // the standard pattern for iterative DataFrame algorithms (on a
+    // multi-node cluster this would be a reliable checkpoint instead).
     val pairs = minhashPairsBody(spark, dir)
-      .select(col("doc_a"), col("doc_b")).persist()
-    pairs.count()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).persist()
-    labels.count()
-    var changed = 1L
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 32) {
+    while (!converged && rounds < 16) {
       val contrib = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
-      val next = labels.union(contrib)
+      // checkpoint before the jump self-join: it reads `prop` twice
+      val prop = labels.union(contrib)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .persist()
-      next.count()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      val next = prop.as("a")
+        .join(prop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")).as("b"),
+          Seq("lbl"), "left")
+        .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("lbl"))).first().getLong(0)
       labels = next
+      converged = s == prevSum
+      prevSum = s
       rounds += 1
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))

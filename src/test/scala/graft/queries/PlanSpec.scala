@@ -41,6 +41,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("as-of join: no join operator, exactly one hash shuffle (the key)") {
+    val p = plan("ev_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p) // union+window sweep, not a range join
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, plan:\n$p")
+  }
+
+  test("frame sample: scan pruned to (doc_id, text); no shuffle before sort") {
+    val p = plan("mm_frame_sample")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("lang"), p)
+    assert(!p.contains("source"), p)
+    assert(!"hashpartitioning\\(".r.findAllIn(p).hasNext, p)
+  }
+
+  test("int8 quantize: pure map plan — no aggregates, no hash shuffles") {
+    val p = plan("emb_quantize")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("label"), p) // unused column pruned from the scan
+  }
+
+  test("top supplier: shipdate range pushed to scan; argmax over aggregate") {
+    val p = plan("tpch_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
