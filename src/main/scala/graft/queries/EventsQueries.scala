@@ -793,6 +793,128 @@ object EventsQueries {
       |ORDER BY gid, d, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Range join: error events within +/-5 min of each purchase
+  // ---------------------------------------------------------------------
+
+  /** Band range join on [[graft.operators.RangeJoin]]: (purchase, error)
+    * pairs for the same user within a 5-minute band — proximity
+    * enrichment ("errors around the transaction"). Bucketed equi-join,
+    * not a theta join: 3x replication of the smaller side bounds the
+    * shuffle; the exact |dt| predicate filters candidates. */
+  def rangeJoinErrors(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 5L * 60 * 1000000
+    val ev = events(spark, dir)
+    val purchases = ev.filter(isPurchase)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        epochUs(col("ts")).as("t_us"))
+    val errors = ev.filter(isError)
+      .select(col("event_id").as("e_id"), col("user_id"),
+        epochUs(col("ts")).as("t_us"), col("value").as("e_value"))
+    graft.operators.RangeJoin
+      .withinTolerance(purchases, errors, "user_id", "t_us", tolUs)
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        (col("t_us") - col("t_us_left")).as("dt_us"), col("e_value"))
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
+  val rangeJoinErrorsSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_us, value AS e_value
+      |  FROM events WHERE event_type = 'error')
+      |SELECT p.p_id, e.e_id, p.user_id, e.e_us - p.p_us AS dt_us, e.e_value
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |              AND abs(e.e_us - p.p_us) <= 300000000
+      |ORDER BY p_id, e_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Ranking suite: ntile / rank / dense_rank / first event per user
+  // ---------------------------------------------------------------------
+
+  /** Per-user ranking dashboard: spend quartile (ntile over a unique
+    * sort), event-count rank and dense rank, and the user's first
+    * event type (row_number=1 in event-time order). The global windows
+    * run over the 150-row per-user aggregate, not the raw events —
+    * the pre-aggregate-then-window pattern that keeps single-partition
+    * windows safe at any scale. */
+  def userRanks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val firsts = ev
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_event_type"))
+    val agg = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      countIf(isPurchase).as("n_purchases"),
+      coalesce(sum(when(isPurchase, col("value").cast(Money))), lit(0).cast(Money))
+        .cast(DoubleType).as("spend"))
+    agg.join(firsts, "user_id")
+      .withColumn("spend_quartile",
+        ntile(4).over(Window.orderBy(col("spend"), col("user_id"))).cast(LongType))
+      .withColumn("events_rank",
+        rank().over(Window.orderBy(col("n_events").desc)).cast(LongType))
+      .withColumn("events_dense_rank",
+        dense_rank().over(Window.orderBy(col("n_events").desc)).cast(LongType))
+      .orderBy(col("user_id"))
+  }
+
+  val userRanksSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, event_type AS first_event_type
+      |  FROM (SELECT user_id, event_type,
+      |               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |        FROM events)
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT user_id,
+      |         count(*) AS n_events,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+      |         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS spend
+      |  FROM events GROUP BY user_id)
+      |SELECT a.user_id, a.n_events, a.n_purchases, a.spend, f.first_event_type,
+      |       CAST(ntile(4) OVER (ORDER BY a.spend, a.user_id) AS BIGINT) AS spend_quartile,
+      |       CAST(rank() OVER (ORDER BY a.n_events DESC) AS BIGINT) AS events_rank,
+      |       CAST(dense_rank() OVER (ORDER BY a.n_events DESC) AS BIGINT) AS events_dense_rank
+      |FROM agg a JOIN firsts f ON a.user_id = f.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Pivot: daily counts by event type as columns
+  // ---------------------------------------------------------------------
+
+  /** Day x event-type pivot with an explicit value list (deterministic
+    * schema — never infer pivot values from data at scale: that is an
+    * extra distinct scan and a nondeterministic column order). One
+    * shuffle on the day; conditional counts map-side. */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(to_date(col("ts")).cast(StringType).as("d"), col("event_type"))
+      .groupBy(col("d"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("d"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy(col("d"))
+
+  val dailyTypePivotSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -816,6 +938,9 @@ object EventsQueries {
     ("ev_sessionization", sessionization _, sessionizationSql),
     ("ev_asof_join", asofLastError _, asofLastErrorSql),
     ("ev_type_rollup", typeRollup _, typeRollupSql),
+    ("ev_range_join", rangeJoinErrors _, rangeJoinErrorsSql),
+    ("ev_user_ranks", userRanks _, userRanksSql),
+    ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))

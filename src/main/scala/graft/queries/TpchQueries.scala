@@ -237,11 +237,52 @@ object TpchQueries {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Promotion revenue share (TPC-H Q14 shape): LIKE pushdown + broadcast
+  // dim + conditional aggregate ratio.
+  // ---------------------------------------------------------------------
+
+  /** Share of revenue from PROMO parts in one month. The p_type LIKE
+    * 'PROMO%' predicate pushes to the part scan as StringStartsWith;
+    * part broadcasts; the fact scan prunes to 4 columns with the
+    * shipdate range pushed. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-02-01").cast(TimestampType))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val promo = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type").like("PROMO%").as("is_promo"))
+    li.join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Money)))
+          .cast(DoubleType).as("promo_revenue"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Money))
+          .cast(DoubleType).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"))
+  }
+
+  val promoRevenueSql: String =
+    """WITH j AS (
+      |  SELECT CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo,
+      |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+      |SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev END) AS DOUBLE) AS promo_revenue,
+      |       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+      |       100.0 * CAST(sum(CASE WHEN is_promo = 1 THEN rev END) AS DOUBLE)
+      |         / CAST(sum(rev) AS DOUBLE) AS promo_pct
+      |FROM j""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
     ("tpch_region_revenue", regionRevenue _, regionRevenueSql),
     ("tpch_order_priority", orderPriority _, orderPrioritySql),
     ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql),
-    ("tpch_top_supplier", topSupplier _, topSupplierSql))
+    ("tpch_top_supplier", topSupplier _, topSupplierSql),
+    ("tpch_promo_revenue", promoRevenue _, promoRevenueSql))
 }
