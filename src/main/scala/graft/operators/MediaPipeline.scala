@@ -76,6 +76,38 @@ object MediaPipeline {
       }
   }
 
+  /** Resize parameters computed per asset (aspect-preserving fit into
+    * a target box). */
+  final case class ResizedMedia(
+      assetId: Long,
+      mediaFormat: String,
+      width: Int,
+      height: Int,
+      outWidth: Int,
+      outHeight: Int,
+      scale: Double)
+
+  /** Resize stage: aspect-preserving fit of each decoded asset into
+    * `targetW` x `targetH`. The pixel resample itself is the codec
+    * stand-in (no image libs here) — what is real is the pipeline
+    * contract: runs AFTER decode on the fixed-width features (the
+    * payload no longer flows), pure narrow map, no shuffle. */
+  def resize(features: Dataset[MediaFeatures],
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val s = math.min(targetW.toDouble / f.width, targetH.toDouble / f.height)
+      ResizedMedia(
+        assetId = f.assetId,
+        mediaFormat = f.mediaFormat,
+        width = f.width,
+        height = f.height,
+        outWidth = math.max(1, math.round(f.width * s).toInt),
+        outHeight = math.max(1, math.round(f.height * s).toInt),
+        scale = s)
+    }
+  }
+
   /** doc_id -> media format assignment, shared with
     * [[graft.queries.MultimodalQueries]] (oracle SQL mirrors it). */
   def mediaFormat(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

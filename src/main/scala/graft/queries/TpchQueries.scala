@@ -277,6 +277,48 @@ object TpchQueries {
       |         / CAST(sum(rev) AS DOUBLE) AS promo_pct
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Large-volume customers (TPC-H Q18 shape): HAVING on a fact rollup,
+  // then joins back to orders + customer, top-k.
+  // ---------------------------------------------------------------------
+
+  /** Orders whose total quantity exceeds 300, with their customers —
+    * the HAVING-semi-join pattern: the fact aggregates FIRST (one
+    * shuffle on l_orderkey), the >300 filter shrinks the rollup to a
+    * handful of keys, and only those join back. Never join-then-
+    * aggregate: at 100 TB the pre-filter makes the order/customer
+    * joins trivial. */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(Money)).as("sq_dec"))
+      .filter(col("sq_dec") > 300)
+      .select(col("l_orderkey"), col("sq_dec").cast(DoubleType).as("sum_qty"))
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        epochUs(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val bigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+      |       o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
@@ -284,5 +326,6 @@ object TpchQueries {
     ("tpch_order_priority", orderPriority _, orderPrioritySql),
     ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql),
     ("tpch_top_supplier", topSupplier _, topSupplierSql),
-    ("tpch_promo_revenue", promoRevenue _, promoRevenueSql))
+    ("tpch_promo_revenue", promoRevenue _, promoRevenueSql),
+    ("tpch_big_orders", bigOrders _, bigOrdersSql))
 }

@@ -28,6 +28,24 @@ class MediaPipelineSpec extends SparkSpec {
     assert(feats(2L).width == again(2L).width)
   }
 
+  test("resize fits every asset inside the target box preserving aspect") {
+    import spark.implicits._
+    val assets = MediaPipeline.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    val feats = MediaPipeline.decodeBatch(assets, partitions = 2)
+    val resized = MediaPipeline.resize(feats, 64, 48).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.outWidth <= 64 && r.outHeight <= 48)
+      assert(r.outWidth >= 1 && r.outHeight >= 1)
+      // one dimension saturates the box (fit, not shrink-only)
+      assert(r.outWidth == 64 || r.outHeight == 48 ||
+        math.abs(r.scale * r.width - r.outWidth) <= 0.5 + 1e-9)
+      // aspect preserved within rounding of both axes
+      val expectH = r.height * r.scale
+      assert(math.abs(r.outHeight - expectH) <= 0.5 + 1e-9)
+    }
+  }
+
   test("assetsFromDocuments yields one asset per document with utf-8 payload") {
     val assets = MediaPipeline.assetsFromDocuments(spark, "/root/testdata/sf0.001")
     val n = assets.count()
