@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Dev-only scratch profiling of query sub-stages (edit freely). */
 object ProfileParts {
@@ -16,6 +18,7 @@ object ProfileParts {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.TextFunctions._
     val docs = graft.util.Tables.load(spark, sfDir, "documents")
     docs.count()
 
@@ -26,46 +29,41 @@ object ProfileParts {
       r
     }
 
-    // mirror of DedupQueries.clusters with per-round telemetry
-    val mName = classOf[graft.queries.DedupQueries.type]
-    val t0 = System.nanoTime()
-    val pairsDf = {
-      // call private minhashPairsBody via the public pairs query minus sort
-      graft.queries.DedupQueries.minhashPairs(spark, sfDir)
-        .select(col("doc_a"), col("doc_b"))
-    }.persist()
-    time("pairs build")(println("pairs=" + pairsDf.count()))
-    val edges = pairsDf.union(pairsDf.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).persist()
-    var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 16) {
-      val tr = System.nanoTime()
-      val contrib = edges
-        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val prop = labels.union(contrib)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .persist()
-      prop.count()
-      val next = prop.as("a")
-        .join(prop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")).as("b"),
-          Seq("lbl"), "left")
-        .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .persist()
-      val s = next.agg(sum(col("lbl"))).first().getLong(0)
-      labels.unpersist()
-      prop.unpersist()
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      rounds += 1
-      println(f"[parts] round $rounds: ${(System.nanoTime() - tr) / 1e9}%.2f s sum=$s")
+    def sh0 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
+
+    for (round <- 1 to 3) {
+      println(s"=== round $round ===")
+
+      // variant A: current full ngramJaccard (sizes joins)
+      time("ngramA full")(graft.queries.DedupQueries
+        .ngramJaccard(spark, sfDir).count())
+      spark.sharedState.cacheManager.clearCache()
+
+      // variant B: carry n through the self-join; no sizes joins
+      {
+        val sh = sh0.persist()
+        sh.count()
+        val withN = sh.withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 1000).select(col("s"))
+        val postings = withN.join(cold, "s")
+        val res = postings.as("a").join(postings.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .agg(count(lit(1)).as("common"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("common").cast(DoubleType) /
+              (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+          .orderBy(col("doc_a"), col("doc_b"))
+        time("ngramB carry-n")(res.count())
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
-    println(f"[parts] total: ${(System.nanoTime() - t0) / 1e9}%.2f s rounds=$rounds")
     spark.stop()
   }
 }
