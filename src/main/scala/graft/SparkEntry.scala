@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EventsQueries, MultimodalQueries, SimilarityQueries, TextQueries, TpchQueries}
+import graft.queries.{DedupQueries, EventsQueries, MultimodalQueries, ProfileQueries, SimilarityQueries, TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     (EventsQueries.all ++ TpchQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all)
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      ProfileQueries.all)
       .map { case (n, f, o) => (n, f, Option(o)) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

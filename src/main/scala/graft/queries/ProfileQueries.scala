@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables
+import graft.util.Tables._
+
+/** Data-profiling operator: per-column statistics of a table in ONE
+  * scan — the "what is actually in this 100 TB table" pass every
+  * training-data pipeline runs before touching anything else.
+  *
+  * Scale design: all per-column aggregates (null counts, distincts,
+  * extrema) compute in a single aggregation over a single fact scan —
+  * the long-form output is produced by exploding the one aggregated
+  * row, NOT by a UNION ALL of per-column subqueries (which would scan
+  * the table once per column; the oracle SQL does exactly that because
+  * DuckDB reads 7k rows, but at cluster scale the single-pass shape is
+  * the point). Exact distincts here for oracle parity; swap
+  * approx_count_distinct at the 100 TB tier.
+  */
+object ProfileQueries {
+
+  /** Profile of the `orders` table: one row per column with null
+    * counts, distinct counts, numeric extrema (timestamps as epoch-us)
+    * and string extrema. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+
+    def numStats(c: String, expr0: Column): Seq[Column] = Seq(
+      count(expr0).as(s"nn_$c"), count_distinct(expr0).as(s"nd_$c"),
+      min(expr0).cast(DoubleType).as(s"mn_$c"),
+      max(expr0).cast(DoubleType).as(s"mx_$c"))
+    def strStats(c: String): Seq[Column] = Seq(
+      count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+
+    val numeric = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strings = Seq("o_orderstatus", "o_orderpriority")
+    val aggs: Seq[Column] =
+      numeric.flatMap(c => numStats(c, col(c))) ++
+        numStats("o_orderdate", epochUs(col("o_orderdate"))) ++
+        strings.flatMap(strStats)
+
+    val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = (numeric :+ "o_orderdate").map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        lit(null).cast(StringType).as("min_str"),
+        lit(null).cast(StringType).as("max_str"))
+    } ++ strings.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        lit(null).cast(DoubleType).as("min_num"),
+        lit(null).cast(DoubleType).as("max_num"),
+        col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val ordersProfileSql: String = {
+    def numRow(c: String, e: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($e) AS n_null,
+         |       count(DISTINCT $e) AS n_distinct,
+         |       CAST(min($e) AS DOUBLE) AS min_num,
+         |       CAST(max($e) AS DOUBLE) AS max_num,
+         |       CAST(NULL AS VARCHAR) AS min_str,
+         |       CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def strRow(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(NULL AS DOUBLE) AS min_num,
+         |       CAST(NULL AS DOUBLE) AS max_num,
+         |       min($c) AS min_str,
+         |       max($c) AS max_str
+         |FROM orders""".stripMargin
+    Seq(
+      numRow("o_orderkey", "o_orderkey"),
+      numRow("o_custkey", "o_custkey"),
+      numRow("o_totalprice", "o_totalprice"),
+      numRow("o_orderdate", "epoch_us(o_orderdate)"),
+      strRow("o_orderstatus"),
+      strRow("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("util_column_profile", ordersProfile _, ordersProfileSql))
+}
