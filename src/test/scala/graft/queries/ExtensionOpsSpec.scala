@@ -73,6 +73,20 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_int8_topk retains high recall against the exact float top-k") {
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(SimilarityQueries.bruteTopK(spark, dir))
+    val q8 = topSets(SimilarityQueries.int8TopK(spark, dir))
+    assert(exact.keySet == q8.keySet)
+    val recalls = exact.map { case (q, ex) =>
+      (ex intersect q8(q)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 = $mean")
+  }
+
   test("txt_stopword_filter agrees with an independent SQL recomputation") {
     val got = TextQueries.stopwordFilter(spark, dir)
       .select("doc_id", "n_tokens", "n_kept")
