@@ -35,13 +35,15 @@ object RangeJoin {
     require(tol > 0, "tolerance must be positive")
     val lt = col(s"__lt")
     val rt = col(time)
+    // integral bucket arithmetic (`div`), NOT double division: beyond
+    // 2^53 (e.g. nanosecond epochs) a double quotient can round across
+    // a bucket boundary. Ordinates are assumed non-negative (div
+    // truncates toward zero).
+    val lb = expr(s"__lt div $tol")
     val lRep = left
       .withColumnRenamed(time, "__lt")
-      .withColumn("__b", explode(array(
-        floor(lt / tol).cast("long") - 1L,
-        floor(lt / tol).cast("long"),
-        floor(lt / tol).cast("long") + 1L)))
-    val rB = right.withColumn("__b", floor(rt / tol).cast("long"))
+      .withColumn("__b", explode(array(lb - 1L, lb, lb + 1L)))
+    val rB = right.withColumn("__b", expr(s"`$time` div $tol"))
     lRep.join(rB, Seq(key, "__b"))
       .filter(abs(lt - rt) <= tol)
       .drop("__b")

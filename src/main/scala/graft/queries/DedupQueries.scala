@@ -297,8 +297,10 @@ object DedupQueries {
       .toDF("src", "dst")
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).first().getLong(0)
-    var converged = false
+    // sum() is null on an empty pair graph — nothing to propagate then
+    val sum0 = labels.agg(sum(col("lbl"))).first()
+    var prevSum = if (sum0.isNullAt(0)) 0L else sum0.getLong(0)
+    var converged = sum0.isNullAt(0)
     var rounds = 0
     while (!converged && rounds < 16) {
       val contrib = edges
