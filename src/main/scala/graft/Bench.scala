@@ -33,25 +33,36 @@ object Bench {
     // host contention (observed 8x uniform inflation on identical code
     // between two runs of the same suite). Mode is declared in the JSON.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // wall-clock budget: on a contended host one pass can inflate ~8x,
+    // so later passes are skipped rather than risking an unbounded run;
+    // the first pass always completes (full coverage), extra passes
+    // only tighten the minimum
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toLong
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
-    for (_ <- 1 to iters; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally {
-        // queries may persist() intermediates; drop them so later
-        // queries (and later iterations) never time against a warm cache
-        spark.sharedState.cacheManager.clearCache()
+    val wall0 = System.nanoTime()
+    var pass = 0
+    while (pass < iters &&
+        (pass == 0 || (System.nanoTime() - wall0) / 1e9 < budgetSec)) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally {
+          // queries may persist() intermediates; drop them so later
+          // queries (and later iterations) never time against a warm cache
+          spark.sharedState.cacheManager.clearCache()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      pass += 1
     }
     val results = names.map(n => n -> best(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$iters","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$pass","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
