@@ -32,7 +32,8 @@ object Bench {
     // compilation and JIT warmup; the min is also robust to transient
     // host contention (observed 8x uniform inflation on identical code
     // between two runs of the same suite). Mode is declared in the JSON.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.toIntOption).getOrElse(3))
     // wall-clock budget: on a contended host one pass can inflate ~8x,
     // so later passes are skipped rather than risking an unbounded run;
     // the first pass always completes (full coverage), extra passes

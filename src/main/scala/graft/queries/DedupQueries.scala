@@ -302,7 +302,11 @@ object DedupQueries {
     var prevSum = if (sum0.isNullAt(0)) 0L else sum0.getLong(0)
     var converged = sum0.isNullAt(0)
     var rounds = 0
-    while (!converged && rounds < 16) {
+    // pointer jumping collapses diameter d in ~log2(d) rounds, so 64
+    // covers any physically possible component; the require below turns
+    // a failure of that reasoning into a loud error, never a silently
+    // unconverged (wrong) clustering
+    while (!converged && rounds < 64) {
       val contrib = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
@@ -321,6 +325,7 @@ object DedupQueries {
       prevSum = s
       rounds += 1
     }
+    require(converged, s"label propagation did not converge in $rounds rounds")
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),

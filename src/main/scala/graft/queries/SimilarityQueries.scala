@@ -292,14 +292,11 @@ object SimilarityQueries {
   // emb_quantize: symmetric int8 quantization of the embedding column
   // ---------------------------------------------------------------------
 
-  /** Per-vector symmetric int8 quantization (scale = 127 / max|x|,
-    * q_i = round(x_i * scale)) — the storage/ANN compression step of a
-    * production vector pipeline (4x smaller than float32, SIMD int8
-    * dot products downstream). Pure per-row map work: zero shuffles,
-    * whole-stage codegen'd array HOFs, embarrassingly parallel at
-    * 100 TB. All arithmetic in double with identical association on
-    * both engines; round() ties go away from zero in both. */
-  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+  /** Shared quantization base: (vec_id, max_abs, scale, qvec). Zero
+    * vectors get a null scale (and all-null qvec) rather than being
+    * dropped — [[quantizeInt8]] reports them; [[int8TopK]] filters
+    * them (a zero vector has no cosine direction). */
+  private def quantizedBase(spark: SparkSession, dir: String): DataFrame =
     embs(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("dv"))
@@ -310,21 +307,37 @@ object SimilarityQueries {
       .select(col("vec_id"), col("max_abs"), col("scale"),
         transform(col("dv"),
           x => round(x * col("scale")).cast(IntegerType)).as("qvec"))
-      .orderBy(col("vec_id"))
 
-  val quantizeInt8Sql: String =
-    """WITH d AS (
+  /** SQL twin of [[quantizedBase]]: CTE chain ending in
+    * `qv(vec_id, max_abs, scale, qvec)`. */
+  private val quantizeCtes: String =
+    """d AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
       |  FROM embeddings),
       |m AS (
       |  SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS max_abs FROM d),
       |s AS (
       |  SELECT vec_id, dv, max_abs,
-      |         CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs END AS scale FROM m)
-      |SELECT vec_id, max_abs, scale,
-      |       list_transform(dv, x -> CAST(round(x * scale) AS INTEGER)) AS qvec
-      |FROM s
-      |ORDER BY vec_id""".stripMargin
+      |         CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs END AS scale FROM m),
+      |qv AS (
+      |  SELECT vec_id, max_abs, scale,
+      |         list_transform(dv, x -> CAST(round(x * scale) AS INTEGER)) AS qvec
+      |  FROM s)""".stripMargin
+
+  /** Per-vector symmetric int8 quantization (scale = 127 / max|x|,
+    * q_i = round(x_i * scale)) — the storage/ANN compression step of a
+    * production vector pipeline (4x smaller than float32, SIMD int8
+    * dot products downstream). Pure per-row map work: zero shuffles,
+    * whole-stage codegen'd array HOFs, embarrassingly parallel at
+    * 100 TB. All arithmetic in double with identical association on
+    * both engines; round() ties go away from zero in both. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizedBase(spark, dir).orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    s"""WITH $quantizeCtes
+       |SELECT vec_id, max_abs, scale, qvec FROM qv
+       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // ann_int8_topk: ANN over the quantized vectors (integer hot loop)
@@ -339,16 +352,8 @@ object SimilarityQueries {
     * oracle is bit-identical despite the "approximate" representation;
     * doubles appear only in the final division. */
   def int8TopK(spark: SparkSession, dir: String): DataFrame = {
-    val qz = embs(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("dv"))
-      .select(col("vec_id"), col("dv"),
-        array_max(transform(col("dv"), x => abs(x))).as("max_abs"))
+    val qz = quantizedBase(spark, dir)
       .filter(col("max_abs") > 0.0)
-      .select(col("vec_id"),
-        transform(col("dv"),
-          x => round(x * (lit(127.0) / col("max_abs"))).cast(IntegerType))
-          .as("qvec"))
       .select(col("vec_id"), col("qvec"),
         aggregate(col("qvec"), lit(0L),
           (acc, x) => acc + x.cast(LongType) * x.cast(LongType)).as("n2"))
@@ -372,15 +377,9 @@ object SimilarityQueries {
   }
 
   val int8TopKSql: String =
-    s"""WITH d AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-       |  FROM embeddings),
-       |m AS (
-       |  SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS max_abs FROM d),
+    s"""WITH $quantizeCtes,
        |qz AS (
-       |  SELECT vec_id,
-       |         list_transform(dv, x -> CAST(round(x * (127.0 / max_abs)) AS INTEGER)) AS qvec
-       |  FROM m WHERE max_abs > 0.0),
+       |  SELECT vec_id, qvec FROM qv WHERE max_abs > 0.0),
        |n AS (
        |  SELECT vec_id, qvec,
        |         CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS n2

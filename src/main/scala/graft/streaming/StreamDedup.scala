@@ -31,10 +31,20 @@ object StreamDedup {
 
   /** Content-hash dedup for document streams: identical `textCol`
     * bytes collapse to the first arrival. Hashing before the shuffle
-    * keeps state entries fixed-width (16-byte md5, not the text). */
+    * keeps state entries fixed-width (16-byte md5, not the text).
+    *
+    * Null-text rows bypass the dedup entirely: md5(null) is null and
+    * dropDuplicates treats null keys as equal, so routing them through
+    * the stateful path would silently collapse every null-text
+    * document after the first into "duplicates" — data loss on schema
+    * drift. They pass through unchanged instead (dedup of absent
+    * content is not meaningful). */
   def byContent(stream: DataFrame, tsCol: String, horizon: String,
-                textCol: String): DataFrame =
-    byKey(stream.withColumn("__content_hash", md5(col(textCol))),
+                textCol: String): DataFrame = {
+    val hashed = stream.withColumn("__content_hash", md5(col(textCol)))
+    val deduped = byKey(hashed.filter(col("__content_hash").isNotNull),
         tsCol, horizon, Seq("__content_hash"))
       .drop("__content_hash")
+    deduped.unionByName(stream.filter(col(textCol).isNull))
+  }
 }

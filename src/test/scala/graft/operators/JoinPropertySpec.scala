@@ -32,7 +32,7 @@ class JoinPropertySpec extends SparkSpec {
       } yield (lid, rid)).toSet
       val got = RangeJoin.withinTolerance(
           ls.toDF("id", "k", "t"),
-          rs.toDF("rid", "k", "t").withColumnRenamed("id", "rid"),
+          rs.toDF("rid", "k", "t"),
           "k", "t", tol)
         .select("id", "rid").as[(Long, Long)].collect().toSet
       assert(got == expected, s"seed=$seed tol=$tol")

@@ -34,6 +34,26 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("byContent passes null-text rows through instead of collapsing them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[String], Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamDedup.byContent(stream, "ts", "1 hour", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_null_mem")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Some("alpha"), ts("2025-06-04 12:00:00")),
+        (2L, None, ts("2025-06-04 12:00:10")),
+        (3L, None, ts("2025-06-04 12:00:20")), // distinct doc, also null text
+        (4L, Some("alpha"), ts("2025-06-04 12:00:30"))) // real duplicate
+      q.processAllAvailable()
+      val kept = spark.table("dedup_null_mem").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("byKey drops re-sends of the same key within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
