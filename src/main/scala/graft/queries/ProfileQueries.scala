@@ -93,6 +93,50 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---------------------------------------------------------------------
+  // util_hash_split: deterministic train/valid/test assignment
+  // ---------------------------------------------------------------------
+
+  /** 80/10/10 train/valid/test split keyed on a CONTENT hash, not a
+    * row id or rand(): the same document always lands in the same
+    * split across re-crawls, re-partitions, retries, and dataset
+    * versions — the leakage-safe way to split training corpora (an id
+    * or random split reassigns on every rebuild, leaking test docs
+    * into train). Pure per-row map + one tiny shuffle for the audit
+    * rollup. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val bucket = pmod(h60(col("text")), lit(100L))
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "valid").otherwise("test")
+    Tables.load(spark, dir, "documents")
+      .select(split.as("split"), col("doc_id"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("split"))
+  }
+
+  val hashSplitSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH assigned AS (
+       |  SELECT CASE WHEN ${h60Sql("text")} % 100 < 80 THEN 'train'
+       |              WHEN ${h60Sql("text")} % 100 < 90 THEN 'valid'
+       |              ELSE 'test' END AS split,
+       |         doc_id, n_chars
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM assigned
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
-    ("util_column_profile", ordersProfile _, ordersProfileSql))
+    ("util_column_profile", ordersProfile _, ordersProfileSql),
+    ("util_hash_split", hashSplit _, hashSplitSql))
 }
