@@ -49,6 +49,15 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles == 1, s"expected 1 hash shuffle, plan:\n$p")
   }
 
+  test("range join: equi-join on (key, bucket), never a nested-loop theta join") {
+    val p = plan("ev_range_join")
+    // the whole point of band bucketing: the |dt|<=tol predicate must
+    // ride on an equi-join, not degenerate to BNLJ/cartesian per key
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("frame sample: scan pruned to (doc_id, text); no shuffle before sort") {
     val p = plan("mm_frame_sample")
     assert(p.contains("Generate explode"), p)
