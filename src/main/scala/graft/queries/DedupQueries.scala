@@ -468,6 +468,68 @@ object DedupQueries {
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_corpus_clean: the end-to-end cleaning pipeline in one query
+  // ---------------------------------------------------------------------
+
+  /** The composite corpus-cleaning pass a training pipeline runs:
+    * quality-gate (score >= 0.5, >= 16 tokens) -> exact dedup keeping
+    * the lowest doc_id per content hash -> per-source audit rollup of
+    * what survived and why the rest fell. One scan; the dedup step is
+    * one shuffle on the 16-byte content hash (never the text); the
+    * keep-marker joins back on doc_id. The per-stage attributions sum
+    * to n_docs, so the output is its own audit trail. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast(LongType)
+    val nUniq = size(array_distinct(toks)).cast(LongType)
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"), nTok.as("n_tokens"),
+        (TextQueries.qualityScore(nTok, nUniq, TextQueries.stopwordCount(toks)) >= 0.5 &&
+          nTok >= 16L).as("is_qual"))
+    val keepIds = perDoc.filter(col("is_qual"))
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_kept"))
+    perDoc.join(keepIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!col("is_qual"), 1)).as("n_low_quality"),
+        count(when(col("is_qual") && col("is_kept").isNull, 1))
+          .as("n_dupes_removed"),
+        count(when(col("is_kept"), 1)).as("n_kept"),
+        coalesce(sum(when(col("is_kept"), col("n_tokens"))), lit(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val corpusCleanSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |         (${TextQueries.qualityScoreSql(
+      "CAST(len(string_split(text,' ')) AS BIGINT)",
+      "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)",
+      TextQueries.stopwordCountSql("string_split(text,' ')"))} ) >= 0.5
+       |           AND len(string_split(text,' ')) >= 16 AS is_qual
+       |  FROM documents),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id, true AS is_kept
+       |  FROM perdoc WHERE is_qual GROUP BY md5(text))
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       count(CASE WHEN NOT is_qual THEN 1 END) AS n_low_quality,
+       |       count(CASE WHEN is_qual AND is_kept IS NULL THEN 1 END) AS n_dupes_removed,
+       |       count(CASE WHEN is_kept THEN 1 END) AS n_kept,
+       |       COALESCE(CAST(sum(CASE WHEN is_kept THEN n_tokens END) AS BIGINT), 0) AS kept_tokens
+       |FROM perdoc LEFT JOIN keep USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
@@ -476,5 +538,6 @@ object DedupQueries {
     ("dedup_simhash", simhash _, simhashSql),
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
-    ("dedup_clusters", clusters _, clustersSql))
+    ("dedup_clusters", clusters _, clustersSql),
+    ("dedup_corpus_clean", corpusClean _, corpusCleanSql))
 }

