@@ -290,6 +290,26 @@ object TextQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** [[lenQuantiles]] with approx_percentile (a Greenwald-Khanna
+    * sketch) replacing the exact percentiles — the 100 TB path: exact
+    * percentile buffers every value per group; the sketch is one pass,
+    * bounded memory, mergeable across partitions. No DuckDB oracle
+    * (sketch results aren't cross-engine reproducible); the spec
+    * bounds its error against the exact query instead. */
+  def lenQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_percentile(col("n_tokens"), lit(0.25), lit(1000)).as("p25"),
+        approx_percentile(col("n_tokens"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("n_tokens"), lit(0.75), lit(1000)).as("p75"),
+        approx_percentile(col("n_tokens"), lit(0.99), lit(1000)).as("p99"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------------
   // txt_stopword_filter: token-level corpus cleaning
   // ---------------------------------------------------------------------
@@ -337,5 +357,8 @@ object TextQueries {
     ("txt_fingerprint", fingerprint _, fingerprintSql),
     ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
     ("txt_quantiles", lenQuantiles _, lenQuantilesSql),
+    // sketch estimates aren't cross-engine reproducible -> no oracle
+    // (driver records rows-only); error bounded vs exact in ExtensionOpsSpec
+    ("txt_quantiles_approx", lenQuantilesApprox _, null),
     ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql))
 }

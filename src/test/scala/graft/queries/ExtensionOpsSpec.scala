@@ -73,6 +73,25 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_quantiles_approx tracks the exact percentiles within sketch error") {
+    def byKey(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("source") -> r).toMap
+    val exact = byKey(TextQueries.lenQuantiles(spark, dir))
+    val approx = byKey(TextQueries.lenQuantilesApprox(spark, dir))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      assert(a.getAs[Long]("n_docs") == e.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("max_tokens") == e.getAs[Long]("max_tokens"))
+      Seq("p25", "p50", "p75", "p99").foreach { q =>
+        val ev = e.getAs[Double](q)
+        val av = a.getAs[Long](q).toDouble // sketch returns a real sample
+        // GK with accuracy 1000 on these group sizes: within 5% of exact
+        assert(math.abs(av - ev) <= math.max(0.05 * ev, 2.0), s"$src.$q: $av vs $ev")
+      }
+    }
+  }
+
   test("dedup_corpus_clean attributions are a partition of the corpus") {
     val rows = DedupQueries.corpusClean(spark, dir).collect()
     assert(rows.nonEmpty)
