@@ -239,54 +239,68 @@ object SimilarityQueries {
   // emb_label_centroids: element-wise vector aggregation (centroids)
   // ---------------------------------------------------------------------
 
+  /** Fixed-point scaling for centroid sums: 2^27. Power-of-two, so
+    * float32 -> double * Fp is exact (no mantissa change); round() then
+    * yields the same int64 on both engines (ties away from zero). */
+  private val Fp = 134217728.0
+
   /** Per-label centroid of the embedding column — the element-wise mean
     * every training pipeline needs (class prototypes, IVF training,
     * drift monitoring). Relational form: posexplode to (label, pos, v),
-    * one shuffle on (label, pos), partial-agg map-side. Component sums
-    * fold in vec_id order on both engines so doubles are bit-identical.
-    * Emits sampled components + the centroid norm (folded in pos order)
-    * rather than 64 columns. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    embs(spark, dir)
-      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+    * one shuffle on (label, pos).
+    *
+    * Determinism at scale: component values are fixed-pointed to int64
+    * (round(v * 2^27)) so the per-group `sum` is exact integer
+    * arithmetic — order-free, partial-agg'd map-side, O(1) aggregation
+    * buffer. No collect_list / ObjectHashAggregate anywhere (a hot
+    * label with 10^9 members costs one long per (label,pos) buffer,
+    * not an N-struct array — PlanSpec guards this). The centroid norm
+    * folds the 64 per-position means in fixed syntactic order
+    * (m0*m0 + m1*m1 + ...), identical left-association in the oracle,
+    * so the doubles are bit-identical cross-engine. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val means = embs(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast(DoubleType) * lit(Fp)).cast(LongType).as("xfp"))
       .groupBy(col("label"), col("pos"))
-      .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("vec_id"), col("col").cast(DoubleType).as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"),
-        count(lit(1)).as("n"))
+      .agg(sum(col("xfp")).as("sfp"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"), col("n"),
-        (col("s") / col("n").cast(DoubleType)).as("m"))
-      .groupBy(col("label"))
-      .agg(
-        max(col("n")).as("n_vecs"),
-        max(when(col("pos") === 0, col("m"))).as("c0"),
-        max(when(col("pos") === 31, col("m"))).as("c31"),
-        max(when(col("pos") === 63, col("m"))).as("c63"),
-        sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
-      .select(col("label"), col("n_vecs"), col("c0"), col("c31"), col("c63"),
-        sqrt(aggregate(col("cm"), lit(0.0),
-          (acc, x) => acc + x.getField("m") * x.getField("m")))
-          .as("centroid_norm"))
+        (col("sfp").cast(DoubleType) / (col("n").cast(DoubleType) * lit(Fp)))
+          .as("m"))
+    val pivots = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+    val norm2 = (0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _)
+    means.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), pivots: _*)
+      .select(col("label"), col("n_vecs"),
+        col("m0").as("c0"), col("m31").as("c31"), col("m63").as("c63"),
+        sqrt(norm2).as("centroid_norm"))
       .orderBy(col("label"))
+  }
 
-  val labelCentroidsSql: String =
+  val labelCentroidsSql: String = {
+    val pivots = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
+      .mkString(",\n       ")
+    val norm2 = (0 until Dim).map(i => s"m$i * m$i").mkString(" + ")
     s"""WITH x AS (
-       |  SELECT label, vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |  SELECT label, i - 1 AS pos,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $Fp) AS BIGINT) AS xfp
        |  FROM embeddings, generate_series(1, $Dim) t(i)),
        |m AS (
-       |  SELECT label, pos,
-       |         list_sum(list(v ORDER BY vec_id)) / CAST(count(*) AS DOUBLE) AS m,
-       |         count(*) AS n
-       |  FROM x GROUP BY 1, 2)
-       |SELECT label, max(n) AS n_vecs,
-       |       max(CASE WHEN pos = 0 THEN m END) AS c0,
-       |       max(CASE WHEN pos = 31 THEN m END) AS c31,
-       |       max(CASE WHEN pos = 63 THEN m END) AS c63,
-       |       sqrt(list_sum(list_transform(list(m ORDER BY pos), y -> y * y))) AS centroid_norm
-       |FROM m
-       |GROUP BY label
+       |  SELECT label, pos, count(*) AS n,
+       |         CAST(sum(xfp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $Fp) AS m
+       |  FROM x GROUP BY 1, 2),
+       |p AS (
+       |  SELECT label, max(n) AS n_vecs,
+       |       $pivots
+       |  FROM m GROUP BY label)
+       |SELECT label, n_vecs, m0 AS c0, m31 AS c31, m63 AS c63,
+       |       sqrt($norm2) AS centroid_norm
+       |FROM p
        |ORDER BY label""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // emb_quantize: symmetric int8 quantization of the embedding column
@@ -330,13 +344,34 @@ object SimilarityQueries {
     * dot products downstream). Pure per-row map work: zero shuffles,
     * whole-stage codegen'd array HOFs, embarrassingly parallel at
     * 100 TB. All arithmetic in double with identical association on
-    * both engines; round() ties go away from zero in both. */
+    * both engines; round() ties go away from zero in both.
+    *
+    * The quantized vector is emitted as scalar columns (csv join + an
+    * exact position-weighted int64 checksum) rather than a raw array —
+    * array cells aren't hashable by the driver's pandas compare; same
+    * convention as `ev_customer_view` / `mm_media_features`. Zero
+    * vectors (null scale) keep null csv/checksum. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
-    quantizedBase(spark, dir).orderBy(col("vec_id"))
+    quantizedBase(spark, dir)
+      .select(col("vec_id"), col("max_abs"), col("scale"),
+        when(col("scale").isNotNull,
+          array_join(transform(col("qvec"), x => x.cast(StringType)), ","))
+          .as("qvec_csv"),
+        when(col("scale").isNotNull,
+          aggregate(
+            zip_with(col("qvec"), sequence(lit(1), lit(Dim)),
+              (x, i) => x.cast(LongType) * i.cast(LongType)),
+            lit(0L), (acc, x) => acc + x))
+          .as("qvec_checksum"))
+      .orderBy(col("vec_id"))
 
   val quantizeInt8Sql: String =
     s"""WITH $quantizeCtes
-       |SELECT vec_id, max_abs, scale, qvec FROM qv
+       |SELECT vec_id, max_abs, scale,
+       |       CASE WHEN scale IS NOT NULL THEN array_to_string(qvec, ',') END AS qvec_csv,
+       |       CASE WHEN scale IS NOT NULL THEN CAST(list_sum(list_transform(generate_series(1, $Dim),
+       |              i -> CAST(qvec[i] AS BIGINT) * i)) AS BIGINT) END AS qvec_checksum
+       |FROM qv
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -64,8 +64,9 @@ object TpchQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Shipping priority (TPC-H Q3 shape): broadcast customer -> orders,
-  // shuffle join orders -> lineitem, top-10 by revenue.
+  // Shipping priority (TPC-H Q3 shape): customer -> orders ->
+  // lineitem shuffle joins (AQE broadcasts when small), top-10 by
+  // revenue.
   // ---------------------------------------------------------------------
 
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
@@ -77,8 +78,11 @@ object TpchQueries {
         col("o_orderpriority"))
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // no broadcast hint on customer: at 100x TPC-H scale the filtered
+    // segment is still millions of rows — let AQE convert to broadcast
+    // at runtime when (and only when) the built side is actually small
     li.join(
-        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -103,8 +107,9 @@ object TpchQueries {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
-  // Regional revenue (TPC-H Q5 shape): snowflake of broadcast dims
-  // around the fact; single shuffle for the final group-by.
+  // Regional revenue (TPC-H Q5 shape): snowflake of dims around the
+  // fact — bounded dims broadcast, growing dims shuffle (AQE upgrades
+  // them when small); single shuffle for the final group-by.
   // ---------------------------------------------------------------------
 
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -122,9 +127,13 @@ object TpchQueries {
     val reg = t(spark, dir, "region")
       .select(col("r_regionkey"), col("r_name"))
 
+    // broadcast only the genuinely bounded dims (nation: 25 rows,
+    // region: 5 — fixed by the data model); customer/supplier grow with
+    // scale, so their joins stay shuffle joins and AQE converts them to
+    // broadcast at runtime only when the measured size allows
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

@@ -54,13 +54,17 @@ class ExtensionOpsSpec extends SparkSpec {
 
   test("emb_quantize is a faithful symmetric int8 code") {
     val out = SimilarityQueries.quantizeInt8(spark, dir)
-      .select($"vec_id", $"max_abs", $"scale", $"qvec").collect()
+      .select($"vec_id", $"max_abs", $"scale", $"qvec_csv", $"qvec_checksum")
+      .collect()
     val embs = graft.util.Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .collect().toMap
     assert(out.nonEmpty)
     out.foreach { r =>
-      val q = r.getSeq[Int](r.fieldIndex("qvec"))
+      val q = r.getAs[String]("qvec_csv").split(',').toSeq.map(_.toInt)
+      // the emitted checksum is the position-weighted sum of the codes
+      assert(r.getAs[Long]("qvec_checksum") ==
+        q.zipWithIndex.map { case (x, i) => x.toLong * (i + 1) }.sum)
       val v = embs(r.getAs[Long]("vec_id")).map(_.toDouble)
       val scale = r.getAs[Double]("scale")
       assert(q.forall(x => math.abs(x) <= 127))

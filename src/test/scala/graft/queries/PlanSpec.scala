@@ -73,6 +73,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("label"), p) // unused column pruned from the scan
   }
 
+  test("label centroids: pure hash aggregation — no per-group array buffers") {
+    val p = plan("emb_label_centroids")
+    // the fixed-point design's whole point: a hot label must cost one
+    // long per (label,pos) aggregation buffer, never an N-struct array
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("tpch joins: broadcast hints only on bounded dims (nation/region)") {
+    // forced hints bypass AQE's size check; growing dims (customer,
+    // supplier) must reach the planner hint-free so runtime size decides
+    def hints(q: String): Int =
+      "ResolvedHint".r.findAllIn(
+        graft.SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString).length
+    assert(hints("tpch_shipping_priority") == 0)
+    assert(hints("tpch_region_revenue") == 2) // nation + region only
+  }
+
   test("top supplier: shipdate range pushed to scan; argmax over aggregate") {
     val p = plan("tpch_top_supplier")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
