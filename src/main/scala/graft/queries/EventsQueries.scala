@@ -473,19 +473,25 @@ object EventsQueries {
   // ---------------------------------------------------------------------
 
   /** Two one-row filtered aggregates cross-joined, with growth
-    * percentages. Periods are fixed literals over the 2024-01 data span
-    * (the Grafana $__timeFrom/To parameters of the reference). */
-  def businessKpis(spark: SparkSession, dir: String): DataFrame = {
+    * percentages. The period bounds are parameters — the reference's
+    * dashboard injects them per panel refresh (Grafana $__timeFrom/To,
+    * business-metrics.json:140) — defaulting to the 2024-01 data span
+    * so the registered query stays oracle-deterministic. `prevFrom`
+    * sets the comparison window [prevFrom, curFrom). */
+  def businessKpis(spark: SparkSession, dir: String,
+      prevFrom: String = "2024-01-01",
+      curFrom: String = "2024-01-16",
+      curTo: String = "2024-02-01"): DataFrame = {
     val ev = events(spark, dir)
-    val curFrom = lit("2024-01-16").cast(TimestampType)
-    def period(from: Column, to: Column, prefix: String): DataFrame =
-      ev.filter(col("ts") >= from && col("ts") < to)
+    def period(from: String, to: String, prefix: String): DataFrame =
+      ev.filter(col("ts") >= lit(from).cast(TimestampType) &&
+          col("ts") < lit(to).cast(TimestampType))
         .agg(
           dsumIf(isPurchase, col("value")).as(s"${prefix}_revenue"),
           count_distinct(col("user_id")).as(s"${prefix}_users"),
           countIf(isPurchase).as(s"${prefix}_purchases"))
-    val cur = period(curFrom, lit("2024-02-01").cast(TimestampType), "cur")
-    val prev = period(lit("2024-01-01").cast(TimestampType), curFrom, "prev")
+    val cur = period(curFrom, curTo, "cur")
+    val prev = period(prevFrom, curFrom, "prev")
     cur.crossJoin(prev).select(
       col("cur_revenue"), col("prev_revenue"),
       ((col("cur_revenue") - col("prev_revenue")) /
@@ -830,6 +836,48 @@ object EventsQueries {
       |ORDER BY p_id, e_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stream-shaped interval join: errors in the 10 min after a purchase
+  // ---------------------------------------------------------------------
+
+  /** Batch twin of the watermarked stream-stream interval join
+    * ([[graft.operators.IntervalJoin]]): (purchase, error) pairs for
+    * the same user with the error in `[p_ts, p_ts + 10 min)`. The
+    * exact join the streaming pipeline runs (StreamJoinSpec asserts
+    * stream == this batch plan on the same rows); registered so the
+    * §2.8 stream-join semantics get an oracle CORRECTNESS row, not
+    * just a spec. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(isPurchase)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val e = ev.filter(isError)
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("value").as("e_value"))
+    graft.operators.IntervalJoin
+      .following(p, e, "p_user", "e_user", "p_ts", "e_ts",
+        expr("INTERVAL 10 MINUTES"))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
+        (epochUs(col("e_ts")) - epochUs(col("p_ts"))).as("dt_us"),
+        col("e_value"))
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT event_id AS e_id, user_id, ts AS e_ts, value AS e_value
+      |  FROM events WHERE event_type = 'error')
+      |SELECT p.p_id, e.e_id, p.user_id,
+      |       epoch_us(e.e_ts) - epoch_us(p.p_ts) AS dt_us, e.e_value
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |              AND e.e_ts >= p.p_ts
+      |              AND e.e_ts < p.p_ts + INTERVAL 10 MINUTE
+      |ORDER BY p_id, e_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Ranking suite: ntile / rank / dense_rank / first event per user
   // ---------------------------------------------------------------------
 
@@ -930,7 +978,8 @@ object EventsQueries {
     ("ev_cumulative_adoption", cumulativeAdoption _, cumulativeAdoptionSql),
     ("ev_demand_elasticity", demandElasticity _, demandElasticitySql),
     ("ev_peak_load", peakLoad _, peakLoadSql),
-    ("ev_business_kpis", businessKpis _, businessKpisSql),
+    ("ev_business_kpis",
+      (s: SparkSession, d: String) => businessKpis(s, d), businessKpisSql),
     ("ev_dynamic_pricing", dynamicPricing _, dynamicPricingSql),
     ("ev_ab_framework", abFramework _, abFrameworkSql),
     ("ev_validation_summary", validationSummary _, validationSummarySql),
@@ -939,6 +988,7 @@ object EventsQueries {
     ("ev_asof_join", asofLastError _, asofLastErrorSql),
     ("ev_type_rollup", typeRollup _, typeRollupSql),
     ("ev_range_join", rangeJoinErrors _, rangeJoinErrorsSql),
+    ("ev_stream_interval_join", streamIntervalJoin _, streamIntervalJoinSql),
     ("ev_user_ranks", userRanks _, userRanksSql),
     ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle

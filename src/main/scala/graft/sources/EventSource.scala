@@ -33,17 +33,26 @@ object EventSource {
     r.text(path)
   }
 
+  /** Decode a Kafka-wire relation (binary `value` + transport metadata
+    * columns) into the single-column UTF-8 `value` relation the
+    * validation pipeline consumes. Factored out of [[kafkaStream]] so
+    * the handoff is contract-testable without a broker: KafkaSourceSpec
+    * drives it with a MemoryStream carrying the source's exact output
+    * schema (key/value binary, topic, partition, offset, timestamp,
+    * timestampType). */
+  def decodeKafka(records: DataFrame): DataFrame =
+    records.select(col("value").cast("string").as("value"))
+
   /** Kafka source (S5): earliest offsets, checkpoint-managed progress
     * (replaces the reference's manual commit-every-25). */
   def kafkaStream(spark: SparkSession, bootstrapServers: String,
       topic: String): DataFrame =
-    spark.readStream
+    decodeKafka(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
-      .load()
-      .select(col("value").cast("string").as("value"))
+      .load())
 
   /** Kafka sink wiring (S4): exactly-once to the topic via checkpoint
     * (replaces acks=all/retries/max_in_flight=1 hand-tuning). Returns

@@ -39,6 +39,45 @@ class JoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("SaltedJoin.inner equals the plain join on forced-hot-key skew") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 200)
+      // ~80% of fact rows hammer one hot key; seq (not set) compare so
+      // a replication bug that duplicates output rows fails loudly
+      val hot = rnd.nextInt(5).toLong
+      val fact = (1 to 400).map { i =>
+        (i.toLong, if (rnd.nextInt(5) > 0) hot else rnd.nextInt(10).toLong)
+      }
+      val dim = (0L to 9L).map(k => (k, s"d$k"))
+      val expected = (for {
+        (id, k) <- fact; (dk, label) <- dim if dk == k
+      } yield (id, label)).sorted
+      val got = SaltedJoin.inner(
+          fact.toDF("row_id", "k"), dim.toDF("k", "label"), "k", salts = 4)
+        .select("row_id", "label").as[(Long, String)].collect().toSeq.sorted
+      assert(got == expected, s"seed=$seed hot=$hot")
+    }
+  }
+
+  test("IntervalJoin.following equals brute force on random inputs") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed + 300)
+      val h = 1 + rnd.nextInt(300)
+      val ls = gen(rnd, 60)
+      val rs = gen(rnd, 60)
+      val expected = (for {
+        (lid, lk, lt) <- ls
+        (rid, rk, rt) <- rs
+        if lk == rk && rt >= lt && rt < lt + h
+      } yield (lid, rid)).toSet
+      val got = IntervalJoin.following(
+          ls.toDF("id", "k", "t"), rs.toDF("rid", "rk", "rt"),
+          "k", "rk", "t", "rt", lit(h.toLong))
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed h=$h")
+    }
+  }
+
   test("AsofJoin.backward equals brute force on random inputs") {
     for (seed <- 1 to 5) {
       val rnd = new Random(seed + 100)

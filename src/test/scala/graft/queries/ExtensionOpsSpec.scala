@@ -52,6 +52,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("ev_business_kpis period bounds are parameters (Grafana timeFrom/To)") {
+    val default = EventsQueries.businessKpis(spark, dir).collect().toSeq
+    // the registered query IS the defaulted form (oracle unchanged)
+    assert(default ==
+      graft.SparkEntry.queries("ev_business_kpis")(spark, dir).collect().toSeq)
+    // a different window must actually move the aggregates
+    val shifted = EventsQueries
+      .businessKpis(spark, dir, "2024-01-01", "2024-01-08", "2024-01-16")
+      .collect().toSeq
+    assert(shifted.head.getAs[Long]("cur_purchases") !=
+      default.head.getAs[Long]("cur_purchases"))
+  }
+
   test("emb_quantize is a faithful symmetric int8 code") {
     val out = SimilarityQueries.quantizeInt8(spark, dir)
       .select($"vec_id", $"max_abs", $"scale", $"qvec_csv", $"qvec_checksum")

@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("label"), p) // unused column pruned from the scan
   }
 
+  test("ngram jaccard: posting cap survives optimization; no nested loop") {
+    val p = plan("dedup_ngram_jaccard")
+    // the skew guard must reach the plan — without it one hot shingle
+    // makes the self-join quadratic
+    assert(p.contains("<= 1000"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("stream interval join: equality is the join key, time bounds residual") {
+    val p = plan("ev_stream_interval_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("label centroids: pure hash aggregation — no per-group array buffers") {
     val p = plan("emb_label_centroids")
     // the fixed-point design's whole point: a hot label must cost one

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventsPipeline
+
+/** Kafka handoff contract (SURVEY §2.1 S4/S5) without a broker.
+  *
+  * The sandbox has no Kafka, so the format boundary is tested instead:
+  * a MemoryStream carrying the Kafka source's exact output schema
+  * (key/value BINARY + topic/partition/offset/timestamp/timestampType,
+  * the columns `spark-sql-kafka-0-10` emits) is decoded by
+  * [[EventSource.decodeKafka]] and fed to the validation pipeline —
+  * everything downstream of `.load()` is exercised. A real-broker
+  * smoke test is gated behind GRAFT_KAFKA_BOOTSTRAP for environments
+  * that have one (reference consumer/consumer.py:485-517).
+  */
+class KafkaSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Row shape of the Kafka source's `.load()` output. */
+  private case class KafkaRecord(
+      key: Array[Byte], value: Array[Byte], topic: String,
+      partition: Int, offset: Long, timestamp: Timestamp,
+      timestampType: Int)
+
+  private def rec(value: String, offset: Long): KafkaRecord =
+    KafkaRecord(
+      key = null, value = value.getBytes(UTF_8), topic = "energy-events",
+      partition = 0, offset = offset,
+      timestamp = Timestamp.valueOf("2025-06-01 12:00:00"),
+      timestampType = 0)
+
+  private val validLine =
+    """{"event_type":"bill_payment","event_time":"2025-06-01T12:00:00",""" +
+      """"payload":{"customer_id":"c1","session_id":7,"channel":"web","payment_amount":"20.5"}}"""
+  private val badLine = """{"event_type":"bill_payment"}"""
+
+  test("kafka wire schema decodes to the pipeline's value relation (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val validated = EventsPipeline.parseAndValidate(
+      EventSource.decodeKafka(mem.toDF()))
+    val q = validated.select(col("value"), col("reason"))
+      .writeStream.format("memory").queryName("kafka_contract")
+      .outputMode("append").start()
+    try {
+      mem.addData(rec(validLine, 0L), rec(badLine, 1L))
+      q.processAllAvailable()
+      val got = spark.table("kafka_contract")
+        .select("value", "reason").as[(String, String)].collect().toMap
+      assert(got(validLine) == "valid")
+      assert(got(badLine) == "missing_required_keys")
+    } finally q.stop()
+  }
+
+  test("binary->string decode is UTF-8 round-trip clean") {
+    // multi-byte content must survive the cast; kafka delivers bytes
+    val line = validLine.replace("web", "wéb✓")
+    val df = Seq((line.getBytes(UTF_8), "t", 0, 0L))
+      .toDF("value", "topic", "partition", "offset")
+    assert(EventSource.decodeKafka(df).as[String].head() == line)
+  }
+
+  test("decoded records produce the same raw-events rows as the file path") {
+    val fromKafka = EventsPipeline.rawEvents(EventsPipeline.parseAndValidate(
+      EventSource.decodeKafka(Seq(
+        (validLine.getBytes(UTF_8), 0L)).toDF("value", "offset"))))
+    val fromFile = EventsPipeline.rawEvents(EventsPipeline.parseAndValidate(
+      Seq(validLine).toDF("value")))
+    assert(fromKafka.collect().toSeq == fromFile.collect().toSeq)
+  }
+
+  test("real broker smoke (gated: set GRAFT_KAFKA_BOOTSTRAP to enable)") {
+    val broker = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(broker.isDefined, "no broker in this environment")
+    val q = EventSource.kafkaStream(spark, broker.get, "energy-events")
+      .writeStream.format("memory").queryName("kafka_live")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("kafka_live").columns.sameElements(Array("value")))
+  }
+}

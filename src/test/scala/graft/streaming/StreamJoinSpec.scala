@@ -72,6 +72,37 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == expectedPairs)
   }
 
+  test("one-sided interval join: streamed equals the batch plan on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = expr("INTERVAL 10 MINUTES")
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Long, Timestamp)]
+    val p = pMem.toDF().toDF("p_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "1 hour")
+    val e = eMem.toDF().toDF("e_id", "e_user", "e_ts")
+      .withWatermark("e_ts", "1 hour")
+    val q = graft.operators.IntervalJoin
+      .following(p, e, "p_user", "e_user", "p_ts", "e_ts", horizon)
+      .select("p_id", "e_id")
+      .writeStream.format("memory").queryName("iij_mem")
+      .outputMode("append").start()
+    try {
+      pMem.addData(purchases: _*)
+      eMem.addData(errors.take(2): _*)
+      q.processAllAvailable()
+      eMem.addData(errors.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("iij_mem").as[(Long, Long)].collect().toSet
+      val batch = graft.operators.IntervalJoin.following(
+          purchases.toDF("p_id", "p_user", "p_ts"),
+          errors.toDF("e_id", "e_user", "e_ts"),
+          "p_user", "e_user", "p_ts", "e_ts", horizon)
+        .select("p_id", "e_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("band replication finds pairs that straddle a bucket boundary") {
     val tol = 100L
     val left = Seq((1L, 1L, 199L), (2L, 1L, 205L)).toDF("id", "k", "t")
