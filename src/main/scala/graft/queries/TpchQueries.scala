@@ -328,6 +328,157 @@ object TpchQueries {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Forecast revenue change (TPC-H Q6 shape): scan-only aggregate —
+  // every predicate (date range, discount band, quantity cap) must be
+  // pushed to the parquet scan; zero joins, zero shuffles beyond the
+  // single-row final agg.
+  // ---------------------------------------------------------------------
+
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast(Money))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Returned-item customers (TPC-H Q10 shape): filtered fact -> orders
+  // -> customer (shuffle joins, AQE decides broadcast) -> bounded
+  // nation broadcast; top-20 by lost revenue.
+  // ---------------------------------------------------------------------
+
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Nation trade matrix (TPC-H Q7 shape): the fact joins TWO nation
+  // lookups through different foreign keys (supplier side and customer
+  // side) — the bounded dim is broadcast twice under different aliases,
+  // the growing dims shuffle.
+  // ---------------------------------------------------------------------
+
+  def nationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(spark, dir, "nation")
+    val suppNat = nat.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val custNat = nat.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val nationTradeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Small-quantity revenue (TPC-H Q17 shape): the correlated scalar
+  // subquery (per-part avg quantity) rewritten as an aggregate that
+  // re-joins the fact on the SAME key it was grouped by — the agg
+  // output is already hash-partitioned on l_partkey, so the join
+  // reuses that partitioning instead of adding an exchange.
+  // ---------------------------------------------------------------------
+
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val thresholds = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast(Money)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType) * 0.2).as("qty_threshold"))
+    li.join(thresholds, "l_partkey")
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (sum(col("l_extendedprice").cast(Money)).cast(DoubleType) / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH th AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 0.2 AS qty_threshold
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n_small
+      |FROM lineitem JOIN th USING (l_partkey)
+      |WHERE l_quantity < qty_threshold""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
@@ -336,5 +487,9 @@ object TpchQueries {
     ("tpch_customers_no_orders", customersNoOrders _, customersNoOrdersSql),
     ("tpch_top_supplier", topSupplier _, topSupplierSql),
     ("tpch_promo_revenue", promoRevenue _, promoRevenueSql),
-    ("tpch_big_orders", bigOrders _, bigOrdersSql))
+    ("tpch_big_orders", bigOrders _, bigOrdersSql),
+    ("tpch_forecast_revenue", forecastRevenue _, forecastRevenueSql),
+    ("tpch_returned_items", returnedItems _, returnedItemsSql),
+    ("tpch_nation_trade", nationTrade _, nationTradeSql),
+    ("tpch_small_qty_revenue", smallQtyRevenue _, smallQtyRevenueSql))
 }

@@ -116,6 +116,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("forecast revenue: every predicate reaches the parquet scan") {
+    // 7 pushed filters: the default 100-char metadata cap elides the tail
+    spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
+    val p = try plan("tpch_forecast_revenue")
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("nation trade: bounded nation dim broadcast twice, nothing else hinted") {
+    val hints = "ResolvedHint".r.findAllIn(
+      graft.SparkEntry.queries("tpch_nation_trade")(spark, dir)
+        .queryExecution.analyzed.toString).length
+    assert(hints == 2)
+  }
+
+  test("small-qty revenue: threshold re-join stays an equi-join with partial aggs") {
+    val p = plan("tpch_small_qty_revenue")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
