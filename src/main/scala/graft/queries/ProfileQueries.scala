@@ -136,7 +136,45 @@ object ProfileQueries {
        |ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // util_stratified_sample: deterministic balanced per-class sample
+  // ---------------------------------------------------------------------
+
+  /** Up to K documents per source, chosen by CONTENT-hash order — the
+    * balanced-subset builder for training mixes (per-domain caps,
+    * eval-set carving). Hash order gives a uniform-ish pseudo-random
+    * pick that is reproducible across rebuilds/retries, unlike
+    * rand()-based sampling. One shuffle (window by source). A hot
+    * source sorts only its own partitionful of (hash, id) pairs; if a
+    * single class is itself huge, pre-filter on a hash threshold
+    * (hk < K/n quantile) before ranking — the two-phase top-K. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val K = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        h60(col("text")).as("hk"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= K)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val stratifiedSampleSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id) AS BIGINT) AS rn
+       |  FROM documents)
+       |SELECT source, rn, doc_id, n_chars
+       |FROM ranked WHERE rn <= 20
+       |ORDER BY source, rn""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
-    ("util_hash_split", hashSplit _, hashSplitSql))
+    ("util_hash_split", hashSplit _, hashSplitSql),
+    ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql))
 }

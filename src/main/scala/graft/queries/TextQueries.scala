@@ -350,8 +350,72 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // txt_tfidf: top terms per source by tf-idf
+  // ---------------------------------------------------------------------
+
+  /** Top-5 characteristic terms per source by tf-idf — the corpus-
+    * profiling / domain-signature pass of a training-data pipeline.
+    * Inverted-index shaped: one explode, document frequencies from the
+    * distinct (term, doc) pairs, term frequencies per (source, term),
+    * joined on term (both sides already keyed on it), ranked inside
+    * each source. The idf join input is |vocabulary|-sized, never
+    * |corpus|-sized, and the final window runs over the per-source
+    * aggregate — no full-corpus sort anywhere. ln() is a libm
+    * transcendental and differs between engines at the last ulp, so
+    * the score is quantized to micro-units (round(score * 1e6) as
+    * int64): both engines then rank and emit identical integers —
+    * the same cross-engine determinism move as the fixed-point
+    * centroids. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val df = terms.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(nDocs) // 1-row scalar, broadcast
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+          1e6).cast(LongType).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |df AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT term, doc_id FROM terms) GROUP BY term),
+      |tf AS (
+      |  SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT source, term, tf, df,
+      |         CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS score_micro
+      |  FROM tf JOIN df USING (term), n),
+      |ranked AS (
+      |  SELECT source, term, tf, df, score_micro,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT source, term, tf, df, score_micro, rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
+    ("txt_tfidf", tfidf _, tfidfSql),
     ("txt_langid", langId _, langIdSql),
     ("txt_token_hist", tokenHist _, tokenHistSql),
     ("txt_fingerprint", fingerprint _, fingerprintSql),
