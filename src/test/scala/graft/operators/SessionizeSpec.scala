@@ -57,6 +57,25 @@ class SessionizeSpec extends SparkSpec {
     assert(typed == relational)
   }
 
+  test("typed operator agrees with Spark's native session_window on the fixture") {
+    import org.apache.spark.sql.functions._
+    // session_window's end is last-event + gap; Session.sessionEnd is
+    // the last event itself — compare modulo that definitional shift
+    val native = events.toDS()
+      .groupBy(col("customerId"),
+        session_window(col("eventTime"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("customerId"), col("w.start").as("start"),
+        col("w.end").as("end"), col("n"))
+      .as[(String, Timestamp, Timestamp, Long)].collect()
+      .map { case (c, s, e, n) =>
+        (c, s.getTime, e.getTime - Sessionize.GapMs, n) }.toSet
+    val typed = Sessionize.batchSessions(events.toDS()).collect()
+      .map(s => (s.customerId, s.sessionStart.getTime,
+        s.sessionEnd.getTime, s.nEvents.toLong)).toSet
+    assert(typed == native)
+  }
+
   test("cross-batch late events extend the open session backwards or close as singletons") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
