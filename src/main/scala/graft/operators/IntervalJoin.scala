@@ -21,9 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object IntervalJoin {
 
-  /** Column names must be disjoint between `left` and `right` except
-    * for none at all — key/time columns are referenced side-explicitly
-    * so same-name inputs still resolve. */
+  /** Key/time columns are referenced side-explicitly, so same-named
+    * inputs still resolve; keep the remaining columns disjoint so the
+    * joined output is unambiguous. */
   def following(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

@@ -52,6 +52,19 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedup_semantic_clean attributions partition the corpus") {
+    val rows = DedupQueries.semanticClean(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_semantic_dups") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_docs"), r.toString)
+    }
+    // dup count agrees with the distinct higher-id side of the pair query
+    val nDups = DedupQueries.embeddingCosine(spark, dir)
+      .select("vec_b").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_semantic_dups")).sum == nDups)
+  }
+
   test("ev_business_kpis period bounds are parameters (Grafana timeFrom/To)") {
     val default = EventsQueries.businessKpis(spark, dir).collect().toSeq
     // the registered query IS the defaulted form (oracle unchanged)

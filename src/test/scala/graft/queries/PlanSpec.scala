@@ -116,6 +116,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("tfidf: vocabulary-sized equi-joins with map-side partial counts") {
+    val p = plan("txt_tfidf")
+    assert(p.contains("partial_count"), p)
+    // exactly one non-equi join: the 1-row n_docs scalar cross join;
+    // the tf x df join itself must stay an equi-join on term
+    assert("CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("forecast revenue: every predicate reaches the parquet scan") {
     // 7 pushed filters: the default 100-char metadata cap elides the tail
     spark.conf.set("spark.sql.maxMetadataStringLength", 2000)
