@@ -356,36 +356,48 @@ object TextQueries {
 
   /** Top-5 characteristic terms per source by tf-idf — the corpus-
     * profiling / domain-signature pass of a training-data pipeline.
-    * Inverted-index shaped: one explode, document frequencies from the
-    * distinct (term, doc) pairs, term frequencies per (source, term),
-    * joined on term (both sides already keyed on it), ranked inside
-    * each source. The idf join input is |vocabulary|-sized, never
-    * |corpus|-sized, and the final window runs over the per-source
-    * aggregate — no full-corpus sort anywhere. ln() is a libm
-    * transcendental and differs between engines at the last ulp, so
-    * the score is quantized to micro-units (round(score * 1e6) as
-    * int64): both engines then rank and emit identical integers —
-    * the same cross-engine determinism move as the fixed-point
-    * centroids. */
+    * Inverted-index shaped: ONE pass over the corpus explode reduces
+    * to the (term, doc, source) grain, from which both document
+    * frequencies and per-source term frequencies aggregate; the
+    * reduced grain is persisted so the expensive explode never
+    * re-executes (the twice-consumed-DataFrame trap). The tf x df
+    * join is |vocabulary|-sized, never |corpus|-sized, and the
+    * final window runs over the per-source aggregate — no
+    * full-corpus sort anywhere.
+    *
+    * ln() is a libm transcendental and differs between engines at the
+    * last ulp, so the score is quantized to milli-units
+    * (round(score * 1e3) as int64): both engines then rank and emit
+    * identical integers. Quantization shrinks, not erases, the
+    * boundary risk — a value within ~score*1e-16 of a .5 milli
+    * boundary could still round apart — but at 1e3 the window is
+    * ~1e-12 per value; the exact-by-construction alternative (the
+    * centroids' power-of-two fixed point) does not exist for a
+    * transcendental. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val K = 5
-    val terms = docs(spark, dir)
+    // (term, doc, source) grain: one shuffle over the explode output;
+    // eager build (count) before the two consumers, as in ngramJaccard
+    val perDoc = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    perDoc.count()
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val df = terms.select(col("term"), col("doc_id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val tf = terms.groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val df = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = perDoc.groupBy(col("source"), col("term"))
+      .agg(sum(col("c")).as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-      .orderBy(col("score_micro").desc, col("term"))
+      .orderBy(col("score_milli").desc, col("term"))
     tf.join(df, "term")
       .crossJoin(nDocs) // 1-row scalar, broadcast
       .select(col("source"), col("term"), col("tf"), col("df"),
         round(col("tf").cast(DoubleType) *
           log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
-          1e6).cast(LongType).as("score_micro"))
+          1e3).cast(LongType).as("score_milli"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= K)
       .orderBy(col("source"), col("rank"))
@@ -395,21 +407,21 @@ object TextQueries {
     """WITH terms AS (
       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
+      |perdoc AS (
+      |  SELECT term, doc_id, source, count(*) AS c FROM terms GROUP BY 1, 2, 3),
       |n AS (SELECT count(*) AS n_docs FROM documents),
-      |df AS (
-      |  SELECT term, count(*) AS df
-      |  FROM (SELECT DISTINCT term, doc_id FROM terms) GROUP BY term),
+      |df AS (SELECT term, count(*) AS df FROM perdoc GROUP BY term),
       |tf AS (
-      |  SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |  SELECT source, term, CAST(sum(c) AS BIGINT) AS tf FROM perdoc GROUP BY 1, 2),
       |scored AS (
       |  SELECT source, term, tf, df,
-      |         CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS score_micro
+      |         CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e3) AS BIGINT) AS score_milli
       |  FROM tf JOIN df USING (term), n),
       |ranked AS (
-      |  SELECT source, term, tf, df, score_micro,
-      |         CAST(row_number() OVER (PARTITION BY source ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+      |  SELECT source, term, tf, df, score_milli,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY score_milli DESC, term) AS BIGINT) AS rank
       |  FROM scored)
-      |SELECT source, term, tf, df, score_micro, rank
+      |SELECT source, term, tf, df, score_milli, rank
       |FROM ranked WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 

@@ -249,16 +249,26 @@ object EventsPipeline {
   }
 
   /** Compact the append-only upsert sink: collapse every hour to its
-    * latest epoch and atomically replace the table (write to a temp
-    * dir, then swap). Long-running streams otherwise accumulate one
-    * superseded row-version per hour per flush — at cluster scale the
-    * reader's latest-epoch window grows linearly with uptime until a
-    * compaction pass like this one re-bounds it (the parquet analog of
-    * Postgres vacuum after the reference's ON CONFLICT churn). Run it
-    * from a maintenance schedule, not the hot path; readers see either
-    * the old or the new table, and [[readHourlyMetrics]] results are
-    * identical before and after (CheckpointResumeSpec asserts this). */
+    * latest epoch and swap the table directory. Long-running streams
+    * otherwise accumulate one superseded row-version per hour per
+    * flush — at cluster scale the reader's latest-epoch window grows
+    * linearly with uptime until a compaction pass re-bounds it (the
+    * parquet analog of Postgres vacuum after the reference's
+    * ON CONFLICT churn).
+    *
+    * Run it in a maintenance window with the stream STOPPED (stop the
+    * query, compact, restart from the checkpoint): plain parquet
+    * directories have no commit protocol, so a flush landing between
+    * the snapshot read and the swap would be lost, and a reader racing
+    * the swap can observe the move. The swap itself never leaves the
+    * data unrecoverable: the compacted copy is fully written first,
+    * then old -> aside, tmp -> live, aside deleted — a crash at any
+    * point leaves at least one complete directory on disk. Each rename
+    * result is checked (HDFS reports failure by returning false, not
+    * throwing). [[readHourlyMetrics]] results are identical before and
+    * after (CheckpointResumeSpec asserts this). */
   def compactHourlyMetrics(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val path = s"$outDir/hourly_business_metrics"
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hour")).orderBy(col("batch_epoch").desc)
@@ -266,12 +276,20 @@ object EventsPipeline {
       .withColumn("rn", row_number().over(latest))
       .filter(col("rn") === 1)
       .drop("rn")
-    val tmp = s"$path.compact.tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val dst = new Path(path)
+    val tmp = new Path(s"$path.compact.tmp")
+    val old = new Path(s"$path.compact.old")
+    // resolve the SINK's filesystem, not the default one (outDir may be
+    // s3a:// while the default FS is hdfs://)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true) // stale leftover from a previous crash
+    require(fs.rename(dst, old), s"compaction: could not move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      // restore the original table before failing
+      fs.rename(old, dst)
+      throw new IllegalStateException(s"compaction: could not swap in $tmp")
+    }
+    fs.delete(old, true)
   }
 }
