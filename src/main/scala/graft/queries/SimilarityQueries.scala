@@ -434,11 +434,56 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ann_knn_join: k-nearest-neighbor self-join within blocks
+  // ---------------------------------------------------------------------
+
+  /** Per-vector top-3 neighbors within its label block — the kNN
+    * self-join that feeds semantic clustering, kNN-graph construction,
+    * and near-dup candidate generation. Block-bounded (label here; LSH
+    * bucket / IVF cell at 100 TB), so the pair count is sum of squared
+    * block sizes, never corpus². The per-query top-k is a partitioned
+    * window over the block pairs, which Spark executes with a
+    * WindowGroupLimit partial pass (map-side top-k before the
+    * shuffle). */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val KnnK = 3
+    val e = withNorm(embs(spark, dir))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nn_id"),
+        cosine("a", "b").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= KnnK)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
+       |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, label, nn_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT vec_id, label, nn_id, cosine, rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
+    ("ann_knn_join", knnJoin _, knnJoinSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql))
 }
