@@ -303,6 +303,69 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------
+  // emb_drift: centroid shift between deterministic corpus halves
+  // ---------------------------------------------------------------------
+
+  /** Per-label centroid L2 distance between the two deterministic
+    * halves of the corpus (vec_id parity — in production, yesterday's
+    * batch vs today's) — the embedding-distribution drift monitor a
+    * training pipeline alarms on. Same scale shape as
+    * [[labelCentroids]]: fixed-point int sums (order-free exact, O(1)
+    * buffers), per-half conditional aggregates in ONE pass over one
+    * shuffle, pivoted means, and the distance folded in fixed pos
+    * order so the doubles hash bit-identically cross-engine. */
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val isB = (col("vec_id") % 2) === 1
+    val means = embs(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), isB.as("in_b"),
+        round(col("col").cast(DoubleType) * lit(Fp)).cast(LongType).as("xfp"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(!col("in_b"), col("xfp"))).as("sa"),
+        count(when(!col("in_b"), 1)).as("na"),
+        sum(when(col("in_b"), col("xfp"))).as("sb"),
+        count(when(col("in_b"), 1)).as("nb"))
+      .select(col("label"), col("pos"), col("na"), col("nb"),
+        (col("sa").cast(DoubleType) / (col("na").cast(DoubleType) * lit(Fp)) -
+          col("sb").cast(DoubleType) / (col("nb").cast(DoubleType) * lit(Fp)))
+          .as("d"))
+    val pivots = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("d"))).as(s"d$i"))
+    val dist2 = (0 until Dim).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
+    means.groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), (max(col("nb")).as("n_b") +: pivots): _*)
+      .select(col("label"), col("n_a"), col("n_b"),
+        sqrt(dist2).as("drift_l2"))
+      .orderBy(col("label"))
+  }
+
+  val driftSql: String = {
+    val pivots = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN d END) AS d$i")
+      .mkString(",\n       ")
+    val dist2 = (0 until Dim).map(i => s"d$i * d$i").mkString(" + ")
+    s"""WITH x AS (
+       |  SELECT label, i - 1 AS pos, vec_id % 2 = 1 AS in_b,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $Fp) AS BIGINT) AS xfp
+       |  FROM embeddings, generate_series(1, $Dim) t(i)),
+       |m AS (
+       |  SELECT label, pos,
+       |         count(CASE WHEN NOT in_b THEN 1 END) AS na,
+       |         count(CASE WHEN in_b THEN 1 END) AS nb,
+       |         CAST(sum(CASE WHEN NOT in_b THEN xfp END) AS DOUBLE) / (CAST(count(CASE WHEN NOT in_b THEN 1 END) AS DOUBLE) * $Fp)
+       |           - CAST(sum(CASE WHEN in_b THEN xfp END) AS DOUBLE) / (CAST(count(CASE WHEN in_b THEN 1 END) AS DOUBLE) * $Fp) AS d
+       |  FROM x GROUP BY 1, 2),
+       |p AS (
+       |  SELECT label, max(na) AS n_a, max(nb) AS n_b,
+       |       $pivots
+       |  FROM m GROUP BY label)
+       |SELECT label, n_a, n_b, sqrt($dist2) AS drift_l2
+       |FROM p
+       |ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_quantize: symmetric int8 quantization of the embedding column
   // ---------------------------------------------------------------------
 
@@ -485,5 +548,6 @@ object SimilarityQueries {
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
+    ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql))
 }
