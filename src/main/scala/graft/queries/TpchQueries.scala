@@ -479,6 +479,33 @@ object TpchQueries {
       |FROM lineitem JOIN th USING (l_partkey)
       |WHERE l_quantity < qty_threshold""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Customer order distribution (TPC-H Q13 shape): LEFT OUTER join
+  // preserving zero-order customers, then a count-of-counts histogram —
+  // double aggregation where the second input is already tiny.
+  // ---------------------------------------------------------------------
+
+  def orderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val orderDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
@@ -491,5 +518,6 @@ object TpchQueries {
     ("tpch_forecast_revenue", forecastRevenue _, forecastRevenueSql),
     ("tpch_returned_items", returnedItems _, returnedItemsSql),
     ("tpch_nation_trade", nationTrade _, nationTradeSql),
-    ("tpch_small_qty_revenue", smallQtyRevenue _, smallQtyRevenueSql))
+    ("tpch_small_qty_revenue", smallQtyRevenue _, smallQtyRevenueSql),
+    ("tpch_order_distribution", orderDistribution _, orderDistributionSql))
 }
