@@ -425,6 +425,210 @@ object TextQueries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_entropy: character-distribution entropy scoring
+  // ---------------------------------------------------------------------
+
+  /** Corpus alphabet (the testdata is lowercase words + single spaces;
+    * TESTDATA.md). The fixed, ordered alphabet makes the entropy fold
+    * order syntactic — identical on both engines. */
+  private val Alphabet: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ").toSeq
+
+  /** Per-document character-unigram Shannon entropy — the
+    * model-free "gibberish / low-diversity" scorer of a training-data
+    * quality pipeline (a document whose char distribution collapses to
+    * a few symbols is boilerplate or spam).
+    *
+    * Per-row only: 27 substring-count passes + one fixed-order fold;
+    * zero shuffles before the final sort, fully codegen'd. ln() is a
+    * libm transcendental (cross-engine ulp risk, see tfidf), so the
+    * entropy is quantized to 1e-4 nats: both engines emit identical
+    * int64s. Char counts via size(split(text, c)) - 1 — Spark's split
+    * keeps trailing empties (limit -1) exactly like DuckDB's
+    * string_split, so counts agree. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_chars_m").cast(DoubleType)
+    val pTerm: (Column, Column) => Column = (acc, c) => {
+      val p = c.cast(DoubleType) / n
+      acc + when(c > 0L, p * log(p)).otherwise(lit(0.0))
+    }
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        array(Alphabet.map(c =>
+          (size(split(col("text"), c)) - 1).cast(LongType)): _*).as("cnts"))
+      // barrier: cnts is referenced twice below; CollapseProject would
+      // otherwise inline the 27 split() passes into each reference
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_chars_m"),
+        size(filter(col("cnts"), c => c > 0L)).cast(LongType)
+          .as("n_distinct_chars"),
+        round(-aggregate(col("cnts"), lit(0.0), pTerm) * 1e4)
+          .cast(LongType).as("entropy_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropySql: String = {
+    val alphaList = Alphabet.map(c => s"'$c'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS BIGINT) AS n_chars_m,
+       |         list_transform([$alphaList],
+       |           c -> CAST(len(string_split(text, c)) AS BIGINT) - 1) AS cnts
+       |  FROM documents)
+       |SELECT doc_id, n_chars_m,
+       |       CAST(len(list_filter(cnts, c -> c > 0)) AS BIGINT) AS n_distinct_chars,
+       |       CAST(round(-list_sum(list_transform(cnts,
+       |           c -> CASE WHEN c > 0
+       |                THEN (CAST(c AS DOUBLE) / CAST(n_chars_m AS DOUBLE))
+       |                     * ln(CAST(c AS DOUBLE) / CAST(n_chars_m AS DOUBLE))
+       |                ELSE 0.0 END)) * 1e4) AS BIGINT) AS entropy_e4
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // txt_repetition: Gopher-style repetition filters
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition metrics in the shape of the Gopher /
+    * MassiveText quality filters (Rae et al. 2021, table A1): duplicate
+    * word fraction, top-word character coverage, duplicate-bigram
+    * fraction, top-bigram character coverage, duplicate-trigram
+    * fraction, and a pass/fail gate over fixed thresholds.
+    *
+    * Shape: the word/bigram grain is relational (one explode + two
+    * shrinking aggregations — the same inverted-index discipline as
+    * tfidf; no per-row quadratic mode search), the trigram fraction is
+    * per-row HOF work on the already-distinct shingle hashes. All
+    * fractions are single divisions of exact int64s — bit-identical
+    * cross-engine with no quantization. "Coverage" is max over grams of
+    * c*len(gram)/n_chars (an argmax-free formulation: no tie-breaking
+    * divergence between engines). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+
+    val unigrams = base.select(col("doc_id"), col("n_chars_m"),
+      lit(1).as("ng"), explode(col("toks")).as("gram"))
+    val bigrams = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("n_chars_m"), lit(2).as("ng"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2)))))
+          .as("gram"))
+
+    val grams = unigrams.union(bigrams)
+      .groupBy(col("doc_id"), col("n_chars_m"), col("ng"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_chars_m"), col("ng"))
+      .agg(
+        sum(col("c")).as("total"),
+        count(lit(1)).as("uniq"),
+        max(col("c") * length(col("gram")).cast(LongType)).as("cover"))
+      .groupBy(col("doc_id"), col("n_chars_m"))
+      .agg(
+        max(when(col("ng") === 1, col("total"))).as("t1"),
+        max(when(col("ng") === 1, col("uniq"))).as("u1"),
+        max(when(col("ng") === 1, col("cover"))).as("cov1"),
+        max(when(col("ng") === 2, col("total"))).as("t2"),
+        max(when(col("ng") === 2, col("uniq"))).as("u2"),
+        max(when(col("ng") === 2, col("cover"))).as("cov2"))
+
+    val tri = base.select(col("doc_id"),
+      when(size(col("toks")) >= 3, size(col("toks")) - 2).otherwise(lit(0))
+        .cast(LongType).as("t3"),
+      size(shingleHashesOfToks(col("toks"), 3)).cast(LongType).as("d3"))
+
+    val nChars = col("n_chars_m").cast(DoubleType)
+    val dupWordFrac = lit(1.0) - col("u1").cast(DoubleType) / col("t1").cast(DoubleType)
+    val topWordFrac = col("cov1").cast(DoubleType) / nChars
+    val dupBigramFrac = when(coalesce(col("t2"), lit(0L)) > 0L,
+      lit(1.0) - col("u2").cast(DoubleType) / col("t2").cast(DoubleType))
+      .otherwise(lit(0.0))
+    val topBigramFrac = coalesce(col("cov2"), lit(0L)).cast(DoubleType) / nChars
+    val dupTrigramFrac = when(col("t3") > 0L,
+      lit(1.0) - col("d3").cast(DoubleType) / col("t3").cast(DoubleType))
+      .otherwise(lit(0.0))
+
+    grams.join(tri, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_chars_m"),
+        col("t1").as("n_tokens"),
+        dupWordFrac.as("dup_word_frac"),
+        topWordFrac.as("top_word_char_frac"),
+        dupBigramFrac.as("dup_bigram_frac"),
+        topBigramFrac.as("top_bigram_char_frac"),
+        dupTrigramFrac.as("dup_trigram_frac"),
+        when(dupWordFrac < 0.5 && topWordFrac < 0.3 && dupTrigramFrac < 0.5,
+          lit(1L)).otherwise(lit(0L)).as("passes_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+       |         string_split(text, ' ') AS toks, text
+       |  FROM documents),
+       |uni AS (
+       |  SELECT doc_id, n_chars_m, 1 AS ng, unnest(toks) AS gram FROM base),
+       |big AS (
+       |  SELECT doc_id, n_chars_m, 2 AS ng,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                i -> array_to_string(toks[i:i+1], ' '))) AS gram
+       |  FROM base WHERE len(toks) >= 2),
+       |g AS (
+       |  SELECT doc_id, n_chars_m, ng, gram, count(*) AS c
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+       |  GROUP BY 1, 2, 3, 4),
+       |a AS (
+       |  SELECT doc_id, n_chars_m, ng,
+       |         CAST(sum(c) AS BIGINT) AS total,
+       |         count(*) AS uniq,
+       |         CAST(max(c * length(gram)) AS BIGINT) AS cover
+       |  FROM g GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT doc_id, n_chars_m,
+       |         max(CASE WHEN ng = 1 THEN total END) AS t1,
+       |         max(CASE WHEN ng = 1 THEN uniq END) AS u1,
+       |         max(CASE WHEN ng = 1 THEN cover END) AS cov1,
+       |         max(CASE WHEN ng = 2 THEN total END) AS t2,
+       |         max(CASE WHEN ng = 2 THEN uniq END) AS u2,
+       |         max(CASE WHEN ng = 2 THEN cover END) AS cov2
+       |  FROM a GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS BIGINT) AS t3,
+       |         CAST(len(${shingleHashesSql(3)}) AS BIGINT) AS d3
+       |  FROM base),
+       |m AS (
+       |  SELECT p.doc_id, p.n_chars_m, p.t1 AS n_tokens,
+       |         1.0 - CAST(u1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS dup_word_frac,
+       |         CAST(cov1 AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS top_word_char_frac,
+       |         CASE WHEN COALESCE(t2, 0) > 0
+       |              THEN 1.0 - CAST(u2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+       |              ELSE 0.0 END AS dup_bigram_frac,
+       |         CAST(COALESCE(cov2, 0) AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS top_bigram_char_frac,
+       |         CASE WHEN t3 > 0
+       |              THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(t3 AS DOUBLE)
+       |              ELSE 0.0 END AS dup_trigram_frac
+       |  FROM p JOIN tri ON p.doc_id = tri.doc_id)
+       |SELECT doc_id, n_chars_m, n_tokens, dup_word_frac, top_word_char_frac,
+       |       dup_bigram_frac, top_bigram_char_frac, dup_trigram_frac,
+       |       CAST(CASE WHEN dup_word_frac < 0.5 AND top_word_char_frac < 0.3
+       |                      AND dup_trigram_frac < 0.5
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -436,5 +640,7 @@ object TextQueries {
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in ExtensionOpsSpec
     ("txt_quantiles_approx", lenQuantilesApprox _, null),
-    ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql))
+    ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql),
+    ("txt_entropy", entropy _, entropySql),
+    ("txt_repetition", repetition _, repetitionSql))
 }
