@@ -440,13 +440,23 @@ object TextQueries {
     * quality pipeline (a document whose char distribution collapses to
     * a few symbols is boilerplate or spam).
     *
-    * Per-row only: 27 substring-count passes + one fixed-order fold;
-    * zero shuffles before the final sort, fully codegen'd. ln() is a
-    * libm transcendental (cross-engine ulp risk, see tfidf), so the
-    * entropy is quantized to 1e-4 nats: both engines emit identical
-    * int64s. Char counts via size(split(text, c)) - 1 — Spark's split
-    * keeps trailing empties (limit -1) exactly like DuckDB's
-    * string_split, so counts agree. */
+    * Per-row only: 27 substring-count passes + one fixed-order fold,
+    * fully codegen'd; the one pre-sort shuffle is the doc_id
+    * repartition used as a CollapseProject barrier (cnts is referenced
+    * twice below — without the barrier the 27 split() passes inline
+    * into each reference and run twice per row). The shuffle moves
+    * (doc_id, long, 28 longs) per row — far narrower than the text it
+    * replaces recomputing. ln() is a libm transcendental (cross-engine
+    * ulp risk, see tfidf), so the entropy is quantized to 1e-4 nats:
+    * both engines emit identical int64s. Char counts via
+    * size(split(text, c)) - 1 — Spark's split keeps trailing empties
+    * (limit -1) exactly like DuckDB's string_split, so counts agree.
+    * Characters outside the a-z+space alphabet land in a residual
+    * bucket (n_chars_m minus the alphabet counts, appended as the
+    * 28th element in the same fold position on both engines), so the
+    * distribution always sums to 1 and entropy stays correct even if
+    * the corpus grows digits or punctuation; the bucket counts as one
+    * distinct symbol when non-empty. */
   def entropy(spark: SparkSession, dir: String): DataFrame = {
     val n = col("n_chars_m").cast(DoubleType)
     val pTerm: (Column, Column) => Column = (acc, c) => {
@@ -457,10 +467,18 @@ object TextQueries {
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars_m"),
         array(Alphabet.map(c =>
-          (size(split(col("text"), c)) - 1).cast(LongType)): _*).as("cnts"))
-      // barrier: cnts is referenced twice below; CollapseProject would
+          (size(split(col("text"), c)) - 1).cast(LongType)): _*).as("cnts27"))
+      // barrier: cnts27 is consumed below; CollapseProject would
       // otherwise inline the 27 split() passes into each reference
       .repartition(col("doc_id"))
+      // residual bucket: anything not in the alphabet. The post-barrier
+      // projections may inline this concat into both consumers, but the
+      // re-computed part is a 27-element long fold — cheap — while the
+      // expensive split() passes stay before the shuffle, computed once.
+      .withColumn("cnts",
+        concat(col("cnts27"), array(
+          (col("n_chars_m") -
+            aggregate(col("cnts27"), lit(0L), (a, c) => a + c)))))
       .select(
         col("doc_id"),
         col("n_chars_m"),
@@ -473,12 +491,16 @@ object TextQueries {
 
   val entropySql: String = {
     val alphaList = Alphabet.map(c => s"'$c'").mkString(", ")
-    s"""WITH t AS (
+    s"""WITH t0 AS (
        |  SELECT doc_id,
        |         CAST(length(text) AS BIGINT) AS n_chars_m,
        |         list_transform([$alphaList],
-       |           c -> CAST(len(string_split(text, c)) AS BIGINT) - 1) AS cnts
-       |  FROM documents)
+       |           c -> CAST(len(string_split(text, c)) AS BIGINT) - 1) AS cnts27
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, n_chars_m,
+       |         list_append(cnts27, n_chars_m - list_sum(cnts27)) AS cnts
+       |  FROM t0)
        |SELECT doc_id, n_chars_m,
        |       CAST(len(list_filter(cnts, c -> c > 0)) AS BIGINT) AS n_distinct_chars,
        |       CAST(round(-list_sum(list_transform(cnts,
@@ -507,13 +529,27 @@ object TextQueries {
     * fractions are single divisions of exact int64s — bit-identical
     * cross-engine with no quantization. "Coverage" is max over grams of
     * c*len(gram)/n_chars (an argmax-free formulation: no tie-breaking
-    * divergence between engines). */
+    * divergence between engines).
+    *
+    * Caveat: the distinct-trigram count reuses the 60-bit shingle
+    * hashes, so a hash collision between two distinct trigrams in the
+    * SAME document would deflate the count by one. Both engines hash
+    * identically (oracle can't diverge); within one document the
+    * collision probability is ~n_tri^2 / 2^61 — negligible even for
+    * million-token documents — and a deflated count only makes the
+    * quality gate marginally stricter. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
+    // base is consumed three times (unigrams, bigrams, trigram stats);
+    // without persist the scan + tokenize + repartition re-execute per
+    // consumer — the twice-consumed-DataFrame trap tfidf persists
+    // against. Eager count() materializes before the fan-out.
     val base = docs(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars_m"),
         tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
+      .persist()
+    base.count()
 
     val unigrams = base.select(col("doc_id"), col("n_chars_m"),
       lit(1).as("ng"), explode(col("toks")).as("gram"))
