@@ -579,6 +579,91 @@ object DedupQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_contamination: train/eval n-gram decontamination
+  // ---------------------------------------------------------------------
+
+  /** Eval-set contamination scan: for every valid/test document (by the
+    * same content-hash split as util_hash_split), find the training
+    * document with the highest 3-gram CONTAINMENT (|A∩B| / |A_eval|) —
+    * the GPT-3-style n-gram decontamination pass run before any eval is
+    * trusted. Containment, not Jaccard: a short eval doc fully embedded
+    * in a long train doc is contaminated even though Jaccard is tiny.
+    *
+    * Note the interplay with the content-hash split: EXACT duplicates
+    * hash to the same split by construction, so cross-split leakage is
+    * only ever near-duplicate-shaped — which is exactly what the
+    * shingle index catches.
+    *
+    * Scale shape: identical to ngramJaccard — inverted shingle index,
+    * posting-list cap, pair expansion only inside a posting list; the
+    * eval side of the join is ~20% of the corpus. Tie-break on the
+    * exact int64 (common DESC, train_doc ASC), never the derived
+    * double. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val sh = shingles(spark, dir).persist()
+    sh.count()
+    val bucket = pmod(h60(col("text")), lit(100L))
+    val splits = docs(spark, dir).select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+    val cold = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxPostingList)
+      .select(col("s"))
+    val postings = withSizes(sh).join(cold, "s").join(splits, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_doc"))
+      .orderBy(col("common").desc, col("train_doc"))
+    postings.as("e").filter(col("e.split") =!= "train")
+      .join(postings.as("t").filter(col("t.split") === "train"),
+        col("e.s") === col("t.s"))
+      .groupBy(col("e.split").as("split"), col("e.doc_id").as("eval_doc"),
+        col("t.doc_id").as("train_doc"), col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast(DoubleType) / col("n_eval").cast(DoubleType))
+      .filter(col("containment") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("split"), col("eval_doc"), col("train_doc"),
+        col("common"), col("n_eval"), col("containment"))
+      .orderBy(col("split"), col("eval_doc"))
+  }
+
+  val contaminationSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH sh AS ($shinglesCte),
+       |splits AS (
+       |  SELECT doc_id, CASE WHEN ${h60Sql("text")} % 100 < 80 THEN 'train'
+       |                      WHEN ${h60Sql("text")} % 100 < 90 THEN 'valid'
+       |                      ELSE 'test' END AS split
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxPostingList),
+       |p AS (
+       |  SELECT sh.doc_id, sh.s, splits.split, sizes.n
+       |  FROM sh JOIN cold USING (s) JOIN splits USING (doc_id)
+       |  JOIN sizes USING (doc_id)),
+       |common AS (
+       |  SELECT e.split AS split, e.doc_id AS eval_doc, t.doc_id AS train_doc,
+       |         e.n AS n_eval, count(*) AS common
+       |  FROM p e JOIN p t ON e.s = t.s
+       |  WHERE e.split <> 'train' AND t.split = 'train'
+       |  GROUP BY 1, 2, 3, 4),
+       |scored AS (
+       |  SELECT split, eval_doc, train_doc, common, n_eval,
+       |         CAST(common AS DOUBLE) / CAST(n_eval AS DOUBLE) AS containment,
+       |         row_number() OVER (PARTITION BY eval_doc
+       |                            ORDER BY common DESC, train_doc) AS rn
+       |  FROM common
+       |  WHERE CAST(common AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.5)
+       |SELECT split, eval_doc, train_doc, common, n_eval, containment
+       |FROM scored WHERE rn = 1
+       |ORDER BY split, eval_doc""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
@@ -589,5 +674,6 @@ object DedupQueries {
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_clusters", clusters _, clustersSql),
-    ("dedup_corpus_clean", corpusClean _, corpusCleanSql))
+    ("dedup_corpus_clean", corpusClean _, corpusCleanSql),
+    ("dedup_contamination", contamination _, contaminationSql))
 }

@@ -541,6 +541,104 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // emb_kmeans_step: one Lloyd iteration with deterministic seeds
+  // ---------------------------------------------------------------------
+
+  /** One k-means (Lloyd) iteration: assign every vector to its nearest
+    * of k=8 deterministic seed centroids (the 8 lowest vec_ids — in
+    * production, the previous iteration's output), then recompute each
+    * cluster's centroid and inertia. This is the per-round body of
+    * distributed k-means / IVF training; iterate it the way
+    * dedup_clusters iterates (eager localCheckpoint between rounds).
+    *
+    * Scale shape: the k seeds broadcast (k rows, never the corpus);
+    * assignment is a per-partition scan scoring each vector against
+    * the broadcast seeds; the recompute is the labelCentroids pattern —
+    * fixed-point int64 component sums on one (cluster, pos) shuffle,
+    * O(1) aggregation buffers, no collect_list. Inertia is the sum of
+    * per-row micro-quantized squared distances (round(d2 * 1e6) —
+    * int64 folds order-free, and d2 itself is bit-identical
+    * cross-engine because the dot/norm folds are sequential in both
+    * engines). Argmin tie-breaks on (d2, cent_id); d2 doubles compare
+    * identically because they hash identically. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val e = embs(spark, dir)
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val seeds = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        (expr("graft_norm2(embedding)") + expr("graft_norm2(cvec)") -
+          lit(2.0) * expr("graft_dot(embedding, cvec)")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val stats = assigned.groupBy(col("cent_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(round(col("d2") * lit(1e6)).cast(LongType)).as("inertia_q"))
+    val pivots = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+    val norm2 = (0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _)
+    val cents = assigned
+      .select(col("cent_id"), posexplode(col("embedding")))
+      .select(col("cent_id"), col("pos"),
+        round(col("col").cast(DoubleType) * lit(Fp)).cast(LongType).as("xfp"))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(sum(col("xfp")).as("sfp"), count(lit(1)).as("n"))
+      .select(col("cent_id"), col("pos"),
+        (col("sfp").cast(DoubleType) / (col("n").cast(DoubleType) * lit(Fp)))
+          .as("m"))
+      .groupBy(col("cent_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("cent_id"), sqrt(norm2).as("centroid_norm"))
+    stats.join(cents, "cent_id")
+      .select(col("cent_id"), col("n_members"), col("inertia_q"),
+        col("centroid_norm"))
+      .orderBy(col("cent_id"))
+  }
+
+  val kmeansStepSql: String = {
+    val pivots = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
+      .mkString(",\n       ")
+    val norm2 = (0 until Dim).map(i => s"m$i * m$i").mkString(" + ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.cent_id,
+       |         ${norm2Sql("e.embedding")} + ${norm2Sql("s.cvec")}
+       |           - 2.0 * ${dotSql("e.embedding", "s.cvec")} AS d2
+       |  FROM embeddings e, seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cent_id, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |stats AS (
+       |  SELECT cent_id, count(*) AS n_members,
+       |         CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_q
+       |  FROM assigned GROUP BY 1),
+       |x AS (
+       |  SELECT cent_id, i - 1 AS pos,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $Fp) AS BIGINT) AS xfp
+       |  FROM assigned, generate_series(1, $Dim) t(i)),
+       |mm AS (
+       |  SELECT cent_id, pos,
+       |         CAST(sum(xfp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $Fp) AS m
+       |  FROM x GROUP BY 1, 2),
+       |p AS (
+       |  SELECT cent_id,
+       |       $pivots
+       |  FROM mm GROUP BY cent_id)
+       |SELECT cent_id, n_members, inertia_q, sqrt($norm2) AS centroid_norm
+       |FROM stats JOIN p USING (cent_id)
+       |ORDER BY cent_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
@@ -549,5 +647,6 @@ object SimilarityQueries {
     ("ann_knn_join", knnJoin _, knnJoinSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
-    ("emb_quantize", quantizeInt8 _, quantizeInt8Sql))
+    ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
+    ("emb_kmeans_step", kmeansStep _, kmeansStepSql))
 }

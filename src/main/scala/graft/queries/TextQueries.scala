@@ -665,6 +665,65 @@ object TextQueries {
        |FROM m
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_length_deciles: cumulative-distribution length binning
+  // ---------------------------------------------------------------------
+
+  /** Document-length decile profile — the length-distribution report a
+    * corpus curation pass uses to pick truncation/packing bounds.
+    *
+    * Scale shape: deciles of N documents are computed WITHOUT a global
+    * sort of the corpus — documents first aggregate to the (n_chars ->
+    * count) grain (one shuffle, map-side combined; distinct lengths ≪
+    * documents), and the single-partition cumulative window runs over
+    * that bounded grain only — the same pre-aggregated-window
+    * discipline as the hourly rollups. Decile assignment is pure int64
+    * arithmetic (floor((cum-1)*10 / total)), so both engines bin
+    * identically; per-decile stats then re-aggregate the same grain. */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val byLen = docs(spark, dir)
+      .groupBy(col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = byLen.agg(sum(col("cnt")).as("total"))
+    byLen.crossJoin(total) // 1-row scalar, broadcast
+      .withColumn("cum", sum(col("cnt")).over(w))
+      // integral div (Column./ is DOUBLE division and can round across
+      // an integer boundary); `div` is exact int64 on both engines
+      .withColumn("decile", expr("((cum - 1) * 10) div total") + 1L)
+      .groupBy(col("decile"))
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars") * col("cnt")).as("total_chars"))
+      .orderBy(col("decile"))
+  }
+
+  val lengthDecilesSql: String =
+    """WITH bylen AS (
+      |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM bylen),
+      |cum AS (
+      |  SELECT n_chars, cnt, total,
+      |         CAST(sum(cnt) OVER (ORDER BY n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM bylen, tot),
+      |binned AS (
+      |  SELECT n_chars, cnt,
+      |         ((cum - 1) * 10) // total + 1 AS decile
+      |  FROM cum)
+      |SELECT decile,
+      |       CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |       min(n_chars) AS min_chars,
+      |       max(n_chars) AS max_chars,
+      |       CAST(sum(n_chars * cnt) AS BIGINT) AS total_chars
+      |FROM binned
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -678,5 +737,6 @@ object TextQueries {
     ("txt_quantiles_approx", lenQuantilesApprox _, null),
     ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql),
     ("txt_entropy", entropy _, entropySql),
-    ("txt_repetition", repetition _, repetitionSql))
+    ("txt_repetition", repetition _, repetitionSql),
+    ("txt_length_deciles", lengthDeciles _, lengthDecilesSql))
 }

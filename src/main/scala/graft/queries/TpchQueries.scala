@@ -506,6 +506,131 @@ object TpchQueries {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Discounted revenue under disjunctive predicates (TPC-H Q19 shape):
+  // an OR-of-ANDs mixing part-side and fact-side predicates. Catalyst's
+  // PushExtraPredicateThroughJoin extracts the part-only disjunction
+  // (brand/size OR-chain) and pushes it below the join, so the part
+  // scan prunes before any shuffle — the optimization this query
+  // exists to exercise.
+  // ---------------------------------------------------------------------
+
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    def band(brand: String, szHi: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        band("Brand#12", 5, 1.0, 11.0) ||
+          band("Brand#23", 10, 10.0, 20.0) ||
+          band("Brand#34", 15, 20.0, 30.0))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Money)).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1.0 AND 11.0)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Wealthy inactive customers (TPC-H Q22 shape): scalar subquery
+  // (global positive-balance average) + date-bounded anti join. The
+  // 1-row average broadcasts; the anti join shuffles on custkey with
+  // the orders side pre-filtered by the pushed date predicate.
+  // ---------------------------------------------------------------------
+
+  def wealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    // avg formulated as decimal-sum / count so both engines produce the
+    // identical double before the > comparison
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(Money)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avg_bal"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+      .select(col("o_custkey"))
+    cust.crossJoin(avgBal) // 1-row scalar, broadcast
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val wealthyInactiveSql: String =
+    """WITH avg_bal AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment,
+      |       count(*) AS n_cust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+      |FROM customer, avg_bal
+      |WHERE c_acctbal > a
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Part value concentration (TPC-H Q11 shape): two-level aggregate
+  // with a HAVING threshold derived from the aggregate itself. The
+  // threshold is relative (1.4x the mean per-part value), not a fixed
+  // share, so the row count stays stable as SF grows. Totals fold in
+  // exact DECIMAL before the one cast to double, making the threshold
+  // comparison bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+
+  def partValueShare(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(Money)).as("val_dec"))
+    // exact decimal grand total — associative, so summing the per-part
+    // decimals equals summing the fact directly
+    val tot = v.agg(
+      sum(col("val_dec")).cast(DoubleType).as("tot"),
+      count(lit(1)).cast(DoubleType).as("nparts"))
+    v.crossJoin(tot) // 1-row scalar, broadcast
+      .filter(col("val_dec").cast(DoubleType) >
+        lit(1.4) * (col("tot") / col("nparts")))
+      .select(col("l_partkey"),
+        col("val_dec").cast(DoubleType).as("part_value"),
+        (col("val_dec").cast(DoubleType) / col("tot")).as("share"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val partValueShareSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS val_dec
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(val_dec) AS DOUBLE) AS tot,
+      |         CAST(count(*) AS DOUBLE) AS nparts
+      |  FROM v)
+      |SELECT l_partkey,
+      |       CAST(val_dec AS DOUBLE) AS part_value,
+      |       CAST(val_dec AS DOUBLE) / tot AS share
+      |FROM v, tot
+      |WHERE CAST(val_dec AS DOUBLE) > 1.4 * (tot / nparts)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
@@ -519,5 +644,8 @@ object TpchQueries {
     ("tpch_returned_items", returnedItems _, returnedItemsSql),
     ("tpch_nation_trade", nationTrade _, nationTradeSql),
     ("tpch_small_qty_revenue", smallQtyRevenue _, smallQtyRevenueSql),
-    ("tpch_order_distribution", orderDistribution _, orderDistributionSql))
+    ("tpch_order_distribution", orderDistribution _, orderDistributionSql),
+    ("tpch_disjunctive_revenue", disjunctiveRevenue _, disjunctiveRevenueSql),
+    ("tpch_wealthy_inactive", wealthyInactive _, wealthyInactiveSql),
+    ("tpch_part_value_share", partValueShare _, partValueShareSql))
 }

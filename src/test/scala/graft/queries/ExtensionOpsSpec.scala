@@ -169,4 +169,54 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.forall { case (_, n, k) => k <= n })
   }
+
+  test("emb_kmeans_step output is a partition of the corpus with sane inertia") {
+    val rows = SimilarityQueries.kmeansStep(spark, dir).collect()
+    val corpus = graft.util.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus)
+    // every seed belongs to its own cluster (d2 = 0), so inertia is
+    // finite and non-negative, and each listed cluster is non-empty
+    assert(rows.forall(_.getAs[Long]("inertia_q") >= 0L))
+    assert(rows.forall(_.getAs[Long]("n_members") >= 1L))
+    assert(rows.forall(r => !r.getAs[Double]("centroid_norm").isNaN))
+  }
+
+  test("dedup_contamination flags only cross-split near-dups, one row per eval doc") {
+    val rows = DedupQueries.contamination(spark, dir).collect()
+    assert(rows.nonEmpty) // planted near-dups straddle the split at this SF
+    val evalDocs = rows.map(_.getAs[Long]("eval_doc"))
+    assert(evalDocs.distinct.length == evalDocs.length) // top-1 per eval doc
+    assert(rows.forall(r => Set("valid", "test")(r.getAs[String]("split"))))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("containment"); c >= 0.5 && c <= 1.0
+    })
+    // split labels agree with the util_hash_split assignment rule
+    import graft.functions.TextFunctions.h60
+    val splitOf = graft.util.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), pmod(h60(col("text")), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "valid" else "test"))
+      .toMap
+    assert(rows.forall(r =>
+      splitOf(r.getAs[Long]("eval_doc")) == r.getAs[String]("split")))
+    assert(rows.forall(r => splitOf(r.getAs[Long]("train_doc")) == "train"))
+  }
+
+  test("txt_length_deciles covers the corpus with non-overlapping bins") {
+    val rows = TextQueries.lengthDeciles(spark, dir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    val corpus = graft.util.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("decile"); d >= 1L && d <= 10L
+    })
+    // bins are ordered and disjoint: each decile's max length is below
+    // the next decile's min length
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_chars") < b.getAs[Long]("min_chars"))
+      case _ => ()
+    }
+  }
 }

@@ -150,6 +150,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("disjunctive revenue: part-side OR chain pushed below the join") {
+    val p = plan("tpch_disjunctive_revenue")
+    // PushExtraPredicateThroughJoin must extract the part-only
+    // disjunction (brand/size bands) and push it to the part scan —
+    // without it every part row joins before filtering
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("Or(") && p.contains("p_brand"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("kmeans step: seeds broadcast; recompute has no per-group array buffers") {
+    val p = plan("emb_kmeans_step")
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_sum"), p) // fixed-point sums combine map-side
+    assert(p.contains("Broadcast"), p)   // k seeds, never the corpus
+  }
+
+  test("contamination: posting cap survives optimization; no nested loop") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("<= 1000"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("length deciles: cumulative window runs over the aggregated grain") {
+    val p = plan("txt_length_deciles")
+    assert(p.contains("Window"), p)
+    // documents reduce to (n_chars -> count) BEFORE the window: the
+    // partial aggregation must appear below it in the plan
+    assert(p.contains("partial_count"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
