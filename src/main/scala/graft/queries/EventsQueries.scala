@@ -963,6 +963,61 @@ object EventsQueries {
       |ORDER BY d""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_retention_cohorts: weekly cohort retention matrix
+  // ---------------------------------------------------------------------
+
+  /** Classic cohort retention: users grouped by first-active week, a
+    * row per (cohort, week offset) with the fraction still active —
+    * the growth-analytics staple next to the funnel and adoption
+    * queries.
+    *
+    * Scale shape: the (user, week) activity grain is DISTINCTed first
+    * (one shuffle, map-side combined — events shrink to at most
+    * users x weeks before anything joins), the first-seen aggregate
+    * reuses that grain, and the cohort join is user-keyed. Offsets are
+    * exact int arithmetic (datediff of week-truncated dates is always
+    * a multiple of 7), so both engines bin identically. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val counts = act.join(first, "user_id")
+      .select(col("cohort"),
+        expr("datediff(wk, cohort) div 7").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, wk) already distinct
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, "cohort")
+      .select(
+        epochUs(col("cohort")).as("cohort_us"),
+        col("week_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention"))
+      .orderBy(col("cohort_us"), col("week_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(wk) AS cohort FROM act GROUP BY 1),
+      |counts AS (
+      |  SELECT cohort,
+      |         CAST(datediff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+      |         count(*) AS n_active
+      |  FROM act JOIN cohorts USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY 1)
+      |SELECT epoch_us(cohort) AS cohort_us, week_offset, n_active, cohort_size,
+      |       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM counts JOIN sizes USING (cohort)
+      |ORDER BY cohort_us, week_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -991,6 +1046,7 @@ object EventsQueries {
     ("ev_stream_interval_join", streamIntervalJoin _, streamIntervalJoinSql),
     ("ev_user_ranks", userRanks _, userRanksSql),
     ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
+    ("ev_retention_cohorts", retentionCohorts _, retentionCohortsSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))

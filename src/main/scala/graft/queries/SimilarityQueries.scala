@@ -639,6 +639,80 @@ object SimilarityQueries {
        |ORDER BY cent_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // emb_power_iteration: leading-direction estimate (one power step)
+  // ---------------------------------------------------------------------
+
+  /** One power-iteration step toward the corpus's dominant embedding
+    * direction: v1 = normalize( Σ_x (x·v0) x ) with the deterministic
+    * all-ones start v0 — the building block of distributed PCA /
+    * spectral probes (anisotropy checks, dominant-topic direction).
+    * Iterate it the way dedup_clusters iterates, feeding v1 back in.
+    *
+    * Scale shape: a map-only pass computes each row's projection s =
+    * x·v0 (sequential fold, bit-identical cross-engine), then the
+    * accumulation Σ s·x is the labelCentroids pattern — per-position
+    * fixed-point int64 sums (2^20 scale; s·x ≤ ~2^11 at float32
+    * magnitudes, so 500M rows fit int64 headroom), one (pos) shuffle
+    * with map-side combine, O(1) buffers. The normalization folds the
+    * 64 positions in syntactic order, so the output doubles hash
+    * identically on both engines. */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1048576.0 // 2^20 — power of two keeps the product exact
+    val sv = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType))
+    val accum = embs(spark, dir)
+      .select(col("vec_id"), col("embedding"), sv.as("s"))
+      // barrier: s is consumed per exploded position below;
+      // CollapseProject would otherwise inline the 64-element fold
+      // into every generated row
+      .repartition(col("vec_id"))
+      .select(col("s"), posexplode(col("embedding")))
+      .select(col("pos"),
+        round(col("s") * col("col").cast(DoubleType) * lit(Scale))
+          .cast(LongType).as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("pos"), col("n"),
+        (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
+    val pivots = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+    val norm2 = (0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _)
+    accum.agg(max(col("n")).as("n_vecs"), pivots: _*)
+      .select(col("n_vecs"), sqrt(norm2).as("anorm"),
+        (col("m0") / sqrt(norm2)).as("v1_0"),
+        (col("m31") / sqrt(norm2)).as("v1_31"),
+        (col("m63") / sqrt(norm2)).as("v1_63"))
+  }
+
+  val powerIterationSql: String = {
+    val pivots = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
+      .mkString(",\n       ")
+    val norm2 = (0 until Dim).map(i => s"m$i * m$i").mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sv
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT i - 1 AS pos,
+       |         CAST(round(sv * CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM s, generate_series(1, $Dim) t(i)),
+       |a AS (
+       |  SELECT pos, count(*) AS n,
+       |         CAST(sum(q) AS DOUBLE) / 1048576.0 AS m
+       |  FROM x GROUP BY 1),
+       |p AS (
+       |  SELECT max(n) AS n_vecs,
+       |       $pivots
+       |  FROM a)
+       |SELECT n_vecs, sqrt($norm2) AS anorm,
+       |       m0 / sqrt($norm2) AS v1_0,
+       |       m31 / sqrt($norm2) AS v1_31,
+       |       m63 / sqrt($norm2) AS v1_63
+       |FROM p""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
@@ -648,5 +722,6 @@ object SimilarityQueries {
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
-    ("emb_kmeans_step", kmeansStep _, kmeansStepSql))
+    ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
+    ("emb_power_iteration", powerIteration _, powerIterationSql))
 }

@@ -724,6 +724,63 @@ object TextQueries {
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_pack_sequences: context-window packing plan
+  // ---------------------------------------------------------------------
+
+  /** Sequence-packing layout: concatenate each source's documents in
+    * deterministic (doc_id) order and mark where the 512-token context
+    * windows land — the packing audit an LM data loader runs before
+    * writing training shards. A document is assigned to the window its
+    * first token falls in, so a long document can overflow its window
+    * (fill_ratio > 1); the report exists precisely to surface those
+    * boundaries.
+    *
+    * Scale shape: one window per source partition (cumulative sum in
+    * doc_id order — no global sort), then a (source, seq_id) rollup.
+    * All binning is exact int64 (`div`), bit-identical cross-engine. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $B"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio",
+        col("seq_tokens").cast(DoubleType) / lit(B.toDouble))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |  FROM d)
+      |SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+      |       min(doc_id) AS first_doc,
+      |       max(doc_id) AS last_doc,
+      |       CAST(sum(n_tokens) AS DOUBLE) / 512.0 AS fill_ratio
+      |FROM c
+      |GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -738,5 +795,6 @@ object TextQueries {
     ("txt_stopword_filter", stopwordFilter _, stopwordFilterSql),
     ("txt_entropy", entropy _, entropySql),
     ("txt_repetition", repetition _, repetitionSql),
-    ("txt_length_deciles", lengthDeciles _, lengthDecilesSql))
+    ("txt_length_deciles", lengthDeciles _, lengthDecilesSql),
+    ("txt_pack_sequences", packSequences _, packSequencesSql))
 }

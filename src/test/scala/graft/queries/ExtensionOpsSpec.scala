@@ -203,6 +203,49 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.forall(r => splitOf(r.getAs[Long]("train_doc")) == "train"))
   }
 
+  test("ev_retention_cohorts is a consistent retention matrix") {
+    val rows = EventsQueries.retentionCohorts(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // offset 0 is the cohort itself: full retention by definition
+    rows.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+    assert(rows.forall(r => r.getAs[Long]("week_offset") >= 0L))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size")))
+  }
+
+  test("txt_pack_sequences conserves tokens and numbers windows densely") {
+    val rows = TextQueries.packSequences(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // token conservation per source
+    val totals = graft.util.Tables.load(spark, dir, "documents")
+      .selectExpr("source", "size(split(text, ' ')) AS n")
+      .groupBy("source").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("seq_tokens")).sum == totals(src))
+      // seq ids are dense from 0 (no empty windows emitted, ids sorted)
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L)
+      assert(rs.forall(_.getAs[Long]("n_docs") >= 1L))
+    }
+  }
+
+  test("emb_power_iteration emits a unit-ish direction over the full corpus") {
+    val r = SimilarityQueries.powerIteration(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_vecs") ==
+      graft.util.Tables.load(spark, dir, "embeddings").count())
+    assert(row.getAs[Double]("anorm") > 0.0)
+    Seq("v1_0", "v1_31", "v1_63").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(math.abs(v) <= 1.0 && !v.isNaN)
+    }
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))

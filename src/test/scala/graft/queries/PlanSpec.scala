@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("power iteration: fixed-point accumulation, no per-group array buffers") {
+    val p = plan("emb_power_iteration")
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("pack sequences: cumulative window is partitioned by source") {
+    val p = plan("txt_pack_sequences")
+    // a global (unpartitioned) running sum would serialize the corpus
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
