@@ -781,6 +781,58 @@ object TextQueries {
       |GROUP BY source, seq_id
       |ORDER BY source, seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_chunk_dupes: boilerplate chunk detection
+  // ---------------------------------------------------------------------
+
+  /** Duplicated 32-token chunks across the corpus — the boilerplate
+    * detector (headers, footers, license blocks, templated passages)
+    * that document-level dedup misses: two different documents sharing
+    * one pasted paragraph. Chunks are non-overlapping and tail
+    * fragments are dropped, so each token participates in at most one
+    * chunk and counts stay interpretable.
+    *
+    * Scale shape: per-row chunking + one hash-shuffle on the 60-bit
+    * chunk key (never the chunk text — the key is computed before the
+    * exchange); the HAVING > 1 collapses the output to the duplicated
+    * tail. This is dedup_exact at sub-document grain. */
+  def chunkDupes(spark: SparkSession, dir: String): DataFrame = {
+    val C = 32
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= C)
+      // barrier: toks feeds the chunk generator; CollapseProject would
+      // re-split the text once per generated chunk
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(0L), expr(s"size(toks) div $C") - 1L, lit(1L)),
+          i => concat_ws(" ", slice(col("toks"), (i * C + 1).cast(IntegerType), lit(C)))))
+        .as("chunk"))
+      .select(col("doc_id"), h60(col("chunk")).as("chunk_key"))
+      .groupBy(col("chunk_key"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1L)
+      .orderBy(col("n_occ").desc, col("first_doc"), col("chunk_key"))
+  }
+
+  val chunkDupesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, array_to_string(toks[i*32+1:i*32+32], ' ') AS chunk
+       |  FROM d, generate_series(0, 63) t(i)
+       |  WHERE (i + 1) * 32 <= len(toks)),
+       |h AS (SELECT doc_id, ${h60Sql("chunk")} AS chunk_key FROM c)
+       |SELECT chunk_key, count(*) AS n_occ,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       min(doc_id) AS first_doc
+       |FROM h GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY n_occ DESC, first_doc, chunk_key""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -796,5 +848,6 @@ object TextQueries {
     ("txt_entropy", entropy _, entropySql),
     ("txt_repetition", repetition _, repetitionSql),
     ("txt_length_deciles", lengthDeciles _, lengthDecilesSql),
-    ("txt_pack_sequences", packSequences _, packSequencesSql))
+    ("txt_pack_sequences", packSequences _, packSequencesSql),
+    ("txt_chunk_dupes", chunkDupes _, chunkDupesSql))
 }

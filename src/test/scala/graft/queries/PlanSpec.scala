@@ -197,6 +197,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(source"), p)
   }
 
+  test("runtime bloom filter: filtered dim injects a row filter into the fact scan") {
+    // the 100 TB scan-reduction path: when the dim side carries a
+    // selective filter and the join shuffles, Spark's runtime bloom
+    // filter should prune fact rows before the exchange. Thresholds are
+    // sized for clusters, so lower them to observe the injection here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("tpch_shipping_priority")
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
