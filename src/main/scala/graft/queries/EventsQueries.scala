@@ -1018,6 +1018,69 @@ object EventsQueries {
       |ORDER BY cohort_us, week_offset""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_hourly_anomalies: trailing-baseline spike/drop detection
+  // ---------------------------------------------------------------------
+
+  /** Hours whose purchase revenue deviates from the trailing-24h
+    * baseline (x2 spike / x0.3 drop) — the alert rule a monitoring
+    * stack would attach to the reference's hourly metrics panel. The
+    * trailing frame EXCLUDES the current hour (an anomalous hour must
+    * not dilute its own baseline), and warm-up hours without a full
+    * 24-hour history are suppressed.
+    *
+    * Determinism: the baseline mean is exact decimal window SUM /
+    * COUNT — the rolling24h convention — so the flag comparison runs
+    * on bit-identical doubles in both engines. The window runs over
+    * the pre-aggregated hourly grain, never raw events. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+    hourlyExact(events(spark, dir))
+      .select(col("hour"),
+        coalesce(col("purchase_revenue_dec"), lit(0).cast(Money)).as("rev_dec"))
+      .select(col("hour"), col("rev_dec"),
+        sum(col("rev_dec")).over(w).as("trail_sum_dec"),
+        count(lit(1)).over(w).as("trail_n"))
+      .filter(col("trail_n") === 24)
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        (col("trail_sum_dec").cast(DoubleType) /
+          col("trail_n").cast(DoubleType)).as("baseline"),
+        when(col("rev_dec").cast(DoubleType) >
+          lit(2.0) * (col("trail_sum_dec").cast(DoubleType) /
+            col("trail_n").cast(DoubleType)), "spike")
+          .when(col("rev_dec").cast(DoubleType) <
+            lit(0.3) * (col("trail_sum_dec").cast(DoubleType) /
+              col("trail_n").cast(DoubleType)), "drop")
+          .as("kind"))
+      .filter(col("kind").isNotNull)
+      .orderBy(col("hour_us"))
+  }
+
+  val hourlyAnomaliesSql: String =
+    s"""WITH hourly AS ($hourlyCte),
+       |t AS (
+       |  SELECT hour,
+       |         COALESCE(purchase_revenue_dec, 0) AS rev_dec,
+       |         sum(COALESCE(purchase_revenue_dec, 0)) OVER w AS trail_sum_dec,
+       |         count(*) OVER w AS trail_n
+       |  FROM hourly
+       |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       |f AS (
+       |  SELECT epoch_us(hour) AS hour_us,
+       |         CAST(rev_dec AS DOUBLE) AS revenue,
+       |         CAST(trail_sum_dec AS DOUBLE) / CAST(trail_n AS DOUBLE) AS baseline,
+       |         CASE WHEN CAST(rev_dec AS DOUBLE) >
+       |                   2.0 * (CAST(trail_sum_dec AS DOUBLE) / CAST(trail_n AS DOUBLE)) THEN 'spike'
+       |              WHEN CAST(rev_dec AS DOUBLE) <
+       |                   0.3 * (CAST(trail_sum_dec AS DOUBLE) / CAST(trail_n AS DOUBLE)) THEN 'drop'
+       |         END AS kind
+       |  FROM t WHERE trail_n = 24)
+       |SELECT hour_us, revenue, baseline, kind
+       |FROM f WHERE kind IS NOT NULL
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -1047,6 +1110,7 @@ object EventsQueries {
     ("ev_user_ranks", userRanks _, userRanksSql),
     ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
     ("ev_retention_cohorts", retentionCohorts _, retentionCohortsSql),
+    ("ev_hourly_anomalies", hourlyAnomalies _, hourlyAnomaliesSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))
