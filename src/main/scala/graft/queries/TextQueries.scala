@@ -833,6 +833,79 @@ object TextQueries {
        |FROM h GROUP BY 1 HAVING count(*) > 1
        |ORDER BY n_occ DESC, first_doc, chunk_key""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_bigram_logprob: corpus-LM document scoring
+  // ---------------------------------------------------------------------
+
+  /** Per-document log-probability under the corpus's own bigram MLE
+    * model — the KenLM-style fluency/quality signal of a training-data
+    * pipeline (documents whose bigrams are rare under the corpus model
+    * are gibberish, boilerplate, or out-of-domain). P(w2|w1) =
+    * C(w1,w2) / C(w1,·), both counts from the same bigram table, so no
+    * smoothing is needed: every document bigram exists in the corpus
+    * counts by construction.
+    *
+    * Scale + determinism shape: one explode reduces to the
+    * (doc, w1, w2) grain (persisted — it feeds both the corpus counts
+    * and the scoring join, the tfidf discipline); corpus tables are
+    * vocabulary-sized. The ONLY transcendental (ln) is quantized once
+    * per corpus bigram (micro-units), after which every per-document
+    * aggregate is exact int64 multiply-sum — order-free, map-side
+    * combined, bit-identical cross-engine. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    perDoc.count()
+    val c2 = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)) * 1e6)
+          .cast(LongType).as("lp_micro"))
+    perDoc.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lp_micro")).as("score_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("score_micro"),
+        (col("score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("avg_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM d, generate_series(1, 127) t(i) WHERE i <= len(toks) - 1),
+      |perdoc AS (
+      |  SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM perdoc GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |lm AS (
+      |  SELECT w1, w2,
+      |         CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM c2 JOIN c1 USING (w1))
+      |SELECT doc_id,
+      |       CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(n * lp_micro) AS BIGINT) AS score_micro,
+      |       CAST(sum(n * lp_micro) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS avg_micro
+      |FROM perdoc JOIN lm USING (w1, w2)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -849,5 +922,6 @@ object TextQueries {
     ("txt_repetition", repetition _, repetitionSql),
     ("txt_length_deciles", lengthDeciles _, lengthDecilesSql),
     ("txt_pack_sequences", packSequences _, packSequencesSql),
-    ("txt_chunk_dupes", chunkDupes _, chunkDupesSql))
+    ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
+    ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql))
 }

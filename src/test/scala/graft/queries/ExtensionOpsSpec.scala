@@ -246,6 +246,17 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("txt_bigram_logprob scores every multi-token doc with non-positive logprob") {
+    val rows = TextQueries.bigramLogprob(spark, dir).collect()
+    val expected = graft.util.Tables.load(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == expected)
+    // probabilities <= 1 -> every per-doc sum of n*ln(p) is <= 0
+    assert(rows.forall(_.getAs[Long]("score_micro") <= 0L))
+    assert(rows.forall(_.getAs[Double]("avg_micro") <= 0.0))
+    assert(rows.forall(_.getAs[Long]("n_bigrams") >= 1L))
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
