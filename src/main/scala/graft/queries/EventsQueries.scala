@@ -1081,6 +1081,184 @@ object EventsQueries {
        |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_purchase_error_days: FULL OUTER day alignment
+  // ---------------------------------------------------------------------
+
+  /** Daily purchase revenue aligned with daily error value via FULL
+    * OUTER join — the reconciliation shape for two rollups that may
+    * each be missing days (a purchase-free day must still show its
+    * errors and vice versa). Inner/left joins would silently drop the
+    * discrepancy days the report exists to show.
+    *
+    * Scale shape: both sides pre-aggregate to the day grain before the
+    * join, so the full-outer shuffle moves at most ~days rows. */
+  def purchaseErrorDays(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val p = ev.filter(isPurchase)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+    val e = ev.filter(isError)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_errors"), dsum(col("value")).as("error_value"))
+    p.join(e, Seq("d"), "full_outer")
+      .select(
+        epochUs(col("d")).as("day_us"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("error_value"), lit(0.0)).as("error_value"))
+      .orderBy(col("day_us"))
+  }
+
+  val purchaseErrorDaysSql: String =
+    """WITH p AS (
+      |  SELECT date_trunc('day', ts) AS d, count(*) AS n_purchases,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |e AS (
+      |  SELECT date_trunc('day', ts) AS d, count(*) AS n_errors,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS error_value
+      |  FROM events WHERE event_type = 'error' GROUP BY 1)
+      |SELECT epoch_us(COALESCE(p.d, e.d)) AS day_us,
+      |       COALESCE(n_purchases, 0) AS n_purchases,
+      |       COALESCE(revenue, 0.0) AS revenue,
+      |       COALESCE(n_errors, 0) AS n_errors,
+      |       COALESCE(error_value, 0.0) AS error_value
+      |FROM p FULL OUTER JOIN e ON p.d = e.d
+      |ORDER BY day_us""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_user_overlap: INTERSECT / EXCEPT retention split
+  // ---------------------------------------------------------------------
+
+  /** Users split by presence in the first vs second half of the
+    * period — retained (INTERSECT), churned (EXCEPT), new (reverse
+    * EXCEPT). Exercises the set operators directly; each operand is a
+    * pre-DISTINCTed user-id set, so the set ops shuffle at user
+    * cardinality, never event cardinality. */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-16").cast(TimestampType)
+    val ev = events(spark, dir)
+    val a = ev.filter(col("ts") < mid).select(col("user_id")).distinct()
+    val b = ev.filter(col("ts") >= mid).select(col("user_id")).distinct()
+    val counts = Seq(
+      ("retained", a.intersect(b)),
+      ("churned", a.except(b)),
+      ("new", b.except(a)))
+    counts.map { case (k, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(k).as("cohort"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy(col("cohort"))
+  }
+
+  val userOverlapSql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+      |SELECT 'retained' AS cohort, count(*) AS n_users FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'churned' AS cohort, count(*) AS n_users FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'new' AS cohort, count(*) AS n_users FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_daily_unpivot: wide rollup -> tidy (day, metric, value)
+  // ---------------------------------------------------------------------
+
+  /** The daily rollup melted to tidy (day, metric, value) rows — the
+    * long-format export BI and feature-store layers consume. stack()
+    * is a per-row generator: the unpivot multiplies rows AFTER the
+    * day-grain aggregation, so it is metric-count x days, never a
+    * second pass over events. */
+  def dailyUnpivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isPurchase).as("purchases"),
+        countIf(isError).as("errors"),
+        count_distinct(col("user_id")).as("active_users"))
+      .select(epochUs(col("d")).as("day_us"),
+        expr("""stack(4,
+          'total_events', total_events,
+          'purchases', purchases,
+          'errors', errors,
+          'active_users', active_users) AS (metric, value)"""))
+      .orderBy(col("day_us"), col("metric"))
+
+  val dailyUnpivotSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('day', ts) AS d,
+      |         count(*) AS total_events,
+      |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+      |         count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+      |         count(DISTINCT user_id) AS active_users
+      |  FROM events GROUP BY 1)
+      |SELECT epoch_us(d) AS day_us, metric, CAST(value AS BIGINT) AS value
+      |FROM d
+      |UNPIVOT (value FOR metric IN (total_events, purchases, errors, active_users))
+      |ORDER BY day_us, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_hourly_bookends: frame-function suite over the hourly grain
+  // ---------------------------------------------------------------------
+
+  /** Per-hour revenue annotated with its day's bookends and
+    * neighborhood: first/second/last hour of the day (first_value /
+    * nth_value / last_value over the full-day frame), the jump to the
+    * next hour (lead), and a value-based RANGE frame summing the ±3
+    * adjacent hours — the window-frame surface (full-frame,
+    * offset-function, RANGE-vs-ROWS) the other dashboards don't touch.
+    *
+    * Determinism: hours are unique within a day, so every frame
+    * function has a total order; arithmetic stays in exact decimal
+    * until the final double cast. Windows run over the pre-aggregated
+    * hourly grain (720 rows at sf0.1), per the §2.6 discipline. */
+  def hourlyBookends(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy(col("d")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.partitionBy(col("d")).orderBy(col("hour"))
+    val wRange = Window.orderBy(col("hour_num")).rangeBetween(-3, 3)
+    hourlyExact(events(spark, dir))
+      .select(col("hour"),
+        date_trunc("day", col("hour")).as("d"),
+        // integral div: epoch-us exceeds 2^53, double division would
+        // round — `div` stays in exact int64
+        expr("unix_micros(hour) div 3600000000").as("hour_num"),
+        coalesce(col("purchase_revenue_dec"), lit(0).cast(Money)).as("rev_dec"))
+      .select(
+        epochUs(col("hour")).as("hour_us"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        first(col("rev_dec")).over(wDay).cast(DoubleType).as("day_open"),
+        nth_value(col("rev_dec"), 2).over(wDay).cast(DoubleType).as("day_second"),
+        last(col("rev_dec")).over(wDay).cast(DoubleType).as("day_close"),
+        (lead(col("rev_dec"), 1).over(wLead) - col("rev_dec"))
+          .cast(DoubleType).as("next_diff"),
+        sum(col("rev_dec")).over(wRange).cast(DoubleType).as("win7_rev"))
+      .orderBy(col("hour_us"))
+  }
+
+  val hourlyBookendsSql: String =
+    s"""WITH hourly AS ($hourlyCte),
+       |t AS (
+       |  SELECT hour, date_trunc('day', hour) AS d,
+       |         epoch_us(hour) // 3600000000 AS hour_num,
+       |         COALESCE(purchase_revenue_dec, 0) AS rev_dec
+       |  FROM hourly)
+       |SELECT epoch_us(hour) AS hour_us,
+       |       CAST(rev_dec AS DOUBLE) AS revenue,
+       |       CAST(first_value(rev_dec) OVER wday AS DOUBLE) AS day_open,
+       |       CAST(nth_value(rev_dec, 2) OVER wday AS DOUBLE) AS day_second,
+       |       CAST(last_value(rev_dec) OVER wday AS DOUBLE) AS day_close,
+       |       CAST(lead(rev_dec, 1) OVER wlead - rev_dec AS DOUBLE) AS next_diff,
+       |       CAST(sum(rev_dec) OVER wrange AS DOUBLE) AS win7_rev
+       |FROM t
+       |WINDOW wday AS (PARTITION BY d ORDER BY hour
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       |       wlead AS (PARTITION BY d ORDER BY hour),
+       |       wrange AS (ORDER BY hour_num RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -1111,6 +1289,10 @@ object EventsQueries {
     ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
     ("ev_retention_cohorts", retentionCohorts _, retentionCohortsSql),
     ("ev_hourly_anomalies", hourlyAnomalies _, hourlyAnomaliesSql),
+    ("ev_purchase_error_days", purchaseErrorDays _, purchaseErrorDaysSql),
+    ("ev_user_overlap", userOverlap _, userOverlapSql),
+    ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
+    ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))
