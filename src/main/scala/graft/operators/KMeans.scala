@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the
+  * iterated form of the oracle-checked single step
+  * (`SimilarityQueries.kmeansStep`, `emb_kmeans_step`).
+  *
+  * Loop discipline (the `dedup_clusters` pattern): centroids are a
+  * k-row DataFrame that is `localCheckpoint(eager = true)`-ed every
+  * round — persist alone does NOT truncate the logical plan, and an
+  * uncheckpointed iterative plan grows exponentially in Catalyst
+  * re-optimization. Assignment broadcasts the k centroids (never the
+  * corpus); recomputation is one (cluster, pos) shuffle with O(1)
+  * aggregation buffers. The only per-group array materialization is
+  * rebuilding the k centroid vectors themselves — k x dim values,
+  * bounded by construction, never corpus-sized.
+  *
+  * Determinism: seeds are the k lowest vec_ids; the argmin tie-breaks
+  * on (d2, cent_id); rounds are a fixed count. Inertia per round is
+  * returned so callers can stop early; it is non-increasing by
+  * Lloyd's-algorithm invariant (asserted in KMeansSpec).
+  */
+object KMeans {
+
+  /** @param emb (vec_id: Long, embedding: Array[Float|Double]) — extra
+    *            columns pass through untouched on `assignments`.
+    * @return (assignments: vec_id/cent_id/d2, centroids: cent_id/cvec,
+    *         inertia per round) */
+  def fit(emb: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    require(k >= 1 && iters >= 1)
+    val spark = emb.sparkSession
+
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("x"))
+
+    // deterministic seeding: the k lowest vec_ids (kmeans++ at scale
+    // would sample by d2 with a seeded hash — same loop shape)
+    var centroids = vecs
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select((col("rn") - 1).cast("long").as("cent_id"), col("x").as("cvec"))
+      .localCheckpoint(true)
+
+    val d2 = aggregate(
+      zip_with(col("x"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val wMin = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+
+    def assign(): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("x"), col("cent_id"), d2.as("d2"))
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .drop("rn")
+
+    val inertia = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = assign()
+      // one pass: inertia + new centroids from the same assignment
+      assigned.persist()
+      inertia += assigned.agg(sum(col("d2"))).head.getDouble(0)
+      val next = assigned
+        .select(col("cent_id"), posexplode(col("x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        // k x dim rows -> k rows: bounded collect, sorted for a
+        // deterministic component order
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .localCheckpoint(true)
+      assigned.unpersist()
+      centroids = next
+    }
+    (assign(), centroids, inertia.result())
+  }
+}
