@@ -631,6 +631,356 @@ object TpchQueries {
       |WHERE CAST(val_dec AS DOUBLE) > 1.4 * (tot / nparts)
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Min-cost supplier (TPC-H Q2 shape, adapted: no partsupp table in
+  // the synthetic schema, so the supply relation is derived from
+  // lineitem — per (part, supplier) the minimum observed unit price).
+  // Exercises the correlated-min-subquery shape: the per-part minimum
+  // is a window MIN over the already-reduced (part, supplier) grain,
+  // so the second shuffle moves |parts x suppliers-per-part| rows,
+  // never the fact. supplier/nation/region are bounded dims ->
+  // broadcast; part carries the selective size/type filter.
+  // ---------------------------------------------------------------------
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    // unit price division happens in double on BOTH engines (same IEEE
+    // op on the same inputs), and MIN over doubles is order-free, so
+    // the unit_cost = best_cost equality below is bit-identical
+    val supply = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eu = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region"))
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val prt = t(spark, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    supply
+      .join(eu, col("l_suppkey") === col("s_suppkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .withColumn("best_cost",
+        min(col("unit_cost")).over(win.partitionBy(col("p_partkey"))))
+      .filter(col("unit_cost") === col("best_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("s_acctbal"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  val minCostSupplierSql: String =
+    """WITH supply AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ranked AS (
+      |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, unit_cost,
+      |         min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+      |  FROM supply
+      |  JOIN eu ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD')
+      |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal, unit_cost
+      |FROM ranked WHERE unit_cost = best_cost
+      |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // National market share (TPC-H Q8 shape): the share of ASIA-region
+  // ECONOMY-part revenue supplied by one nation, per order year. Two
+  // independent dimension legs hang off the fact (customer->nation->
+  // region on the order side, supplier->nation on the supply side) —
+  // nation/region broadcast; part's selective type filter prunes the
+  // fact before the wide joins; a single final shuffle on year.
+  // Share = conditional decimal sum / total decimal sum, divided once
+  // in double.
+  // ---------------------------------------------------------------------
+
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val prt = t(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val custAsia = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region"))
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").select(
+        col("n_nationkey").as("sn_nationkey"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("sn_name"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(Money)
+    li.join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(ratio(
+        sum(when(col("sn_name") === "NATION_3", vol)),
+        sum(vol)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val marketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |                THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) END) AS DOUBLE)
+      |       / nullif(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+      |       AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Product-line profit (TPC-H Q9 shape, adapted: no partsupp, so the
+  // cost leg is a retail-price proxy 0.5 * p_retailprice * l_quantity).
+  // Profit folds as an exact DECIMAL difference inside the sum — both
+  // engines subtract the same two quantized decimals, so the per-group
+  // totals are bit-identical. supplier-nation x order-year grouping;
+  // the p_name prefix filter prunes the fact early.
+  // ---------------------------------------------------------------------
+
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val prt = t(spark, dir, "part")
+      .filter(col("p_name").like("red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").select(
+        col("n_nationkey").as("sn_nationkey"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("sn_name"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("sn_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Money)
+          - (lit(0.5) * col("p_retailprice") * col("l_quantity")).cast(Money))
+        .cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val productProfitSql: String =
+    """SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |              - CAST(0.5 * p_retailprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Shipping-lag service levels (TPC-H Q12 shape, adapted: the
+  // synthetic lineitem has no shipmode/commitdate/receiptdate, so the
+  // bucket key is the order-to-ship lag in days). One fact-fact join
+  // on orderkey (both sides already reduced to two columns), CASE
+  // bucketing, conditional counts — a 3-row result from a single
+  // shuffle pair, all counts map-side combined.
+  // ---------------------------------------------------------------------
+
+  def shipLag(spark: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(lag <= 30, "fast").when(lag <= 60, "medium")
+        .otherwise("slow").as("lag_bucket"))
+      .agg(
+        countIf(high).as("high_line_count"),
+        countIf(!high).as("low_line_count"))
+      .orderBy(col("lag_bucket"))
+  }
+
+  val shipLagSql: String =
+    """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+      |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'medium'
+      |            ELSE 'slow' END AS lag_bucket,
+      |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Supplier diversity per part attribute (TPC-H Q16 shape, adapted:
+  // the (part, supplier) relation comes from lineitem instead of
+  // partsupp). COUNT(DISTINCT supplier) per (brand, type, size) with a
+  // NOT-IN exclusion list — the exclusion is a broadcast anti join
+  // (the bad-supplier list is tiny and key-non-null by construction),
+  // and the distinct aggregate expands (brand,type,size,suppkey) grain
+  // before the final count, Spark's standard two-shuffle distinct.
+  // ---------------------------------------------------------------------
+
+  def supplierPartCounts(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val prt = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#3" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val supplierPartCountsSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // High-volume shippers of a part family (TPC-H Q20 shape, adapted:
+  // shipped quantity from lineitem replaces partsupp availqty). A
+  // semi-join chain: part-name filter -> per-supplier shipped-quantity
+  // aggregate -> relative threshold (1.05x the mean, scale-free like
+  // Q11) -> semi join into the supplier dim -> region filter. The only
+  // full-fact shuffle is the per-supplier aggregate; everything after
+  // operates on |suppliers| rows.
+  // ---------------------------------------------------------------------
+
+  def excessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val blueParts = t(spark, dir, "part")
+      .filter(col("p_name").like("blue%")).select(col("p_partkey"))
+    val shipped = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(Money)).as("qty"))
+    val thresh = shipped.agg((lit(1.05) *
+      sum(col("qty")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+      .as("cut"))
+    val heavy = shipped.crossJoin(thresh) // 1-row scalar, broadcast
+      .filter(col("qty").cast(DoubleType) > col("cut"))
+      .select(col("l_suppkey"))
+    t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region"))
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val excessShippersSql: String =
+    """WITH shipped AS (
+      |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(28,6))) AS qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1),
+      |thresh AS (SELECT 1.05 * CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cut FROM shipped)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM shipped, thresh WHERE CAST(qty AS DOUBLE) > cut)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Suppliers who kept orders waiting (TPC-H Q21 shape, adapted: no
+  // commitdate/receiptdate, so "late" = shipped more than 60 days
+  // after the order date). The classic EXISTS / NOT-EXISTS pair over
+  // lineitem self-joins decorrelates into ONE aggregation over the
+  // (order) grain: per order, the distinct-supplier count, the
+  // distinct-LATE-supplier count, and (when exactly one supplier was
+  // late) that supplier's key via MAX. An order qualifies when it is
+  // multi-supplier and exactly one supplier was late — equivalent to
+  // "s was late AND another supplier shipped AND no other supplier was
+  // late", without ever self-joining the fact. At 100 TB this is one
+  // fact shuffle on orderkey instead of three.
+  // ---------------------------------------------------------------------
+
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >
+      col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrder = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+    perOrder
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |         count(DISTINCT l_suppkey) AS n_supp,
+      |         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+      |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM per_order
+      |JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late = 1
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("tpch_pricing_summary", pricingSummary _, pricingSummarySql),
     ("tpch_shipping_priority", shippingPriority _, shippingPrioritySql),
@@ -647,5 +997,12 @@ object TpchQueries {
     ("tpch_order_distribution", orderDistribution _, orderDistributionSql),
     ("tpch_disjunctive_revenue", disjunctiveRevenue _, disjunctiveRevenueSql),
     ("tpch_wealthy_inactive", wealthyInactive _, wealthyInactiveSql),
-    ("tpch_part_value_share", partValueShare _, partValueShareSql))
+    ("tpch_part_value_share", partValueShare _, partValueShareSql),
+    ("tpch_min_cost_supplier", minCostSupplier _, minCostSupplierSql),
+    ("tpch_market_share", marketShare _, marketShareSql),
+    ("tpch_product_profit", productProfit _, productProfitSql),
+    ("tpch_ship_lag", shipLag _, shipLagSql),
+    ("tpch_supplier_part_counts", supplierPartCounts _, supplierPartCountsSql),
+    ("tpch_excess_shippers", excessShippers _, excessShippersSql),
+    ("tpch_waiting_suppliers", waitingSuppliers _, waitingSuppliersSql))
 }
