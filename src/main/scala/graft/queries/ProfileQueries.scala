@@ -173,8 +173,57 @@ object ProfileQueries {
        |ORDER BY source, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // util_pseudonymize: stable keyed pseudonyms + k-anonymity audit
+  // ---------------------------------------------------------------------
+
+  /** Privacy pass every shared training corpus needs: raw user ids are
+    * replaced by STABLE keyed pseudonyms (sha256 of salt||id — same id
+    * always maps to the same token, so joins/sessionization over the
+    * pseudonymized data still work), and the release is audited for
+    * k-anonymity over the quasi-identifier grain an attacker would
+    * pivot on (event_type x hour-of-day): any cell with fewer than
+    * K=5 distinct users is flagged for suppression.
+    *
+    * Scale shape: the hash is a codegen'd map-side projection (no
+    * shuffle, no UDF); the audit is one distinct-expand + group-by on
+    * the quasi-identifier key. The salt is a literal here; in
+    * production it is a keyed secret so pseudonyms don't join across
+    * releases. min(pseudonym) pins actual hash bytes into the oracle
+    * compare, so the cross-engine check covers the hashing itself, not
+    * just the counts. */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val pseudo = sha2(concat(lit("graft-salt-v1:"),
+      col("user_id").cast(StringType)), 256)
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).as("hour_of_day"),
+        pseudo.as("pseudonym"))
+      .groupBy(col("event_type"), col("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("pseudonym")).as("n_users"),
+        min(col("pseudonym")).as("pseudo_sample"))
+      .select(col("event_type"), col("hour_of_day").cast(LongType),
+        col("n_events"), col("n_users"),
+        (col("n_users") >= K).as("k_ok"), col("pseudo_sample"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
+  val pseudonymizeSql: String =
+    """SELECT event_type,
+      |       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+      |       count(*) AS n_events,
+      |       count(DISTINCT sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR))) AS n_users,
+      |       count(DISTINCT sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR))) >= 5 AS k_ok,
+      |       min(sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR))) AS pseudo_sample
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
-    ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql))
+    ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
+    ("util_pseudonymize", pseudonymize _, pseudonymizeSql))
 }

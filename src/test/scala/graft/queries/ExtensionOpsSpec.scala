@@ -257,6 +257,51 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_bigrams") >= 1L))
   }
 
+  test("ann_pq_topk recalls most of the exact L2 top-k after re-rank") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = graft.util.Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val exact = q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_norm2(qv)") + expr("graft_norm2(nv)") -
+          lit(2.0) * expr("graft_dot(qv, nv)")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SimilarityQueries.pqTopK(spark, dir)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.keySet == pq.keySet)
+    val recalls = exact.map { case (qid, ex) =>
+      (ex intersect pq(qid)).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // structure-free random vectors are the PQ worst case (distance
+    // concentration); measured 0.82 with M=16, k=31, R=50
+    assert(mean >= 0.7, s"mean recall@10 = $mean")
+  }
+
+  test("util_pseudonymize audit partitions the events and flags k-anonymity") {
+    val rows = ProfileQueries.pseudonymize(spark, dir).collect()
+    val total = graft.util.Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    rows.foreach { r =>
+      val nUsers = r.getAs[Long]("n_users")
+      assert(nUsers >= 1L && nUsers <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Boolean]("k_ok") == (nUsers >= 5L))
+      // sha256 hex: 64 lowercase hex chars, never a raw id
+      val p = r.getAs[String]("pseudo_sample")
+      assert(p.matches("[0-9a-f]{64}"), p)
+    }
+    // stable pseudonyms: a second run produces the identical audit
+    val again = ProfileQueries.pseudonymize(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
