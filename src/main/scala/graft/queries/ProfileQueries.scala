@@ -221,9 +221,103 @@ object ProfileQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // util_skew_profile: join-key skew diagnostic
+  // ---------------------------------------------------------------------
+
+  /** The pre-flight check behind every salting decision
+    * ([[graft.operators.SaltedJoin]]): per-key row counts for the
+    * heaviest join keys, each key's share of the table and its ratio
+    * to the mean key. A key with x_mean >> 10 is the straggler
+    * partition at shuffle time; this query is how you find it BEFORE
+    * the 100 TB join, not from a hung stage.
+    *
+    * Scale shape: one shuffle (groupBy key, counts map-side combined);
+    * the scalar totals cross-join back as a broadcast; the final rank
+    * window runs on the reduced key grain (|keys| rows, never the
+    * fact). */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = byKey.agg(
+      sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("user_id"))
+    // global window is fine here: it ranks the aggregated key grain
+    // (|distinct keys| rows), not the fact
+    byKey.crossJoin(tot) // 1-row scalar, broadcast
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("user_id"), col("n_rows"),
+        (lit(100.0) * col("n_rows").cast(DoubleType) /
+          col("total").cast(DoubleType)).as("share_pct"),
+        (col("n_rows").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("total").cast(DoubleType)).as("x_mean"))
+      .orderBy(col("rnk"))
+  }
+
+  val skewProfileSql: String =
+    """WITH by_key AS (
+      |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys
+      |  FROM by_key),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT) AS rnk,
+      |         user_id, n_rows, total, n_keys
+      |  FROM by_key, tot)
+      |SELECT rnk, user_id, n_rows,
+      |       100.0 * CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share_pct,
+      |       CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_mean
+      |FROM ranked WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_user_cms: count-min-sketch heavy hitters (third sketch family)
+  // ---------------------------------------------------------------------
+
+  /** Count-min-sketch frequency audit: one mergeable sub-linear sketch
+    * of the event stream's user_id frequencies (eps=0.1% of N,
+    * confidence 99%), queried for the exact top-20 keys so the
+    * overcount property (cms_n >= exact_n, bounded by eps*N) is
+    * visible row by row. Completes the sketch shelf next to HLL++
+    * (ev_hourly_metrics_approx) and Greenwald-Khanna
+    * (txt_quantiles_approx).
+    *
+    * Scale shape: the sketch is ONE partial-aggregated pass (each
+    * executor sketches its partition, buffers merge associatively —
+    * exactly how you'd count 100 TB of token frequencies in fixed
+    * memory); the driver holds only the fixed-size sketch bytes, never
+    * keys. The exact top-20 it is audited against is one groupBy +
+    * top-k. No DuckDB oracle (sketch internals aren't
+    * SQL-expressible); the driver records rows>0 and
+    * ExtensionOpsSpec asserts the CMS error bounds. */
+  def userCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val skBytes = ev
+      .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99),
+        lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(20)
+      .as[(Long, Long)].collect()
+    top.map { case (uid, n) => (uid, n, cms.estimateCount(uid)) }
+      .toSeq.toDF("user_id", "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
     ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
-    ("util_pseudonymize", pseudonymize _, pseudonymizeSql))
+    ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
+    ("util_skew_profile", skewProfile _, skewProfileSql),
+    ("ev_user_cms", userCms _, null))
 }

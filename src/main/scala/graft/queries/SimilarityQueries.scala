@@ -752,26 +752,35 @@ object SimilarityQueries {
     val cents = e.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     // per-subspace squared distance, same norm+norm-2dot formula (and
-    // so the same float ops) as kmeansStep, over runtime-offset slices
+    // so the same float ops) as kmeansStep, over runtime-offset slices.
+    // NOTE: the fold runs per exploded (pair, s) row on purpose — the
+    // tempting "array of all 16 partials, then posexplode" form makes
+    // CollapseProject inline the whole 16-way fold into every generated
+    // row (16x the work; measured 3.5x slower end-to-end), the same
+    // trap powerIteration documents.
     val subD2 =
       expr("graft_norm2(slice(embedding, s*4+1, 4))") +
         expr("graft_norm2(slice(cvec, s*4+1, 4))") -
         lit(2.0) * expr(
           "graft_dot(slice(embedding, s*4+1, 4), slice(cvec, s*4+1, 4))")
-    // all (vector, centroid, subspace) partials; feeds both the argmin
-    // encoding and the query LUT (persist: two consumers)
-    val scored = e.crossJoin(broadcast(cents))
+    // per-(vector, centroid, subspace) quantized partials. Built twice
+    // from different inputs instead of persisting one big frame: the
+    // encode pass runs over the whole corpus, the LUT pass only over
+    // the (tiny) query subset filtered BEFORE the crossJoin.
+    def partials(vecs: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(cents))
       .withColumn("s", explode(array((0 until M).map(lit): _*)))
       .select(col("vec_id"), col("cent_id"), col("s"),
         round(subD2 * lit(1e6)).cast(LongType).as("d2q"))
-      .persist()
-    scored.count()
-    val cw = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("d2q"), col("cent_id"))
-    val codes = scored.withColumn("rn", row_number().over(cw))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("n_id"), col("s"), col("cent_id").as("code"))
-    val lut = scored.filter(isQuery)
+    // argmin as a partial-aggregable groupBy min(struct) — lexicographic
+    // struct ordering IS (d2q, cent_id) tie-breaking, and map-side
+    // combine collapses the |corpus| x k x M rows per partition instead
+    // of shuffling them all into a row_number window
+    val codes = partials(e)
+      .groupBy(col("vec_id").as("n_id"), col("s"))
+      .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
+      .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
+    val lut = partials(e.filter(isQuery))
       .select(col("vec_id").as("q_id"), col("s").as("qs"),
         col("cent_id"), col("d2q"))
     val sw = Window.partitionBy(col("q_id"))

@@ -942,17 +942,23 @@ object TpchQueries {
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") >
       col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    // two-level aggregate instead of two COUNT(DISTINCT)s in one pass:
+    // multiple distinct aggregates force an Expand (3x the fact rows
+    // through the shuffle); reducing to the (order, supplier) grain
+    // first keeps both shuffles partial-aggregable and narrow
     val perOrder = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(t(spark, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("was_late"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("was_late")).as("n_late"),
+        max(when(col("was_late") === 1, col("l_suppkey"))).as("late_supp"))
     perOrder
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("late_supp"))

@@ -302,6 +302,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("ev_user_cms estimates respect the count-min overcount bound") {
+    val ev = graft.util.Tables.load(spark, dir, "events")
+    val n = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    val rows = ProfileQueries.userCms(spark, dir).collect()
+    assert(rows.length == math.min(20L, nKeys))
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_n")
+      // CMS never undercounts; overcount <= eps*N (w.h.p.), eps=0.001
+      assert(est >= exact, s"undercount: $est < $exact")
+      assert(est - exact <= math.max(1L, (0.001 * n).toLong),
+        s"overcount ${est - exact} beyond eps*N")
+    }
+  }
+
+  test("util_skew_profile shares are consistent and ranked") {
+    val nKeys = graft.util.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    val rows = ProfileQueries.skewProfile(spark, dir).collect()
+    assert(rows.length == math.min(20L, nKeys))
+    // ranked by weight, shares in (0, 100], x_mean positive
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_rows") >= b.getAs[Long]("n_rows"))
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Double]("share_pct")
+      assert(s > 0.0 && s <= 100.0)
+      assert(r.getAs[Double]("x_mean") > 0.0)
+    }
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
