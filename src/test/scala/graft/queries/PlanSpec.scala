@@ -218,6 +218,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("waiting suppliers: no Expand — multi-distinct decorrelated into two aggs") {
+    val p = plan("tpch_waiting_suppliers")
+    // the dual COUNT(DISTINCT) formulation would put an Expand (3x the
+    // fact rows) in front of the shuffle; the two-level aggregate must
+    // keep the plan Expand-free with map-side partials at both levels
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("min-cost supplier: selective part filter pushed; window over reduced grain") {
+    val p = plan("tpch_min_cost_supplier")
+    // (PushedFilters text truncates in toString; the Filter node shows
+    // the same predicates reached the scan's DataFilters)
+    assert(p.contains("= STANDARD)"), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,10)"), p)
+    // per-part min is a window over the (part, supplier) aggregate,
+    // never the raw fact: the Window's child must aggregate first
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("pq topk: codebook broadcast; encoding aggregates instead of windowing") {
+    val p = plan("ann_pq_topk")
+    // k=31 codebook rides a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // argmin encoding is min(struct(...)) — a partial-aggregable
+    // HashAggregate, not a row_number window over corpus x k x M rows
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("skew profile: one fact shuffle, rank window over the key grain") {
+    val p = plan("util_skew_profile")
+    // exactly one hashpartitioning of fact rows (the groupBy user_id);
+    // the rank window runs on the aggregated key grain downstream
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("supplier part counts: bad-supplier exclusion is a broadcast anti join") {
+    val p = plan("tpch_supplier_part_counts")
+    assert(p.contains("LeftAnti, BuildRight"), p)
+    assert(p.contains("LessThan(s_acctbal,0.0)"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
