@@ -612,7 +612,13 @@ object DedupQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxPostingList)
       .select(col("s"))
+    // both sides of the containment self-join read the same posting
+    // list; persist it once instead of re-running the sizes aggregate
+    // and both joins per side (count() serializes the cache build, as
+    // in ngramJaccard)
     val postings = withSizes(sh).join(cold, "s").join(splits, "doc_id")
+      .persist()
+    postings.count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("eval_doc"))
       .orderBy(col("common").desc, col("train_doc"))

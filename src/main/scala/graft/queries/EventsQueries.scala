@@ -1263,6 +1263,65 @@ object EventsQueries {
   // ---------------------------------------------------------------------
 
   /** name -> (query fn, oracle SQL) */
+  // ---------------------------------------------------------------------
+  // ev_funnel_sequences: ordered event-pattern detection (MATCH_RECOGNIZE
+  // shape) — consecutive view -> click (-> purchase) chains per user
+  // ---------------------------------------------------------------------
+
+  /** Sequential funnel: unlike [[engagementFunnel]] (set membership —
+    * "did the user ever view AND ever purchase"), this detects ORDERED
+    * chains of consecutive events: a view immediately followed by a
+    * click, and the full view -> click -> purchase triple — the
+    * MATCH_RECOGNIZE / sessionized-path shape, expressed with lead()
+    * windows so Catalyst plans it as one sort per user partition.
+    *
+    * Scale shape: one hash shuffle on user_id (the window), then the
+    * per-user rollup reuses the exact same partitioning — Exchange
+    * reuse means the groupBy adds NO second shuffle. Determinism: event
+    * order ties break on event_id, same in the oracle. */
+  def funnelSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next1", lead(col("event_type"), 1).over(w))
+      .withColumn("next2", lead(col("event_type"), 2).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countIf(col("event_type") === "view" &&
+          col("next1") === "click").as("n_view_click"),
+        countIf(col("event_type") === "view" &&
+          col("next1") === "click" &&
+          col("next2") === "purchase").as("n_full_chain"))
+      .select(col("user_id"), col("n_events"), col("n_view_click"),
+        col("n_full_chain"),
+        ratio(col("n_full_chain"), col("n_view_click")).as("chain_conversion"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSequencesSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next1,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next2
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |       count(CASE WHEN event_type = 'view' AND next1 = 'click'
+      |                  THEN 1 END) AS n_view_click,
+      |       count(CASE WHEN event_type = 'view' AND next1 = 'click'
+      |                  AND next2 = 'purchase' THEN 1 END) AS n_full_chain,
+      |       CAST(count(CASE WHEN event_type = 'view' AND next1 = 'click'
+      |                  AND next2 = 'purchase' THEN 1 END) AS DOUBLE)
+      |         / nullif(CAST(count(CASE WHEN event_type = 'view' AND next1 = 'click'
+      |                  THEN 1 END) AS DOUBLE), 0.0) AS chain_conversion
+      |FROM seq
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ev_hourly_metrics", hourlyMetrics _, hourlyMetricsSql),
     ("ev_rolling_24h", rolling24h _, rolling24hSql),
@@ -1293,6 +1352,7 @@ object EventsQueries {
     ("ev_user_overlap", userOverlap _, userOverlapSql),
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
     ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
+    ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))

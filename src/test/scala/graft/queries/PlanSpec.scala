@@ -264,6 +264,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(s_acctbal,0.0)"), p)
   }
 
+  test("funnel sequences: groupBy reuses the window's user_id partitioning") {
+    val p = plan("ev_funnel_sequences")
+    // one hash shuffle total: the lead() window sorts within user_id
+    // partitions and the per-user rollup must NOT re-shuffle
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, plan:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
