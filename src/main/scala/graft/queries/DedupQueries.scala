@@ -310,16 +310,21 @@ object DedupQueries {
       val contrib = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
-      // checkpoint before the jump self-join: it reads `prop` twice
+      // cache (not checkpoint) before the jump self-join that reads
+      // `prop` twice: its lineage is already constant-size — one
+      // union+agg over the checkpointed labels/edges — so only ONE
+      // materialization per round (`next`) pays checkpoint cost, and
+      // that one is the lineage-truncation point the loop needs
       val prop = labels.union(contrib)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .persist()
       val next = prop.as("a")
         .join(prop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2")).as("b"),
           Seq("lbl"), "left")
         .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val s = next.agg(sum(col("lbl"))).first().getLong(0)
+      prop.unpersist(false)
       labels = next
       converged = s == prevSum
       prevSum = s
