@@ -66,7 +66,11 @@ object DedupQueries {
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs via
     * the inverted index — returns pairs with `jaccard` attached. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val shN = withSizes(sh)
+    // both join legs read the sized posting list; one cache build
+    // instead of re-running the sizes aggregate per side (callers
+    // clear the cache after each query run)
+    val shN = withSizes(sh).persist()
+    shN.count()
     cand
       .join(shN.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shN.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
@@ -127,7 +131,10 @@ object DedupQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxPostingList)
       .select(col("s"))
-    val postings = withSizes(sh).join(coldShingles, "s")
+    // both sides of the pair self-join read the sized+capped posting
+    // list; persist it once (same rationale as dedup_contamination)
+    val postings = withSizes(sh).join(coldShingles, "s").persist()
+    postings.count()
     // one row per shared shingle -> groupBy counts |A ∩ B| directly;
     // no separate candidate pass (the posting-list join IS the pairs),
     // and the carried na/nb make Jaccard computable in the same group
