@@ -336,6 +336,29 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_funnel_sequences matches a driver-side brute-force chain count") {
+    val got = EventsQueries.funnelSequences(spark, dir)
+      .select("user_id", "n_view_click", "n_full_chain")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, vc, fc) => u -> (vc, fc) }.toMap
+    val events = graft.util.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val types = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val vc = types.sliding(2).count(w =>
+        w.length == 2 && w(0) == "view" && w(1) == "click")
+      val fc = types.sliding(3).count(w =>
+        w.length == 3 && w(0) == "view" && w(1) == "click" &&
+          w(2) == "purchase")
+      u -> (vc.toLong, fc.toLong)
+    }
+    assert(got == expected)
+    // the data actually exercises both chain lengths
+    assert(got.values.map(_._1).sum > 0L)
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
