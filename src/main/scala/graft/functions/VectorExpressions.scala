@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -119,6 +119,98 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Norm2FF =
       copy(child = newChild)
   }
+
+  /** pq_d2s(a, c, m): the fused product-quantization kernel — splits
+    * two float vectors into m equal subspaces and returns the m
+    * squared L2 distances as array<double>, in ONE pass over the
+    * vectors (three running accumulators per subspace) instead of
+    * 3 x m slice+fold calls (and their 3 x m slice allocations).
+    *
+    * Bit-compatibility contract: each element equals
+    * `graft_norm2(slice(a,lo,w)) + graft_norm2(slice(c,lo,w))
+    *  - 2.0 * graft_dot(slice(a,lo,w), slice(c,lo,w))` exactly —
+    * the three accumulators add the same products in the same index
+    * order as the separate folds, and the combine `(na + nc) - 2.0*d`
+    * is syntactically identical, so DuckDB oracle parity is untouched
+    * (asserted in VectorExpressionsSpec). */
+  case class PqSubD2s(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_pq_d2s"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val vecsOk = Seq(first, second).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      })
+      if (!vecsOk) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments")
+      else if (third.dataType != org.apache.spark.sql.types.IntegerType ||
+        !third.foldable) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal int subspace count")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override protected def nullSafeEval(a: Any, c: Any, m: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = c.asInstanceOf[ArrayData]
+      val mm = m.asInstanceOf[Int]
+      val n = math.min(x.numElements(), y.numElements())
+      val w = n / mm
+      val out = new Array[Double](mm)
+      var s = 0
+      while (s < mm) {
+        val base = s * w
+        var na = 0.0; var nc = 0.0; var d = 0.0
+        var i = 0
+        while (i < w) {
+          val va = x.getFloat(base + i).toDouble
+          val vc = y.getFloat(base + i).toDouble
+          na += va * va; nc += vc * vc; d += va * vc
+          i += 1
+        }
+        out(s) = na + nc - 2.0 * d
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, c, m) => {
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val n = ctx.freshName("n")
+        val w = ctx.freshName("w")
+        val base = ctx.freshName("base")
+        val na = ctx.freshName("na")
+        val nc = ctx.freshName("nc")
+        val d = ctx.freshName("d")
+        val va = ctx.freshName("va")
+        val vc = ctx.freshName("vc")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+           |int $w = $n / $m;
+           |double[] $out = new double[$m];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $base = $s * $w;
+           |  double $na = 0.0; double $nc = 0.0; double $d = 0.0;
+           |  for (int $i = 0; $i < $w; $i++) {
+           |    double $va = (double) $a.getFloat($base + $i);
+           |    double $vc = (double) $c.getFloat($base + $i);
+           |    $na += $va * $va; $nc += $vc * $vc; $d += $va * $vc;
+           |  }
+           |  $out[$s] = $na + $nc - 2.0 * $d;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): PqSubD2s =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
 }
 
 /** `spark.sql.extensions`-style injector: build sessions with
@@ -136,6 +228,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(VectorExpressions.Norm2FF.getClass.getName, "graft_norm2"),
       (children: Seq[Expression]) =>
         VectorExpressions.Norm2FF(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_pq_d2s"),
+      new ExpressionInfo(VectorExpressions.PqSubD2s.getClass.getName, "graft_pq_d2s"),
+      (children: Seq[Expression]) =>
+        VectorExpressions.PqSubD2s(children(0), children(1), children(2))))
   }
 }
 
@@ -157,6 +253,11 @@ object VectorFunctions {
         new ExpressionInfo(VectorExpressions.Norm2FF.getClass.getName, "graft_norm2"),
         (children: Seq[Expression]) =>
           VectorExpressions.Norm2FF(children.head))
+      registry.registerFunction(
+        FunctionIdentifier("graft_pq_d2s"),
+        new ExpressionInfo(VectorExpressions.PqSubD2s.getClass.getName, "graft_pq_d2s"),
+        (children: Seq[Expression]) =>
+          VectorExpressions.PqSubD2s(children(0), children(1), children(2)))
     }
   }
 }

@@ -751,27 +751,24 @@ object SimilarityQueries {
     // would defeat the whole point of quantization at 100 TB)
     val cents = e.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    // per-subspace squared distance, same norm+norm-2dot formula (and
-    // so the same float ops) as kmeansStep, over runtime-offset slices.
-    // NOTE: the fold runs per exploded (pair, s) row on purpose — the
-    // tempting "array of all 16 partials, then posexplode" form makes
-    // CollapseProject inline the whole 16-way fold into every generated
-    // row (16x the work; measured 3.5x slower end-to-end), the same
-    // trap powerIteration documents.
-    val subD2 =
-      expr("graft_norm2(slice(embedding, s*4+1, 4))") +
-        expr("graft_norm2(slice(cvec, s*4+1, 4))") -
-        lit(2.0) * expr(
-          "graft_dot(slice(embedding, s*4+1, 4), slice(cvec, s*4+1, 4))")
-    // per-(vector, centroid, subspace) quantized partials. Built twice
-    // from different inputs instead of persisting one big frame: the
-    // encode pass runs over the whole corpus, the LUT pass only over
-    // the (tiny) query subset filtered BEFORE the crossJoin.
+    // per-(vector, centroid, subspace) quantized partials via the
+    // FUSED kernel (functions.VectorExpressions.PqSubD2s): one pass
+    // over the two vectors computes all M subspace distances with the
+    // same accumulation order as the norm+norm-2dot slice folds
+    // kmeansStep uses, so oracle parity is untouched — but each pair
+    // costs one kernel call instead of 3 x M slice+fold calls (and the
+    // generator arg evaluates ONCE per pair row; a per-subspace
+    // "array of 16 folds then posexplode of composed slice exprs" form
+    // was measured 3.5x slower because the 48 slice allocations stay).
+    // Built twice from different inputs instead of persisting one big
+    // frame: the encode pass runs over the whole corpus, the LUT pass
+    // only over the (tiny) query subset filtered BEFORE the crossJoin.
     def partials(vecs: DataFrame): DataFrame = vecs
       .crossJoin(broadcast(cents))
-      .withColumn("s", explode(array((0 until M).map(lit): _*)))
-      .select(col("vec_id"), col("cent_id"), col("s"),
-        round(subD2 * lit(1e6)).cast(LongType).as("d2q"))
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(expr(s"graft_pq_d2s(embedding, cvec, $M)")))
+      .select(col("vec_id"), col("cent_id"), col("pos").as("s"),
+        round(col("col") * lit(1e6)).cast(LongType).as("d2q"))
     // argmin as a partial-aggregable groupBy min(struct) — lexicographic
     // struct ordering IS (d2q, cent_id) tie-breaking, and map-side
     // combine collapses the |corpus| x k x M rows per partition instead

@@ -29,6 +29,37 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused pq kernel is bit-identical to the composed slice folds") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 20).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextFloat() * 2f - 1f),
+        Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = data.toDF("id", "a", "c")
+    for (m <- Seq(4, 8, 16)) {
+      val w = 64 / m
+      val composed = (0 until m).map { s =>
+        val lo = s * w + 1
+        expr(s"graft_norm2(slice(a, $lo, $w)) + graft_norm2(slice(c, $lo, $w))" +
+          s" - 2.0 * graft_dot(slice(a, $lo, $w), slice(c, $lo, $w))")
+      }
+      val rows = df.select(
+        expr(s"graft_pq_d2s(a, c, $m)").as("fused"),
+        array(composed: _*).as("composed")).collect()
+      for (r <- rows) {
+        val f = r.getSeq[Double](0)
+        val cmp = r.getSeq[Double](1)
+        assert(f.length == m)
+        f.zip(cmp).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y), s"m=$m: $x != $y")
+        }
+      }
+    }
+  }
+
   test("GraftExtensions (spark.sql.extensions) registers functions without late binding") {
     // a fresh session's registry is built from extensions only —
     // VectorFunctions.ensureRegistered has never run on it
