@@ -1264,6 +1264,48 @@ object EventsQueries {
 
   /** name -> (query fn, oracle SQL) */
   // ---------------------------------------------------------------------
+  // ev_dow_type_cube: CUBE grouping sets (completes the grouping-set
+  // family next to ROLLUP, pivot and unpivot)
+  // ---------------------------------------------------------------------
+
+  /** Full CUBE over (day-of-week, event_type): all four grouping sets —
+    * cells, per-dow margins, per-type margins, grand total — in ONE
+    * shuffle (Spark expands the grouping sets map-side, partial-aggs
+    * each). Unlike ROLLUP's hierarchy this gives BOTH marginal views,
+    * the dashboard crosstab shape. gid decodes which dims are rolled
+    * up, nulls coalesce to sentinels so the deterministic sort is
+    * null-free on both engines. */
+  def dowTypeCube(spark: SparkSession, dir: String): DataFrame = {
+    val gid = when(col("dow").isNull && col("event_type").isNull, 3L)
+      .when(col("dow").isNull, 2L)
+      .when(col("event_type").isNull, 1L).otherwise(0L)
+    events(spark, dir)
+      .select((dayofweek(col("ts")) - 1).cast(LongType).as("dow"),
+        col("event_type"), col("value"))
+      .cube(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(gid.as("gid"), coalesce(col("dow"), lit(-1L)).as("dow"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("gid"), col("dow"), col("event_type"))
+  }
+
+  val dowTypeCubeSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow, event_type, value
+      |  FROM events)
+      |SELECT CASE WHEN dow IS NULL AND event_type IS NULL THEN 3
+      |            WHEN dow IS NULL THEN 2
+      |            WHEN event_type IS NULL THEN 1 ELSE 0 END AS gid,
+      |       COALESCE(dow, -1) AS dow,
+      |       COALESCE(event_type, 'ALL') AS event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM ev
+      |GROUP BY CUBE(dow, event_type)
+      |ORDER BY gid, dow, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_funnel_sequences: ordered event-pattern detection (MATCH_RECOGNIZE
   // shape) — consecutive view -> click (-> purchase) chains per user
   // ---------------------------------------------------------------------
@@ -1353,6 +1395,7 @@ object EventsQueries {
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
     ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
     ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
+    ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
     ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))
