@@ -273,6 +273,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("product profit: p_name prefix filter pushed as StringStartsWith") {
+    val p = plan("tpch_product_profit")
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("market share: customer region leg is a semi join, share aggs partial") {
+    val p = plan("tpch_market_share")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("dow-type cube: all four grouping sets expand into ONE shuffle") {
+    val p = plan("ev_dow_type_cube")
+    assert(p.contains("Expand"), p) // grouping-set expansion is the plan
+    val hashShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, plan:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
