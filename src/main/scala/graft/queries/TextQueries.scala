@@ -906,6 +906,75 @@ object TextQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_quality_gate: multi-signal keep/drop gate with reason attribution
+  // ---------------------------------------------------------------------
+
+  /** The C4/Gopher-style corpus gate as one composite: every document
+    * is scored on three signals from ONE tokenized pass (length,
+    * type-token ratio, stopword density) and dropped with its FIRST
+    * failing reason — short before low_ttr before stoppy — so the
+    * per-source attribution columns partition the corpus exactly
+    * (asserted in spec). Thresholds (24 tokens / 0.34 TTR / 0.16 stop
+    * ratio) are corpus-calibrated so every bucket is exercised at all
+    * test SFs.
+    *
+    * Scale shape: signal extraction is map-only on the documents scan
+    * (the `toks` attribute + repartition barrier prevents per-signal
+    * re-tokenization, as in [[stats]]); the rollup is one shuffle on
+    * source with all conditional counts map-side combined. At 100 TB
+    * this is a single pass + a |sources|-row result. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast(LongType)
+    val nUniq = size(array_distinct(toks)).cast(LongType)
+    val nStop = stopwordCount(toks)
+    val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
+    val stopR = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    val verdict = when(nTok < 24, "short")
+      .when(ttr < 0.34, "low_ttr")
+      .when(stopR > 0.16, "stoppy")
+      .otherwise("keep")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // projection barrier, as in stats()
+      .select(col("source"), verdict.as("verdict"), nTok.as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Tables.countIf(col("verdict") === "short").as("n_short"),
+        Tables.countIf(col("verdict") === "low_ttr").as("n_low_ttr"),
+        Tables.countIf(col("verdict") === "stoppy").as("n_stoppy"),
+        Tables.countIf(col("verdict") === "keep").as("n_kept"),
+        coalesce(sum(when(col("verdict") === "keep", col("n_tokens"))),
+          lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val qualityGateSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+       |         ${stopwordCountSql("string_split(text,' ')")} AS n_stop
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, n_tokens,
+       |         CASE WHEN n_tokens < 24 THEN 'short'
+       |              WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.34 THEN 'low_ttr'
+       |              WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.16 THEN 'stoppy'
+       |              ELSE 'keep' END AS verdict
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |       count(CASE WHEN verdict = 'short' THEN 1 END) AS n_short,
+       |       count(CASE WHEN verdict = 'low_ttr' THEN 1 END) AS n_low_ttr,
+       |       count(CASE WHEN verdict = 'stoppy' THEN 1 END) AS n_stoppy,
+       |       count(CASE WHEN verdict = 'keep' THEN 1 END) AS n_kept,
+       |       CAST(COALESCE(sum(CASE WHEN verdict = 'keep' THEN n_tokens END), 0) AS BIGINT) AS kept_tokens
+       |FROM g
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -923,5 +992,6 @@ object TextQueries {
     ("txt_length_deciles", lengthDeciles _, lengthDecilesSql),
     ("txt_pack_sequences", packSequences _, packSequencesSql),
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
-    ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql))
+    ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
+    ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -359,6 +359,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum > 0L)
   }
 
+  test("txt_quality_gate attributions partition the corpus, all reasons fire") {
+    val rows = TextQueries.qualityGate(spark, dir).collect()
+    val corpus = graft.util.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_short") + r.getAs[Long]("n_low_ttr") +
+          r.getAs[Long]("n_stoppy") + r.getAs[Long]("n_kept"), r.toString)
+    }
+    // thresholds are calibrated so every gate actually fires corpus-wide
+    for (c <- Seq("n_short", "n_low_ttr", "n_stoppy", "n_kept"))
+      assert(rows.map(_.getAs[Long](c)).sum > 0L, c)
+    // kept docs carry the token budget
+    assert(rows.map(_.getAs[Long]("kept_tokens")).sum >
+      rows.map(_.getAs[Long]("n_kept")).sum * 16)
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
