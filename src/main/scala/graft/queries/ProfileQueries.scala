@@ -313,11 +313,72 @@ object ProfileQueries {
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // util_temperature_mix: multi-source training-mix weights
+  // ---------------------------------------------------------------------
+
+  /** The data-mixing calculation behind every multi-corpus training
+    * run (GPT-3 / LLaMA style): per-source sampling weights under
+    * temperature T=2 — w_i ∝ n_tokens_i^(1/T) = sqrt(n_tokens_i) —
+    * which upweights small sources relative to proportional sampling;
+    * plus each source's expected token draw under a fixed budget and
+    * the implied oversample factor (epochs over that source).
+    *
+    * Determinism: sqrt is IEEE-exact (unlike pow, whose libm differs
+    * across engines), and the cross-source normalizer sums
+    * MICRO-QUANTIZED int64 weights (the kmeansStep idiom) so the
+    * 20-source fold is order-free; every downstream ratio divides the
+    * same two numbers on both engines.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus to
+    * the |sources| grain, then a 1-row scalar crossJoin (broadcast). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 1000000.0 // tokens drawn per mixing epoch
+    val bySource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("w_q"))
+    val tot = bySource.agg(sum(col("w_q")).as("w_tot"))
+    bySource.crossJoin(tot) // 1-row scalar, broadcast
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("w_q").cast(DoubleType) / col("w_tot").cast(DoubleType))
+          .as("mix_weight"),
+        (lit(Budget) * col("w_q").cast(DoubleType) /
+          col("w_tot").cast(DoubleType)).as("expected_tokens"),
+        (lit(Budget) * col("w_q").cast(DoubleType) /
+          col("w_tot").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("oversample_factor"))
+      .orderBy(col("source"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH by_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+      |  FROM by_source),
+      |tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_tot FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS mix_weight,
+      |       1000000.0 * CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS expected_tokens,
+      |       1000000.0 * CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE)
+      |         / CAST(n_tokens AS DOUBLE) AS oversample_factor
+      |FROM w, tot
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
     ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
     ("util_skew_profile", skewProfile _, skewProfileSql),
+    ("util_temperature_mix", temperatureMix _, temperatureMixSql),
     ("ev_user_cms", userCms _, null))
 }

@@ -376,6 +376,24 @@ class ExtensionOpsSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_kept")).sum * 16)
   }
 
+  test("util_temperature_mix weights normalize and upweight small sources") {
+    val rows = ProfileQueries.temperatureMix(spark, dir).collect()
+    assert(rows.length > 1)
+    val wsum = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weights sum to $wsum")
+    val esum = rows.map(_.getAs[Double]("expected_tokens")).sum
+    assert(math.abs(esum - 1000000.0) < 1e-3)
+    // temperature < 1 exponent: smaller sources get MORE than their
+    // proportional share, so oversample factors decrease with size
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    bySize.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(small.getAs[Double]("oversample_factor") >=
+          big.getAs[Double]("oversample_factor"))
+      case _ => ()
+    }
+  }
+
   test("txt_length_deciles covers the corpus with non-overlapping bins") {
     val rows = TextQueries.lengthDeciles(spark, dir).collect()
       .sortBy(_.getAs[Long]("decile"))
