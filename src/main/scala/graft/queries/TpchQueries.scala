@@ -644,12 +644,6 @@ object TpchQueries {
 
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
-    // unit price division happens in double on BOTH engines (same IEEE
-    // op on the same inputs), and MIN over doubles is order-free, so
-    // the unit_cost = best_cost equality below is bit-identical
-    val supply = t(spark, dir, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val eu = t(spark, dir, "supplier")
       .join(broadcast(t(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
@@ -661,6 +655,18 @@ object TpchQueries {
     val prt = t(spark, dir, "part")
       .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
       .select(col("p_partkey"), col("p_name"))
+    // the selective part filter prunes the FACT before the (part,
+    // supplier) aggregate — at 100 TB the semi join (broadcast or DPP)
+    // is what keeps the agg from grinding the whole lineitem; the
+    // per-part min is unchanged because the filter is per-part.
+    // unit price division happens in double on BOTH engines (same IEEE
+    // op on the same inputs), and MIN over doubles is order-free, so
+    // the unit_cost = best_cost equality below is bit-identical
+    val supply = t(spark, dir, "lineitem")
+      .join(broadcast(prt.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     supply
       .join(eu, col("l_suppkey") === col("s_suppkey"))
       .join(prt, col("l_partkey") === col("p_partkey"))
