@@ -63,6 +63,30 @@ class PatternMatchSpec extends SparkSpec {
     assert(typed.values.sum > 0L)
   }
 
+  test("automaton equals brute-force sliding windows on seeded random streams") {
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val pat = PatternMatch.DefaultPattern
+    for (seed <- Seq(1, 2, 3, 4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val evs = (0 until 2000).map { i =>
+        PatternEvent(rnd.nextInt(50).toLong, i.toLong,
+          new Timestamp(1700000000000L + i * 1000L),
+          types(rnd.nextInt(types.length)))
+      }
+      val got = PatternMatch.batchMatches(evs.toDS()).collect()
+        .groupBy(_.userId).view.mapValues(_.length.toLong).toMap
+      val expected = evs.groupBy(_.userId).collect {
+        case (u, es) =>
+          val ordered = es.sortBy(e => (e.eventTime.getTime, e.eventId))
+            .map(_.eventType)
+          val n = ordered.sliding(pat.length)
+            .count(w => w.length == pat.length && w.sameElements(pat))
+          u -> n.toLong
+      }.filter(_._2 > 0L).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("streaming matches across micro-batches equal the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PatternEvent]
