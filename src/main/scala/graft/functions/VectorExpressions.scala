@@ -148,14 +148,26 @@ object VectorExpressions {
       else if (third.dataType != org.apache.spark.sql.types.IntegerType ||
         !third.foldable) TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a literal int subspace count")
-      else TypeCheckResult.TypeCheckSuccess
+      else third.eval(null) match {
+        case m: Int if m >= 1 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName subspace count must be a positive int, got $other")
+      }
     }
+
+    /** The bit-compatibility contract covers every element, so a
+      * vector length the subspace count doesn't divide is a caller
+      * bug — fail loudly instead of silently dropping the tail. */
+    private def requireDivides(n: Int, m: Int): Unit =
+      if (n % m != 0) throw new IllegalArgumentException(
+        s"graft_pq_d2s: vector length $n is not divisible by $m subspaces")
 
     override protected def nullSafeEval(a: Any, c: Any, m: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = c.asInstanceOf[ArrayData]
       val mm = m.asInstanceOf[Int]
       val n = math.min(x.numElements(), y.numElements())
+      requireDivides(n, mm)
       val w = n / mm
       val out = new Array[Double](mm)
       var s = 0
@@ -190,6 +202,10 @@ object VectorExpressions {
         val out = ctx.freshName("out")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+           |if ($n % $m != 0) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_d2s: vector length " + $n + " is not divisible by " + $m + " subspaces");
+           |}
            |int $w = $n / $m;
            |double[] $out = new double[$m];
            |for (int $s = 0; $s < $m; $s++) {

@@ -32,16 +32,20 @@ object KMeans {
   def fit(emb: DataFrame, k: Int, iters: Int)
       : (DataFrame, DataFrame, Seq[Double]) = {
     require(k >= 1 && iters >= 1)
+    require(!emb.isEmpty, "KMeans.fit: input is empty")
     val spark = emb.sparkSession
 
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("x"))
 
     // deterministic seeding: the k lowest vec_ids (kmeans++ at scale
-    // would sample by d2 with a seeded hash — same loop shape)
+    // would sample by d2 with a seeded hash — same loop shape).
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // top-k, k-row driver merge); the row_number window runs on those
+    // k rows only — never a full-corpus single-partition sort
     var centroids = vecs
+      .orderBy(col("vec_id")).limit(k)
       .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .filter(col("rn") <= k)
       .select((col("rn") - 1).cast("long").as("cent_id"), col("x").as("cvec"))
       .localCheckpoint(true)
 

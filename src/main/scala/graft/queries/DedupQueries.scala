@@ -132,9 +132,11 @@ object DedupQueries {
       .filter(col("df") <= MaxPostingList)
       .select(col("s"))
     // both sides of the pair self-join read the sized+capped posting
-    // list; persist it once (same rationale as dedup_contamination)
+    // list; persist it once (same rationale as dedup_contamination),
+    // then drop the raw shingle cache it subsumes
     val postings = withSizes(sh).join(coldShingles, "s").persist()
     postings.count()
+    sh.unpersist(false)
     // one row per shared shingle -> groupBy counts |A ∩ B| directly;
     // no separate candidate pass (the posting-list join IS the pairs),
     // and the carried na/nb make Jaccard computable in the same group
@@ -631,6 +633,10 @@ object DedupQueries {
     val postings = withSizes(sh).join(cold, "s").join(splits, "doc_id")
       .persist()
     postings.count()
+    // the raw shingle cache only feeds `cold` and `postings`; once the
+    // capped posting list is materialized, drop it so two copies of
+    // the index never sit in memory through the heavy self-join
+    sh.unpersist(false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("eval_doc"))
       .orderBy(col("common").desc, col("train_doc"))

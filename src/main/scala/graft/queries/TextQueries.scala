@@ -823,9 +823,9 @@ object TextQueries {
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |c AS (
-       |  SELECT doc_id, array_to_string(toks[i*32+1:i*32+32], ' ') AS chunk
-       |  FROM d, generate_series(0, 63) t(i)
-       |  WHERE (i + 1) * 32 <= len(toks)),
+       |  SELECT doc_id, array_to_string(toks[i*32+1:i*32+32], ' ') AS chunk FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(0, len(toks) // 32 - 1)) AS i
+       |    FROM d)),
        |h AS (SELECT doc_id, ${h60Sql("chunk")} AS chunk_key FROM c)
        |SELECT chunk_key, count(*) AS n_occ,
        |       count(DISTINCT doc_id) AS n_docs,
@@ -888,8 +888,9 @@ object TextQueries {
       |  SELECT doc_id, string_split(text, ' ') AS toks
       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
       |pairs AS (
-      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |  FROM d, generate_series(1, 127) t(i) WHERE i <= len(toks) - 1),
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM (
+      |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |    FROM d)),
       |perdoc AS (
       |  SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
       |c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM perdoc GROUP BY 1, 2),
