@@ -109,14 +109,15 @@ object MultimodalQueries {
        |       CAST(i AS BIGINT) AS frame_no,
        |       CAST(i * 32 AS BIGINT) AS offset_bytes,
        |       ${h60Sql("substr(text, CAST(i * 32 + 1 AS INTEGER), 16)")} AS frame_hash
-       |FROM documents, generate_series(0, 4095) t(i)
-       |WHERE length(text) >= 16 AND i <= (length(text) - 16) // 32
+       |FROM (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, (length(text) - 16) // 32)) AS i
+       |  FROM documents WHERE length(text) >= 16)
        |ORDER BY doc_id, frame_no""".stripMargin
-  // ^ fixed series + filter because DuckDB 1.0's generate_series cannot
-  //   take lateral column args. 4095 caps oracle-comparable docs at
-  //   16 + 32*4095 = 131,056 bytes — far above the corpus max (577);
-  //   the SPARK side is unbounded, so a corpus beyond the cap would
-  //   show up as a row-count mismatch, not silent truncation.
+  // ^ the scalar generate_series + unnest form makes the frame count
+  //   document-derived on the oracle side too (the table-function form
+  //   can't take lateral column args in DuckDB 1.0) — both engines are
+  //   unbounded, so no corpus shape can silently truncate the compare.
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("mm_media_features", mediaFeatures _, mediaFeaturesSql),
