@@ -60,6 +60,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused pq kernel rejects bad subspace counts loudly") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Seq.fill(64)(1.0f), Seq.fill(64)(2.0f))).toDF("a", "c")
+    // m = 0: rejected at analysis time
+    val analysisErr = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_pq_d2s(a, c, 0)").collect()
+    }
+    assert(analysisErr.getMessage.contains("positive"))
+    // m = 5 doesn't divide 64: loud runtime failure, never silent
+    // tail-dropping (the bit-compat contract covers every element)
+    val runtimeErr = intercept[Exception] {
+      df.selectExpr("graft_pq_d2s(a, c, 5)").collect()
+    }
+    assert(runtimeErr.getMessage != null)
+    assert(org.apache.commons.lang3.exception.ExceptionUtils
+      .getRootCauseMessage(runtimeErr).contains("not divisible"))
+  }
+
   test("GraftExtensions (spark.sql.extensions) registers functions without late binding") {
     // a fresh session's registry is built from extensions only —
     // VectorFunctions.ensureRegistered has never run on it
