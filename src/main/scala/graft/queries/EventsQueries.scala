@@ -881,12 +881,26 @@ object EventsQueries {
   // Ranking suite: ntile / rank / dense_rank / first event per user
   // ---------------------------------------------------------------------
 
-  /** Per-user ranking dashboard: spend quartile (ntile over a unique
-    * sort), event-count rank and dense rank, and the user's first
-    * event type (row_number=1 in event-time order). The global windows
-    * run over the 150-row per-user aggregate, not the raw events —
-    * the pre-aggregate-then-window pattern that keeps single-partition
-    * windows safe at any scale. */
+  /** Per-user ranking dashboard: spend quartile (exact ntile(4)
+    * semantics over a unique sort), event-count rank and dense rank,
+    * and the user's first event type (row_number=1 in event-time
+    * order). Unlike the hourly-grain windows (W1-W5, bounded forever),
+    * the user grain grows with the data, so NO global unpartitioned
+    * window is allowed here; the same exact results come from
+    * scale-shaped plans instead:
+    *
+    *  - rank / dense_rank: a non-equi broadcast self-join over the
+    *    aggregated (n_events -> user count) domain. The domain is
+    *    bounded by the number of DISTINCT per-user counts, not the
+    *    number of users, so the broadcast holds at any corpus size.
+    *  - ntile(4): range-bucketed global row position. approx_percentile
+    *    thresholds split users into ~32 ordered spend buckets (the
+    *    thresholds only partition; any monotonic split is correct),
+    *    row_number runs PARTITIONED by bucket, and exact per-bucket
+    *    offsets (tiny non-equi self-join over <=32 bucket counts)
+    *    recover the exact global position; ntile's bucket assignment
+    *    is then pure integer arithmetic on (position, total).
+    */
   def userRanks(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val firsts = ev
@@ -899,13 +913,57 @@ object EventsQueries {
       countIf(isPurchase).as("n_purchases"),
       coalesce(sum(when(isPurchase, col("value").cast(Money))), lit(0).cast(Money))
         .cast(DoubleType).as("spend"))
-    agg.join(firsts, "user_id")
+      .persist()
+    agg.count() // eager: four downstream branches reuse one build
+
+    // events_rank / events_dense_rank over the bounded count domain
+    val dom = agg.groupBy(col("n_events")).agg(count(lit(1)).as("cnt"))
+    val ranks = dom
+      .join(broadcast(dom.select(col("n_events").as("v2"), col("cnt").as("cnt2"))),
+        col("v2") > col("n_events"), "left")
+      .groupBy(col("n_events"))
+      .agg((coalesce(sum(col("cnt2")), lit(0L)) + lit(1L)).as("events_rank"),
+        (count(col("v2")) + lit(1L)).as("events_dense_rank"))
+
+    // exact global row position via range-bucketed partitioned sort
+    val nb = 32
+    val probs = (1 until nb).map(i => i.toDouble / nb).mkString(",")
+    val thr = agg.agg(
+      expr(s"approx_percentile(spend, array($probs), 10000)").as("thr"))
+    val bucketed = agg.crossJoin(broadcast(thr))
+      .withColumn("bkt", aggregate(col("thr"), lit(0),
+        (acc, t) => acc + when(col("spend") >= t, 1).otherwise(0)))
+      .drop("thr")
+    val bcnt = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+    val offs = bcnt
+      .join(broadcast(bcnt.select(col("bkt").as("b2"), col("bc").as("bc2"))),
+        col("b2") < col("bkt"), "left")
+      .groupBy(col("bkt"))
+      .agg(coalesce(sum(col("bc2")), lit(0L)).as("off"))
+    val totals = bcnt.agg(sum(col("bc")).as("n_total"))
+    val positioned = bucketed
+      .join(broadcast(offs), "bkt")
+      .crossJoin(broadcast(totals))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("spend"), col("user_id")))
+        .cast(LongType) + col("off"))
+      // ntile(4) closed form: the first (n_total % 4) buckets hold
+      // (n_total DIV 4)+1 rows, the rest (n_total DIV 4); ceil-div in
+      // integer arithmetic. Matches SQL NTILE exactly, including n<4.
+      .withColumn("q_base", expr("n_total DIV 4"))
+      .withColumn("q_rem", expr("n_total % 4"))
       .withColumn("spend_quartile",
-        ntile(4).over(Window.orderBy(col("spend"), col("user_id"))).cast(LongType))
-      .withColumn("events_rank",
-        rank().over(Window.orderBy(col("n_events").desc)).cast(LongType))
-      .withColumn("events_dense_rank",
-        dense_rank().over(Window.orderBy(col("n_events").desc)).cast(LongType))
+        when(col("pos") <= col("q_rem") * (col("q_base") + 1),
+          expr("(pos + q_base) DIV (q_base + 1)"))
+          .otherwise(expr("q_rem + (pos - q_rem * (q_base + 1) + q_base - 1) DIV q_base"))
+          .cast(LongType))
+
+    positioned
+      .join(broadcast(ranks), "n_events")
+      .join(firsts, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_purchases"), col("spend"),
+        col("first_event_type"), col("spend_quartile"),
+        col("events_rank"), col("events_dense_rank"))
       .orderBy(col("user_id"))
   }
 
@@ -981,6 +1039,8 @@ object EventsQueries {
     val act = events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
+      .persist()
+    act.count() // eager: raw scan + (user, wk) shuffle run ONCE for 3 branches
     val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
     val counts = act.join(first, "user_id")
       .select(col("cohort"),

@@ -294,6 +294,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("user ranks: no global unpartitioned window anywhere in the plan") {
+    // the user grain grows with the data — a single-partition WindowExec
+    // here (the round-6 `weak`) serializes every user through one task.
+    // ntile/rank/dense_rank are rewritten as range-bucketed position +
+    // bounded domain joins; only the per-user firsts window (partitioned
+    // by user_id) may remain.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = graft.SparkEntry.queries("ev_user_ranks")(spark, dir)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, s"unpartitioned windows: ${global.mkString("\n")}")
+    val partitioned = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow => w
+    }
+    assert(partitioned.nonEmpty) // the firsts/bucket windows are still windows
+  }
+
+  test("retention cohorts: raw events scanned once; branches reuse the cached grain") {
+    // the (user, week) distinct is the only raw-grain pass; the three
+    // consumers (activity join, first-seen, cohort sizes) must all read
+    // the cached grain, not re-scan parquet. Checked on the optimized
+    // LOGICAL plan: the cache is a leaf there, so any LogicalRelation
+    // would be a real re-scan (the executed-plan string embeds the
+    // cache's own build scan and can't distinguish the two).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = graft.SparkEntry.queries("ev_retention_cohorts")(spark, dir)
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case r: InMemoryRelation => r }.nonEmpty, lp.toString)
+    assert(lp.collect { case r: LogicalRelation => r }.isEmpty, lp.toString)
+  }
+
   test("date-partitioned events: time predicate prunes partitions") {
     val out = tmpDir("graft-part").resolve("events_by_date").toString
     val ev = graft.util.Tables.load(spark, dir, "events")
