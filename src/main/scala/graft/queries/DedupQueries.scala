@@ -115,7 +115,9 @@ object DedupQueries {
     * pair's Jaccard but O(n^2) join rows — the classic skew guard for
     * shingle joins). No posting list in the testdata exceeds 25 docs,
     * so results are unchanged at every test SF; the identical HAVING
-    * guard is in the oracle SQL. */
+    * guard is in the oracle SQL. What the cap drops is never silent:
+    * [[postingAudit]] reports dropped-shingle counts and posting share
+    * per cap setting. */
   private val MaxPostingList = 1000
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -167,6 +169,50 @@ object DedupQueries {
        |JOIN sizes zb ON doc_b = zb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(za.n + zb.n - common AS DOUBLE) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_posting_audit: what does the posting-list cap cost?
+  // ---------------------------------------------------------------------
+
+  /** The skew guard in [[ngramJaccard]] / [[contamination]] silently
+    * drops shingles with df > MaxPostingList from candidate
+    * generation. Correct at any scale — but a 100 TB operator needs to
+    * SEE what the cap cost, not trust it. One row per candidate cap
+    * setting (including the production MaxPostingList) with the count
+    * of shingles that would be dropped and the share of all postings
+    * they carry. The df grain is one shuffle; the 4-way cap explode is
+    * map-side over that aggregated grain. */
+  def postingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(5, 10, 25, MaxPostingList)
+    val dft = shingles(spark, dir).groupBy(col("s")).agg(count(lit(1)).as("df"))
+    dft.select(col("df"), explode(array(caps.map(lit(_)): _*)).as("cap"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        count(when(col("df") > col("cap"), 1)).as("n_dropped_shingles"),
+        coalesce(sum(when(col("df") > col("cap"), col("df"))), lit(0L))
+          .as("n_dropped_postings"))
+      .withColumn("dropped_share",
+        col("n_dropped_postings").cast(DoubleType) /
+          col("n_postings").cast(DoubleType))
+      .orderBy(col("cap"))
+  }
+
+  val postingAuditSql: String =
+    s"""WITH sh AS ($shinglesCte),
+       |dft AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |caps AS (SELECT unnest([5, 10, 25, $MaxPostingList]) AS cap)
+       |SELECT cap,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(df) AS BIGINT) AS n_postings,
+       |       count(CASE WHEN df > cap THEN 1 END) AS n_dropped_shingles,
+       |       CAST(COALESCE(sum(CASE WHEN df > cap THEN df END), 0) AS BIGINT) AS n_dropped_postings,
+       |       CAST(COALESCE(sum(CASE WHEN df > cap THEN df END), 0) AS DOUBLE)
+       |         / CAST(sum(df) AS DOUBLE) AS dropped_share
+       |FROM dft CROSS JOIN caps
+       |GROUP BY cap
+       |ORDER BY cap""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_minhash_sig: k=16 MinHash signatures
@@ -691,6 +737,7 @@ object DedupQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
+    ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
     ("dedup_simhash", simhash _, simhashSql),
