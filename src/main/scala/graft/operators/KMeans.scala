@@ -85,4 +85,52 @@ object KMeans {
     }
     (assign(), centroids, inertia.result())
   }
+
+  /** Lloyd's over many independent groups at once — one loop trains
+    * every group's codebook together (the PQ per-subspace case: 16
+    * subspaces x k entries in a single broadcast join per round,
+    * instead of 16 separate fits each paying its own passes).
+    *
+    * @param slices (grp: Int, vec_id: Long, x: Array[Double]) — each
+    *               group's points, all groups unioned in one frame.
+    * @param seeds  (grp, cent_id: Long, cvec: Array[Double]) — initial
+    *               centroids per group, k rows per group.
+    * @return (grp, cent_id, cvec) trained centroids. A cluster that
+    *         goes empty in a round keeps its previous centroid, so
+    *         every group returns exactly its k seed ids (PQ composite
+    *         stitching relies on identical id sets across groups).
+    *
+    * Same loop discipline as [[fit]]: centroids localCheckpoint(eager)
+    * per round (persist does not truncate lineage); assignment
+    * broadcasts the (groups x k)-row codebook, never the corpus; the
+    * argmin is a partial-aggregable min(struct) — no window, no
+    * corpus-sized state. */
+  def fitGrouped(slices: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0)
+    val d2 = aggregate(
+      zip_with(col("x"), col("cvec"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    var cents = seeds.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val means = slices.join(broadcast(cents), "grp")
+        .select(col("grp"), col("vec_id"), col("cent_id"), col("x"), d2.as("d2"))
+        // argmin carries x through the min struct: (d2, cent_id) is the
+        // ordering, x is constant within the (grp, vec_id) group
+        .groupBy(col("grp"), col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"), col("x"))).as("best"))
+        .select(col("grp"), col("best.cent_id").as("cent_id"),
+          posexplode(col("best.x")))
+        .groupBy(col("grp"), col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("grp"), col("cent_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec2"))
+      cents = cents.join(means, Seq("grp", "cent_id"), "left")
+        .select(col("grp"), col("cent_id"),
+          coalesce(col("cvec2"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 }

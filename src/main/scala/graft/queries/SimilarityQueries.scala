@@ -743,14 +743,21 @@ object SimilarityQueries {
     * engines; ties break on (d2q, cent_id) / (d2, n_id). */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val M = 16 // subspaces of 4 dims each
-    val R = 50 // ADC shortlist size fed to the exact re-rank
     val e = embs(spark, dir)
     // fixed k=31 codebook regardless of corpus size (vec_id < 500
     // bounds the seed pool — a codebook that grew with the corpus
     // would defeat the whole point of quantization at 100 TB)
     val cents = e.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    pqPipeline(e, cents)
+  }
+
+  /** Encode + ADC scan + exact re-rank against a given (cent_id, cvec)
+    * codebook — shared by the seed-codebook [[pqTopK]] (full DuckDB
+    * oracle) and the trained-codebook [[pqLearnedTopK]]. */
+  private def pqPipeline(e: DataFrame, cents: DataFrame): DataFrame = {
+    val M = 16 // subspaces of 4 dims each
+    val R = 50 // ADC shortlist size fed to the exact re-rank
     // per-(vector, centroid, subspace) quantized partials via the
     // FUSED kernel (functions.VectorExpressions.PqSubD2s): one pass
     // over the two vectors computes all M subspace distances with the
@@ -805,6 +812,45 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(rw).cast(LongType))
       .filter(col("rank") <= TopK)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[pqTopK]] with per-subspace LEARNED codebooks: the 31 seed
+    * entries per 4-dim subspace are refined with 3 rounds of grouped
+    * Lloyd's ([[graft.operators.KMeans.fitGrouped]] — ONE loop trains
+    * all 16 subspace codebooks together), then stitched back into
+    * composite centroid vectors so the fused-kernel ADC pipeline is
+    * reused unchanged. Training runs on a bounded deterministic sample
+    * (vec_id % 4 = 1): codebook quality converges long before the full
+    * corpus is seen, so at 100 TB the training pass must not scale with
+    * the corpus. K-means training isn't SQL-expressible, so like the
+    * sketch queries this registers rows-only; its correctness contract
+    * is the ExtensionOpsSpec floor — trained codebooks must BEAT the
+    * seed-codebook recall@10 on the same corpus, plus the driver's
+    * rows/schema check. */
+  def pqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = embs(spark, dir)
+    val xfull = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("xf"))
+    // (grp = subspace, vec_id, x = 4-dim slice) training frame
+    def slices(src: DataFrame): DataFrame = src
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          s => slice(col("xf"), s * lit(4) + lit(1), lit(4)))))
+      .select(col("pos").as("grp"), col("vec_id"), col("col").as("x"))
+    val seeds = slices(
+      xfull.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
+      .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
+    val trained = graft.operators.KMeans.fitGrouped(
+      slices(xfull.filter(col("vec_id") % 4 === 1)), seeds, iters = 3)
+    // stitch: composite centroid j = concat of subspace codebooks' entry
+    // j in subspace order (identical id sets per group by fitGrouped's
+    // empty-cluster carry-forward); cast to float for the fused kernel
+    val composite = trained.groupBy(col("cent_id"))
+      .agg(transform(flatten(transform(
+        sort_array(collect_list(struct(col("grp"), col("cvec")))),
+        s => s.getField("cvec"))), _.cast("float")).as("cvec"))
+    pqPipeline(e, composite)
   }
 
   val pqTopKSql: String = {
@@ -867,5 +913,6 @@ object SimilarityQueries {
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_power_iteration", powerIteration _, powerIterationSql),
-    ("ann_pq_topk", pqTopK _, pqTopKSql))
+    ("ann_pq_topk", pqTopK _, pqTopKSql),
+    ("ann_pq_learned", pqLearnedTopK _, null))
 }

@@ -285,6 +285,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall@10 = $mean")
   }
 
+  test("ann_pq_learned: trained codebooks beat the seed-codebook recall") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = graft.util.Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    val exact = q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_norm2(qv)") + expr("graft_norm2(nv)") -
+          lit(2.0) * expr("graft_dot(qv, nv)")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(exact.keySet == got.keySet)
+      val r = exact.map { case (qid, ex) =>
+        (ex intersect got(qid)).size.toDouble / ex.size
+      }
+      r.sum / r.size
+    }
+    val seed = meanRecall(SimilarityQueries.pqTopK(spark, dir))
+    val learned = meanRecall(SimilarityQueries.pqLearnedTopK(spark, dir))
+    info(s"recall@10: seed=$seed learned=$learned")
+    // the whole point of training: Lloyd's-refined per-subspace
+    // codebooks must beat the deterministic seed vectors (measured:
+    // seed 0.82 -> learned 0.88 at this SF)
+    assert(learned > seed, s"learned=$learned !> seed=$seed")
+    assert(learned >= 0.85, s"learned recall@10 = $learned")
+  }
+
   test("util_pseudonymize audit partitions the events and flags k-anonymity") {
     val rows = ProfileQueries.pseudonymize(spark, dir).collect()
     val total = graft.util.Tables.load(spark, dir, "events").count()
