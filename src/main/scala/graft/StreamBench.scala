@@ -51,19 +51,39 @@ object StreamBench {
           .as("payment_amount")).as("payload"))).as("value"))
 
     val in = Files.createTempDirectory("graft-sb-in")
-    val ckpt = Files.createTempDirectory("graft-sb-ckpt")
-    val out = Files.createTempDirectory("graft-sb-out")
-    lines.write.mode("overwrite").text(in.toString)
+    // 20 input files so the micro-batched phase gets a real batch
+    // cadence (maxFilesPerTrigger=2 -> 10 batches)
+    lines.repartition(20).write.mode("overwrite").text(in.toString)
     val nEvents = spark.read.text(in.toString).count()
 
-    val t0 = System.nanoTime()
-    val q = EventsPipeline.start(spark, in.toString, ckpt.toString,
-      out.toString, Trigger.AvailableNow())
-    q.awaitTermination()
-    val sec = (System.nanoTime() - t0) / 1e9
+    /** One pipeline run; returns (wall sec, per-batch trigger ms). */
+    def run(maxFiles: Option[Int]): (Double, Seq[Long]) = {
+      val ckpt = Files.createTempDirectory("graft-sb-ckpt")
+      val out = Files.createTempDirectory("graft-sb-out")
+      val t0 = System.nanoTime()
+      val q = EventsPipeline.start(spark, in.toString, ckpt.toString,
+        out.toString, Trigger.AvailableNow(), maxFiles)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hours = EventsPipeline.readHourlyMetrics(spark, out.toString).count()
+      require(hours > 0, "sink is empty")
+      // per-micro-batch latency from the engine's own progress events:
+      // triggerExecution covers source->sink for the batch (the
+      // end-to-end path a record takes once picked up)
+      val durs = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).toSeq
+      (sec, durs)
+    }
 
-    val hours = EventsPipeline.readHourlyMetrics(spark, out.toString).count()
-    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / sec}%.0f,"unit":"events/sec","events":$nEvents,"wall_sec":$sec%.2f,"hour_rows":$hours,"sf":"$sfDir"}""")
+    // bulk: everything in one batch = peak throughput
+    val (bulkSec, bulkDurs) = run(None)
+    // micro-batched: 10 batches = steady-state per-batch latency
+    val (mbSec, mbDurs) = run(Some(2))
+    def stats(ds: Seq[Long]): (Double, Long) =
+      if (ds.isEmpty) (0.0, 0L)
+      else (ds.sum.toDouble / ds.length, ds.max)
+    val (mbAvg, mbMax) = stats(mbDurs)
+    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / bulkSec}%.0f,"unit":"events/sec","events":$nEvents,"wall_sec":$bulkSec%.2f,"bulk_batches":${bulkDurs.length},"micro_batches":${mbDurs.length},"micro_events_per_sec":${nEvents / mbSec}%.0f,"micro_batch_latency_avg_ms":$mbAvg%.0f,"micro_batch_latency_max_ms":$mbMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

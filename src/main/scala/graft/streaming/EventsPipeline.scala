@@ -192,8 +192,10 @@ object EventsPipeline {
       inputDir: String,
       checkpointDir: String,
       outDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery = {
-    val lines = graft.sources.EventSource.fileStream(spark, inputDir)
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val lines = graft.sources.EventSource.fileStream(spark, inputDir,
+      maxFilesPerTrigger)
     // observe(): per-batch valid/invalid counters surfaced in
     // StreamingQueryProgress.observedMetrics — the declarative analog
     // of the reference's Prometheus counters (consumer/consumer.py:
