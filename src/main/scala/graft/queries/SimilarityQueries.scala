@@ -503,18 +503,37 @@ object SimilarityQueries {
 
   /** Per-vector top-3 neighbors within its label block — the kNN
     * self-join that feeds semantic clustering, kNN-graph construction,
-    * and near-dup candidate generation. Block-bounded (label here; LSH
-    * bucket / IVF cell at 100 TB), so the pair count is sum of squared
-    * block sizes, never corpus². The per-query top-k is a partitioned
-    * window over the block pairs, which Spark executes with a
-    * WindowGroupLimit partial pass (map-side top-k before the
-    * shuffle). */
+    * and near-dup candidate generation. The per-query top-k is a
+    * partitioned window over the block pairs, which Spark executes
+    * with a WindowGroupLimit partial pass (map-side top-k before the
+    * shuffle).
+    *
+    * Scale shape: label blocks GROW with the corpus (fixed label
+    * domain), so an uncapped in-block self-join is quadratic — the r7
+    * sf1.0 scale curve measured it 19.8x at 10x data. The neighbor
+    * side therefore draws from a bounded deterministic sample per
+    * label: an md5 threshold on vec_id keeps ~MaxBlock expected
+    * neighbors per label once blocks exceed the cap, and admits ALL
+    * vectors below it (every test SF — results and oracle byte-
+    * identical there, like the dedup MaxPostingList guard). Past the
+    * cap, pair count is corpus x MaxBlock = linear. The query side is
+    * never sampled: every vector still gets its top-3. At real 100 TB
+    * you would additionally sub-block by LSH bucket (see [[lshTopK]])
+    * to concentrate the sample on likely neighbors. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val KnnK = 3
+    val MaxBlock = 1000L
     val e = withNorm(embs(spark, dir))
+    val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    // h20 uniform in [0, 2^20); pass rate MaxBlock/n_label once the
+    // block exceeds the cap, 1.0 below it
+    val pool = e.join(broadcast(nl), "label")
+      .filter(h60(col("vec_id").cast(StringType)) % lit(1048576L) * col("n_label") <
+        lit(1048576L * MaxBlock))
+      .drop("n_label")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
-    e.as("a").join(e.as("b"),
+    e.as("a").join(pool.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_id"), col("a.label").as("label"),
@@ -529,10 +548,14 @@ object SimilarityQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
        |  FROM embeddings),
+       |nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+       |pool AS (
+       |  SELECT e.* FROM e JOIN nl USING (label)
+       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * 1000),
        |scored AS (
        |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
        |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |  FROM e a JOIN pool b ON a.label = b.label AND a.vec_id != b.vec_id),
        |ranked AS (
        |  SELECT vec_id, label, nn_id, cosine,
        |         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS BIGINT) AS rank

@@ -294,6 +294,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("knn join: neighbor-pool cap survives optimization; equi-join only") {
+    val p = plan("ann_knn_join")
+    // without the md5-threshold pool the in-label self-join is
+    // quadratic in block size (measured 19.8x at 10x data, round 7)
+    assert(p.contains("1048576"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("WindowGroupLimit"), p) // map-side top-k retained
+  }
+
   test("user ranks: no global unpartitioned window anywhere in the plan") {
     // the user grain grows with the data — a single-partition WindowExec
     // here (the round-6 `weak`) serializes every user through one task.

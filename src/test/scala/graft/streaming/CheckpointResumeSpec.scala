@@ -86,4 +86,54 @@ class CheckpointResumeSpec extends SparkSpec {
     assert(after == streamed)
     assert(afterRows < rawRows, s"$afterRows vs $rawRows")
   }
+
+  test("compaction swap is never silently wrong under a racing reader") {
+    // the documented contract (compactHourlyMetrics scaladoc): run in a
+    // maintenance window; a reader racing the swap may ERROR on vanished
+    // files, but must never return a silently wrong/partial result —
+    // the full-write-then-rename ordering guarantees any successful
+    // read sees a complete directory. Hammer reads while compacting
+    // repeatedly and check every read that succeeded.
+    val in = tmpDir("graft-race-in")
+    val ckpt = tmpDir("graft-race-ck")
+    val out = tmpDir("graft-race-out")
+    writeLines(in, "wave1.jsonl", wave1)
+    EventsPipeline.start(spark, in.toString, ckpt.toString,
+      out.toString, Trigger.AvailableNow()).awaitTermination()
+    writeLines(in, "wave2.jsonl", wave2)
+    EventsPipeline.start(spark, in.toString, ckpt.toString,
+      out.toString, Trigger.AvailableNow()).awaitTermination()
+
+    def snapshot(): Set[String] =
+      EventsPipeline.readHourlyMetrics(spark, out.toString)
+        .collect().map(_.toString).toSet
+    val expected = snapshot()
+    assert(expected.nonEmpty)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wrong = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (snapshot() == expected) ok.incrementAndGet()
+          else wrong.incrementAndGet()
+        } catch { case _: Throwable => failed.incrementAndGet() }
+      }
+    })
+    reader.start()
+    try
+      for (_ <- 1 to 5)
+        EventsPipeline.compactHourlyMetrics(spark, out.toString)
+    finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(wrong.get() == 0, s"silently wrong reads: ${wrong.get()}")
+    assert(ok.get() > 0, "reader never completed a read")
+    info(s"reads ok=${ok.get()} failed-loudly=${failed.get()}")
+    // and the table itself is intact afterwards
+    assert(snapshot() == expected)
+  }
 }
