@@ -838,7 +838,7 @@ object SimilarityQueries {
   }
 
   /** [[pqTopK]] with per-subspace LEARNED codebooks: the 31 seed
-    * entries per 4-dim subspace are refined with 3 rounds of grouped
+    * entries per 4-dim subspace are refined with 2 rounds of grouped
     * Lloyd's ([[graft.operators.KMeans.fitGrouped]] — ONE loop trains
     * all 16 subspace codebooks together), then stitched back into
     * composite centroid vectors so the fused-kernel ADC pipeline is
@@ -865,7 +865,7 @@ object SimilarityQueries {
       xfull.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
       .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
     val trained = graft.operators.KMeans.fitGrouped(
-      slices(xfull.filter(col("vec_id") % 4 === 1)), seeds, iters = 3)
+      slices(xfull.filter(col("vec_id") % 4 === 1)), seeds, iters = 2)
     // stitch: composite centroid j = concat of subspace codebooks' entry
     // j in subspace order (identical id sets per group by fitGrouped's
     // empty-cluster carry-forward); cast to float for the fused kernel
