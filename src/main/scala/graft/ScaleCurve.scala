@@ -38,7 +38,10 @@ object ScaleCurve {
       val fn = SparkEntry.queries(name)
       (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        // toRdd, not count(): a count aggregate lets Catalyst eliminate
+        // the query's final global ORDER BY — one of the likeliest
+        // superlinear stages this tool exists to catch
+        fn(spark, dir).queryExecution.toRdd.count()
         spark.sharedState.cacheManager.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.min

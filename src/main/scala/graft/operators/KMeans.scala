@@ -121,7 +121,11 @@ object KMeans {
         .select(col("grp"), col("best.cent_id").as("cent_id"),
           posexplode(col("best.x")))
         .groupBy(col("grp"), col("cent_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // fixed-point 2^27 component sums (the labelCentroids idiom):
+        // double avg() depends on shuffle merge order, and a ULP of
+        // centroid drift can flip near-tie codes run-to-run
+        .agg((sum(round(col("col") * (1L << 27))).cast("long")
+          .cast("double") / (1L << 27) / count(lit(1))).as("m"))
         .groupBy(col("grp"), col("cent_id"))
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("m")))),

@@ -893,13 +893,19 @@ object EventsQueries {
     *    aggregated (n_events -> user count) domain. The domain is
     *    bounded by the number of DISTINCT per-user counts, not the
     *    number of users, so the broadcast holds at any corpus size.
-    *  - ntile(4): range-bucketed global row position. approx_percentile
-    *    thresholds split users into ~32 ordered spend buckets (the
-    *    thresholds only partition; any monotonic split is correct),
-    *    row_number runs PARTITIONED by bucket, and exact per-bucket
-    *    offsets (tiny non-equi self-join over <=32 bucket counts)
-    *    recover the exact global position; ntile's bucket assignment
-    *    is then pure integer arithmetic on (position, total).
+    *  - ntile(4): range-partitioned global row position. The corpus is
+    *    range-partitioned on the UNIQUE composite sort key
+    *    (spend, user_id) — unique, so even an all-equal-spend tie
+    *    cohort (every purchase-free user) is SPLIT across partitions
+    *    and no partition grows with a tie class, which a spend-only
+    *    threshold bucketing cannot guarantee. row_number runs
+    *    PARTITIONED by the range partition id (frozen into the data by
+    *    an eager localCheckpoint so every consumer sees one
+    *    assignment), exact per-partition offsets come from a tiny
+    *    non-equi self-join over the partition counts, and ntile's
+    *    bucket assignment is pure integer arithmetic on
+    *    (position, total). Partition boundaries only PLACE rows — any
+    *    boundary set yields the same exact positions.
     */
   def userRanks(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
@@ -925,27 +931,25 @@ object EventsQueries {
       .agg((coalesce(sum(col("cnt2")), lit(0L)) + lit(1L)).as("events_rank"),
         (count(col("v2")) + lit(1L)).as("events_dense_rank"))
 
-    // exact global row position via range-bucketed partitioned sort
-    val nb = 32
-    val probs = (1 until nb).map(i => i.toDouble / nb).mkString(",")
-    val thr = agg.agg(
-      expr(s"approx_percentile(spend, array($probs), 10000)").as("thr"))
-    val bucketed = agg.crossJoin(broadcast(thr))
-      .withColumn("bkt", aggregate(col("thr"), lit(0),
-        (acc, t) => acc + when(col("spend") >= t, 1).otherwise(0)))
-      .drop("thr")
-    val bcnt = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
-    val offs = bcnt
-      .join(broadcast(bcnt.select(col("bkt").as("b2"), col("bc").as("bc2"))),
-        col("b2") < col("bkt"), "left")
-      .groupBy(col("bkt"))
-      .agg(coalesce(sum(col("bc2")), lit(0L)).as("off"))
-    val totals = bcnt.agg(sum(col("bc")).as("n_total"))
-    val positioned = bucketed
-      .join(broadcast(offs), "bkt")
+    // exact global row position via a range-partitioned sort on the
+    // unique (spend, user_id) key; pid is materialized by the eager
+    // checkpoint so the counts branch and the window branch can never
+    // observe different partitionings
+    val parts = agg.repartitionByRange(col("spend"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pcnt = parts.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+    val offs = pcnt
+      .join(broadcast(pcnt.select(col("pid").as("p2"), col("pc").as("pc2"))),
+        col("p2") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("pc2")), lit(0L)).as("off"))
+    val totals = pcnt.agg(sum(col("pc")).as("n_total"))
+    val positioned = parts
+      .join(broadcast(offs), "pid")
       .crossJoin(broadcast(totals))
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("bkt")).orderBy(col("spend"), col("user_id")))
+        Window.partitionBy(col("pid")).orderBy(col("spend"), col("user_id")))
         .cast(LongType) + col("off"))
       // ntile(4) closed form: the first (n_total % 4) buckets hold
       // (n_total DIV 4)+1 rows, the rest (n_total DIV 4); ceil-div in

@@ -520,9 +520,13 @@ object SimilarityQueries {
     * never sampled: every vector still gets its top-3. At real 100 TB
     * you would additionally sub-block by LSH bucket (see [[lshTopK]])
     * to concentrate the sample on likely neighbors. */
+  /** Neighbor-pool cap for [[knnJoin]] — interpolated into BOTH the
+    * DataFrame predicate and the oracle SQL so a tune can never desync
+    * the two engines. */
+  private val MaxBlock = 1000L
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val KnnK = 3
-    val MaxBlock = 1000L
     val e = withNorm(embs(spark, dir))
     val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
     // h20 uniform in [0, 2^20); pass rate MaxBlock/n_label once the
@@ -551,7 +555,7 @@ object SimilarityQueries {
        |nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
        |pool AS (
        |  SELECT e.* FROM e JOIN nl USING (label)
-       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * 1000),
+       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * $MaxBlock),
        |scored AS (
        |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
        |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
@@ -842,8 +846,9 @@ object SimilarityQueries {
     * Lloyd's ([[graft.operators.KMeans.fitGrouped]] — ONE loop trains
     * all 16 subspace codebooks together), then stitched back into
     * composite centroid vectors so the fused-kernel ADC pipeline is
-    * reused unchanged. Training runs on a bounded deterministic sample
-    * (vec_id % 4 = 1): codebook quality converges long before the full
+    * reused unchanged. Training runs on a BOUNDED deterministic sample
+    * (vec_id < 8000 with vec_id % 4 = 1 -> at most 2000 vectors at any
+    * corpus size): codebook quality converges long before the full
     * corpus is seen, so at 100 TB the training pass must not scale with
     * the corpus. K-means training isn't SQL-expressible, so like the
     * sketch queries this registers rows-only; its correctness contract
@@ -865,7 +870,8 @@ object SimilarityQueries {
       xfull.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
       .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
     val trained = graft.operators.KMeans.fitGrouped(
-      slices(xfull.filter(col("vec_id") % 4 === 1)), seeds, iters = 2)
+      slices(xfull.filter(col("vec_id") < 8000 && col("vec_id") % 4 === 1)),
+      seeds, iters = 2)
     // stitch: composite centroid j = concat of subspace codebooks' entry
     // j in subspace order (identical id sets per group by fitGrouped's
     // empty-cluster carry-forward); cast to float for the fused kernel

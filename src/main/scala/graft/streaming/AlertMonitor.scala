@@ -23,11 +23,21 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * backfills) can drive crafted timelines deterministically; the
   * listener callback just extracts (timestamp, invalid_events) and
   * delegates.
+  *
+  * Listeners are session-global: when more than one query exposing
+  * `graft_ingest` can run on the SparkSession (a restart overlapping
+  * the stopping query, side-by-side pipelines), pass `onlyQuery` so
+  * each monitor tracks exactly one query's stream instead of summing
+  * interleaved progress into one window. Out-of-order progress
+  * delivery is tolerated: evaluation time is the max event time seen,
+  * and eviction scans the whole (bounded) window rather than assuming
+  * monotonic arrival.
   */
 class AlertMonitor(
     failuresPerMinute: Double = 5.0,
     sustainMs: Long = 60000L,
-    windowMs: Long = 60000L) extends StreamingQueryListener {
+    windowMs: Long = 60000L,
+    onlyQuery: Option[String] = None) extends StreamingQueryListener {
 
   /** One alert state change: raised (firing=true) or cleared. */
   final case class Transition(atMs: Long, firing: Boolean, ratePerMin: Double)
@@ -53,15 +63,17 @@ class AlertMonitor(
   def record(atMs: Long, invalid: Long): Unit = synchronized {
     invalidTotal += invalid
     samples.append((atMs, invalid))
-    while (samples.nonEmpty && samples.head._1 <= atMs - windowMs)
-      samples.removeHead()
+    // evaluate at the max time seen: a late-delivered older event must
+    // not roll the window backwards or wedge head-only eviction
+    val nowMs = math.max(atMs, samples.iterator.map(_._1).max)
+    samples.filterInPlace(_._1 > nowMs - windowMs)
     val ratePerMin =
       samples.iterator.map(_._2).sum * 60000.0 / windowMs.toDouble
     breachSinceMs =
-      if (ratePerMin > failuresPerMinute) breachSinceMs.orElse(Some(atMs))
+      if (ratePerMin > failuresPerMinute) breachSinceMs.orElse(Some(nowMs))
       else None
-    val nowFiring = breachSinceMs.exists(s => atMs - s >= sustainMs)
-    if (nowFiring != isFiring) history :+= Transition(atMs, nowFiring, ratePerMin)
+    val nowFiring = breachSinceMs.exists(s => nowMs - s >= sustainMs)
+    if (nowFiring != isFiring) history :+= Transition(nowMs, nowFiring, ratePerMin)
     isFiring = nowFiring
   }
 
@@ -71,7 +83,9 @@ class AlertMonitor(
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val om = event.progress.observedMetrics
-    if (om.containsKey("graft_ingest")) {
+    val mine = onlyQuery.forall(n =>
+      n == event.progress.name || n == event.progress.id.toString)
+    if (mine && om.containsKey("graft_ingest")) {
       val atMs = java.time.Instant.parse(event.progress.timestamp).toEpochMilli
       record(atMs, om.get("graft_ingest").getAs[Long]("invalid_events"))
     }
