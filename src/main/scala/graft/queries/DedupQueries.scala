@@ -454,7 +454,17 @@ object DedupQueries {
 
   /** Near-dup pairs by SimHash: candidates share one of six 10-bit
     * chunks (guarantees recall for Hamming <= 5), verified with
-    * bit_count(xor) <= 9. */
+    * bit_count(xor) <= 9.
+    *
+    * Scale note: chunk buckets have a FIXED 1024-value domain, so
+    * bucket postings grow with corpus/1024 and the candidate join has
+    * a quadratic term with a 1/1024 constant (measured still
+    * near-linear at 40k docs: 1.21x at 2x data, r7 curve). Unlike the
+    * cosine/kNN pools, a posting cap here would silently void the
+    * Hamming<=5 recall guarantee; the principled re-bound at extreme
+    * scale is WIDER chunks (more bands of more bits), which shrinks
+    * postings exponentially while keeping the pigeonhole guarantee for
+    * a smaller radius. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // both sides of the chunk self-join consume the signature; persist
     // + eager count so the shingle explode + 60-column vote aggregation
@@ -502,13 +512,31 @@ object DedupQueries {
     * kept when cosine >= 0.4. */
   /** Unsorted in-block cosine pairs — shared by [[embeddingCosine]]
     * and [[semanticClean]]. */
+  /** Canonical-side pool cap for the cosine pair join — label blocks
+    * grow with the corpus (fixed label domain), so the uncapped
+    * in-block self-join is quadratic (measured 2.57x at 2x data on the
+    * r7 scale curve). Interpolated into BOTH engines' predicates. */
+  private val MaxCosinePool = 1000L
+
   private def cosinePairsBody(spark: SparkSession, dir: String): DataFrame = {
     // codegen'd dot/norm (graft.functions.VectorExpressions): identical
     // accumulation order to the HOF form, ~10x faster on the pair loop
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir).select(col("vec_id"), col("label"),
       col("embedding"), sqrt(expr("graft_norm2(embedding)")).as("nrm"))
-    e.as("a").join(e.as("b"),
+    // the LOWER-ID (canonical/keeper) side draws from a bounded
+    // deterministic md5 sample of ~MaxCosinePool per label once blocks
+    // exceed the cap — below it (every test SF) ALL vectors pass and
+    // results are byte-identical, the ann_knn_join / MaxPostingList
+    // idiom. The higher-id side stays full, so every vector is still
+    // tested against the pool and can be flagged as a dup; pair count
+    // past the cap is corpus x MaxCosinePool = linear.
+    val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val pool = e.join(broadcast(nl), "label")
+      .filter(h60(col("vec_id").cast(StringType)) % lit(1048576L) * col("n_label") <
+        lit(1048576L * MaxCosinePool))
+      .drop("n_label")
+    pool.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -518,6 +546,13 @@ object DedupQueries {
       .filter(col("cosine") >= 0.4)
   }
 
+  /** Shared pool CTEs for the cosine-pair oracles. */
+  private val cosinePoolCtes: String =
+    s"""nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+       |pool AS (
+       |  SELECT e.* FROM e JOIN nl USING (label)
+       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * $MaxCosinePool)""".stripMargin
+
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     cosinePairsBody(spark, dir).orderBy(col("vec_a"), col("vec_b"))
 
@@ -525,10 +560,11 @@ object DedupQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |         sqrt(${norm2Sql("embedding")}) AS nrm
-       |  FROM embeddings)
+       |  FROM embeddings),
+       |$cosinePoolCtes
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM pool a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
@@ -565,9 +601,10 @@ object DedupQueries {
        |  SELECT vec_id, label, embedding,
        |         sqrt(${norm2Sql("embedding")}) AS nrm
        |  FROM embeddings),
+       |$cosinePoolCtes,
        |dups AS (
        |  SELECT DISTINCT b.vec_id AS doc_id
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  FROM pool a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
        |SELECT d.source, count(*) AS n_docs,
        |       count(dup.doc_id) AS n_semantic_dups,

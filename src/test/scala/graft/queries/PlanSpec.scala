@@ -304,6 +304,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // map-side top-k retained
   }
 
+  test("embedding cosine: canonical-side pool cap survives optimization") {
+    val p = plan("dedup_embedding_cosine")
+    // without the md5-threshold pool the in-label pair join is
+    // quadratic in block size (measured 2.57x at 2x data, round 7)
+    assert(p.contains("1048576"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
   test("user ranks: no global unpartitioned window anywhere in the plan") {
     // the user grain grows with the data — a single-partition WindowExec
     // here (the round-6 `weak`) serializes every user through one task.
