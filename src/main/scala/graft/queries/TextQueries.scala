@@ -741,14 +741,34 @@ object TextQueries {
     * All binning is exact int64 (`div`), bit-identical cross-engine. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val B = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    // Distributed prefix sum (the ev_user_ranks position idiom): the
+    // source domain is FIXED, so a window partitioned by source alone
+    // serializes a whole source through one task as the corpus grows.
+    // Range-partition on the unique (source, doc_id) key instead —
+    // even a single dominant source splits across partitions — pin the
+    // partition ids with an eager checkpoint, and reconstruct the
+    // exact running sum as local-prefix + earlier-partition totals
+    // (tiny non-equi broadcast join over pids x sources rows).
+    val d = docs(spark, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = d.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("pt"))
+    val offs = totals
+      .join(broadcast(totals.select(col("pid").as("p2"),
+        col("source").as("s2"), col("pt").as("pt2"))),
+        col("s2") === col("source") && col("p2") < col("pid"), "left")
+      .groupBy(col("pid"), col("source"))
+      .agg(coalesce(sum(col("pt2")), lit(0L)).as("off"))
+    val lw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.join(broadcast(offs), Seq("pid", "source"))
       .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        coalesce(sum(col("n_tokens")).over(lw), lit(0L)) + col("off"))
       .withColumn("seq_id", expr(s"cum_before div $B"))
       .groupBy(col("source"), col("seq_id"))
       .agg(

@@ -191,10 +191,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("pack sequences: cumulative window is partitioned by source") {
+  test("pack sequences: prefix sum is range-distributed, not per-source serial") {
     val p = plan("txt_pack_sequences")
-    // a global (unpartitioned) running sum would serialize the corpus
-    assert(p.contains("windowspecdefinition(source"), p)
+    // the source domain is FIXED, so a window partitioned by source
+    // alone serializes each whole source through one task as the
+    // corpus grows; the running sum must partition by (pid, source)
+    // with earlier-partition totals joined in
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!p.contains("windowspecdefinition(source"), p)
   }
 
   test("runtime bloom filter: filtered dim injects a row filter into the fact scan") {
