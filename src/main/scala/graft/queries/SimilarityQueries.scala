@@ -111,6 +111,14 @@ object SimilarityQueries {
       .map(p => s"CASE WHEN ${projSql(p, e)} > 0.0 THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** Scale note: the 256-bucket domain is fixed, so bucket postings
+    * grow with corpus/256 and the candidate join carries a quadratic
+    * term with a 1/256 constant (still 1.22x wall at 10x data on the
+    * r7 curve). The re-bound at extreme scale is MORE planes —
+    * capacity grows exponentially per plane while recall decays
+    * gradually — unlike the fixed-label blocks that needed pool caps.
+    * IVF ([[ivfTopK]]) self-scales instead: its centroid count grows
+    * with the corpus, holding cell size constant. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode)
     val q = e.filter(isQuery)
