@@ -51,8 +51,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         finally {
           // queries may persist() intermediates; drop them so later
-          // queries (and later iterations) never time against a warm cache
+          // queries (and later iterations) never time against a warm
+          // cache. localCheckpoint() blocks live at the RDD layer,
+          // outside cacheManager — drop those too.
           spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
         val dt = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)

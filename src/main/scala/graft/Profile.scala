@@ -32,6 +32,7 @@ object Profile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       println(f"[profile] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

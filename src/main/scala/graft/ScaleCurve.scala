@@ -44,6 +44,10 @@ object ScaleCurve {
         // superlinear stages this tool exists to catch
         fn(spark, dir).queryExecution.toRdd.count()
         spark.sharedState.cacheManager.clearCache()
+        // localCheckpoint() blocks live at the RDD layer, which
+        // clearCache() does not touch — drop them so min-of-N reps
+        // don't accumulate cached copies that skew later timings
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (System.nanoTime() - t0) / 1e9
       }.min
     }

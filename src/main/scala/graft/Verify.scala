@@ -26,9 +26,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist() intermediates (dedup posting lists);
-      // drop them so 30+ queries don't accumulate cached blocks
-      finally spark.sharedState.cacheManager.clearCache()
+      // queries may persist() intermediates (dedup posting lists) or
+      // localCheckpoint() (RDD-layer blocks cacheManager can't see);
+      // drop both so 100+ queries don't accumulate cached blocks
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -28,6 +28,19 @@ object TextFunctions {
   def h60Sql(e: String): String =
     s"CAST(CONCAT('0x', substr(md5($e),1,15)) AS BIGINT)"
 
+  /** Bounded-pool sampling predicate: keep a row iff its 20-bit md5
+    * hash clears a rate of cap/blockSize — i.e. ALL rows pass while
+    * the block is at or under `cap`, and an expected `cap`-sized
+    * deterministic sample passes once blocks outgrow it. The one
+    * definition serves every capped self-join (ann_knn_join,
+    * dedup_embedding_cosine); keep [[h60PoolSql]] in lockstep. */
+  def h60Pool(id: Column, blockSize: Column, cap: Long): Column =
+    h60(id.cast(StringType)) % lit(1048576L) * blockSize < lit(1048576L * cap)
+
+  /** DuckDB twin of [[h60Pool]]. */
+  def h60PoolSql(idExpr: String, blockSizeExpr: String, cap: Long): String =
+    s"${h60Sql(s"CAST($idExpr AS VARCHAR)")} % 1048576 * $blockSizeExpr < 1048576 * $cap"
+
   /** Whitespace tokens (testdata text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 

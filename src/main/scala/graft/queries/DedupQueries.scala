@@ -533,8 +533,7 @@ object DedupQueries {
     // past the cap is corpus x MaxCosinePool = linear.
     val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
     val pool = e.join(broadcast(nl), "label")
-      .filter(h60(col("vec_id").cast(StringType)) % lit(1048576L) * col("n_label") <
-        lit(1048576L * MaxCosinePool))
+      .filter(h60Pool(col("vec_id"), col("n_label"), MaxCosinePool))
       .drop("n_label")
     pool.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -551,7 +550,7 @@ object DedupQueries {
     s"""nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
        |pool AS (
        |  SELECT e.* FROM e JOIN nl USING (label)
-       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * $MaxCosinePool)""".stripMargin
+       |  WHERE ${h60PoolSql("vec_id", "n_label", MaxCosinePool)})""".stripMargin
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     cosinePairsBody(spark, dir).orderBy(col("vec_a"), col("vec_b"))

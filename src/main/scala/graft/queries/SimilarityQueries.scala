@@ -540,8 +540,7 @@ object SimilarityQueries {
     // h20 uniform in [0, 2^20); pass rate MaxBlock/n_label once the
     // block exceeds the cap, 1.0 below it
     val pool = e.join(broadcast(nl), "label")
-      .filter(h60(col("vec_id").cast(StringType)) % lit(1048576L) * col("n_label") <
-        lit(1048576L * MaxBlock))
+      .filter(h60Pool(col("vec_id"), col("n_label"), MaxBlock))
       .drop("n_label")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
@@ -563,7 +562,7 @@ object SimilarityQueries {
        |nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
        |pool AS (
        |  SELECT e.* FROM e JOIN nl USING (label)
-       |  WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % 1048576 * n_label < 1048576 * $MaxBlock),
+       |  WHERE ${h60PoolSql("vec_id", "n_label", MaxBlock)}),
        |scored AS (
        |  SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_id,
        |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine

@@ -736,9 +736,12 @@ object TextQueries {
     * (fill_ratio > 1); the report exists precisely to surface those
     * boundaries.
     *
-    * Scale shape: one window per source partition (cumulative sum in
-    * doc_id order — no global sort), then a (source, seq_id) rollup.
-    * All binning is exact int64 (`div`), bit-identical cross-engine. */
+    * Scale shape: a DISTRIBUTED prefix sum — range-partitioned local
+    * running sums plus earlier-partition totals (see the inline
+    * comment; a window partitioned by the fixed source domain would
+    * serialize each source, and PlanSpec rejects that shape) — then a
+    * (source, seq_id) rollup. All binning is exact int64 (`div`),
+    * bit-identical cross-engine. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val B = 512L
     // Distributed prefix sum (the ev_user_ranks position idiom): the
