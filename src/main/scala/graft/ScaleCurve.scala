@@ -66,7 +66,15 @@ object ScaleCurve {
     val ja = rows.map { case (q, a, b) =>
       f""""$q":{"a":$a%.3f,"b":$b%.3f,"ratio":${b / a}%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_curve","dirA":"$dirA","dirB":"$dirB","reps":$reps,"queries":{$ja}}""")
+    // escape the interpolated paths: a quote/backslash/control char in a
+    // dir name must not produce an unparseable metric line
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    println(s"""{"metric":"scale_curve","dirA":${q(dirA)},"dirB":${q(dirB)},"reps":$reps,"queries":{$ja}}""")
     spark.stop()
   }
 }

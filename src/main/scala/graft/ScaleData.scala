@@ -53,12 +53,15 @@ object ScaleData {
       ((m + 399L) / 400L) * 400L
     }
 
-    /** Replicate with per-copy key shifts. */
-    def inflate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+    /** Replicate with per-copy key shifts. `keepCopy` retains the copy
+      * index column `c` for callers that derive per-copy content. */
+    def inflate(df: DataFrame, shifts: Map[String, Long],
+        keepCopy: Boolean = false): DataFrame = {
       val c = explode(sequence(lit(0L), lit(copies - 1L))).as("c")
-      shifts.foldLeft(df.select(col("*"), c)) { case (d, (k, u)) =>
+      val shifted = shifts.foldLeft(df.select(col("*"), c)) { case (d, (k, u)) =>
         d.withColumn(k, col(k) + col("c") * u)
-      }.drop("c")
+      }
+      if (keepCopy) shifted else shifted.drop("c")
     }
 
     def write(df: DataFrame, name: String): Unit = {
@@ -91,14 +94,17 @@ object ScaleData {
       .withColumn("ts", (unix_micros(col("ts")) * 1000L).as("ts"))
     write(evInflated, "events")
 
+    // suffix tokens with the copy index carried through the inflate
+    // (one max-agg job, no re-derivation from the shifted key)
     val docs = base("documents")
-    val docsInflated = inflate(docs, Map("doc_id" -> unit(docs, "doc_id")))
+    val docsInflated = inflate(docs, Map("doc_id" -> unit(docs, "doc_id")),
+        keepCopy = true)
       .withColumn("text",
-        when(col("doc_id") < unit(docs, "doc_id"), col("text"))
+        when(col("c") === 0L, col("text"))
           .otherwise(array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("_"), (col("doc_id") / unit(docs, "doc_id"))
-              .cast("long"))), " ")))
+            w => concat(w, lit("_"), col("c"))), " ")))
       .withColumn("n_chars", length(col("text")))
+      .drop("c")
     write(docsInflated, "documents")
 
     val emb = base("embeddings")

@@ -7,8 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional extra args: restrict to the named queries (dev fast path)
+    // optional extra args: restrict to the named queries (dev fast path).
+    // Fail loudly on unknown names: a typo would otherwise dump nothing
+    // and clobber outDir/oracle_sql.json with an empty subset.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"valid names are in SparkEntry.queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -32,6 +32,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * delivery is tolerated: evaluation time is the max event time seen,
   * and eviction scans the whole (bounded) window rather than assuming
   * monotonic arrival.
+  *
+  * Prometheus evaluates its rule on a timer, so an alert raised (or a
+  * rate that has dropped) is re-assessed even when no new samples
+  * arrive. Progress events stop when the source goes quiet, which
+  * would freeze the rule mid-state; `onQueryIdle` therefore advances
+  * the clock with a zero-count sample ([[tick]]), so silence drains
+  * the window — clearing a firing alert — exactly as the scrape-loop
+  * evaluation would.
   */
 class AlertMonitor(
     failuresPerMinute: Double = 5.0,
@@ -77,15 +85,30 @@ class AlertMonitor(
     isFiring = nowFiring
   }
 
+  /** Advance the evaluation clock with no new failures — what a
+    * timer-driven rule engine does between scrapes. */
+  def tick(atMs: Long): Unit = record(atMs, 0L)
+
+  // idle events carry an id but no query name: remember the id whose
+  // progress matched `onlyQuery` so name-addressed monitors still see
+  // their own idle ticks
+  @volatile private var matchedId: Option[String] = None
+
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryIdle(event: QueryIdleEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryIdle(event: QueryIdleEvent): Unit = {
+    val mine = onlyQuery.forall(n =>
+      n == event.id.toString || matchedId.contains(event.id.toString))
+    if (mine) tick(java.time.Instant.parse(event.timestamp).toEpochMilli)
+  }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val om = event.progress.observedMetrics
     val mine = onlyQuery.forall(n =>
       n == event.progress.name || n == event.progress.id.toString)
     if (mine && om.containsKey("graft_ingest")) {
+      matchedId = Some(event.progress.id.toString)
       val atMs = java.time.Instant.parse(event.progress.timestamp).toEpochMilli
       record(atMs, om.get("graft_ingest").getAs[Long]("invalid_events"))
     }

@@ -62,6 +62,44 @@ class AlertMonitorSpec extends SparkSpec {
     assert(m.transitions.isEmpty)
   }
 
+  test("idle events keep evaluating: silence clears a firing alert") {
+    val m = new AlertMonitor(failuresPerMinute = 5.0)
+    // drive to firing exactly as the sustain test does
+    var t = 0L
+    while (t <= 80000L) { m.record(t, 2); t += 10000L }
+    assert(m.firing)
+    // the source goes quiet: no progress events, only idle ticks.
+    // Without clock advancement the alert would stay raised forever;
+    // the drained window must clear it, as Prometheus's timer
+    // evaluation would. (Idle timestamps continue the same epoch-ms
+    // timeline record() was driven on.)
+    val ctor = classOf[org.apache.spark.sql.streaming.StreamingQueryListener.QueryIdleEvent]
+      .getConstructor(classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    for (dt <- 10000L to (3 * minute) by 10000L) {
+      val ev = ctor.newInstance(java.util.UUID.randomUUID(),
+        java.util.UUID.randomUUID(),
+        java.time.Instant.ofEpochMilli(t + dt).toString)
+      m.onQueryIdle(ev)
+    }
+    assert(!m.firing)
+    assert(m.transitions.map(_.firing) == Seq(true, false))
+    assert(m.totalInvalid == 18) // ticks add no failures
+  }
+
+  test("idle events respect onlyQuery: a foreign query's idle tick is ignored") {
+    val m = new AlertMonitor(failuresPerMinute = 5.0, onlyQuery = Some("mine"))
+    var t = 0L
+    while (t <= 80000L) { m.record(t, 2); t += 10000L }
+    assert(m.firing)
+    val ctor = classOf[org.apache.spark.sql.streaming.StreamingQueryListener.QueryIdleEvent]
+      .getConstructor(classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    val ev = ctor.newInstance(java.util.UUID.randomUUID(),
+      java.util.UUID.randomUUID(),
+      java.time.Instant.ofEpochMilli(10 * minute).toString)
+    m.onQueryIdle(ev) // unmatched id: must not advance this monitor's clock
+    assert(m.firing)
+  }
+
   test("listener path: invalid counts flow from a live observed query") {
     implicit val sqlCtx = spark.sqlContext
     // sustain=0 so one bad micro-batch raises immediately
