@@ -41,6 +41,7 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toLong
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val wall0 = System.nanoTime()
     var pass = 0
     while (pass < iters &&
@@ -48,22 +49,36 @@ object Bench {
       for (name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        finally {
-          // queries may persist() intermediates; drop them so later
-          // queries (and later iterations) never time against a warm
-          // cache. localCheckpoint() blocks live at the RDD layer,
-          // outside cacheManager — drop those too.
-          spark.sharedState.cacheManager.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        }
+        // a failure must be loud, and its time-to-failure must NOT enter
+        // the timings — silently recording it would report a broken
+        // query as a speedup in round-over-round comparisons
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+          finally {
+            // queries may persist() intermediates; drop them so later
+            // queries (and later iterations) never time against a warm
+            // cache. localCheckpoint() blocks live at the RDD layer,
+            // outside cacheManager — drop those too.
+            spark.sharedState.cacheManager.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
       pass += 1
     }
-    val results = names.map(n => n -> best(n))
+    // a query that never succeeded has no timing: report it under
+    // "errors" rather than inventing a number (the JSON consumer sees
+    // the shrunken coverage explicitly)
+    val results = names.filter(best.contains).map(n => n -> best(n))
     val total = results.map(_._2).sum
+    val errJson = "\"errors\":[" +
+      failed.map(n => "\"" + n + "\"").mkString(",") + "]"
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // full-precision per-query detail goes to a file; stdout gets ONE
@@ -76,7 +91,7 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$pass","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$pass",$errJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -91,7 +106,7 @@ object Bench {
       val entries = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) } ++
         (if (rest.nonEmpty) Seq("\"_rest\":" + f3(rest.map(_._2).sum)) else Nil)
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"min-of-$pass","elided":${rest.size},"detail":"bench_detail.json","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"min-of-$pass","elided":${rest.size},"n_failed":${failed.size},"detail":"bench_detail.json","queries":$qs,"sf":"$sfDir"}"""
     }
     val maxLine = 1850 // tail window 2000 minus sbt's trailing [success] line
     var keep = sorted.size

@@ -68,13 +68,8 @@ object ScaleCurve {
     }.mkString(",")
     // escape the interpolated paths: a quote/backslash/control char in a
     // dir name must not produce an unparseable metric line
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    println(s"""{"metric":"scale_curve","dirA":${q(dirA)},"dirB":${q(dirB)},"reps":$reps,"queries":{$ja}}""")
+    import graft.util.Json.quote
+    println(s"""{"metric":"scale_curve","dirA":${quote(dirA)},"dirB":${quote(dirB)},"reps":$reps,"queries":{$ja}}""")
     spark.stop()
   }
 }

@@ -20,6 +20,13 @@ object SparkEntry {
       ProfileQueries.all)
       .map { case (n, f, o) => (n, f, Option(o)) }
 
+  // a name collision between modules would silently drop a query from
+  // the whole suite via the toMap below — make it loud instead
+  require(registry.size == registry.map(_._1).distinct.size, {
+    val dups = registry.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    s"duplicate query names across modules: ${dups.toSeq.sorted.mkString(", ")}"
+  })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     EventsQueries.hourlyMetrics(spark, "/root/testdata/sf0.001")

@@ -25,15 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** @param emb (vec_id: Long, embedding: Array[Float|Double]) — extra
-    *            columns pass through untouched on `assignments`.
-    * @return (assignments: vec_id/cent_id/d2, centroids: cent_id/cvec,
+  /** @param emb (vec_id: Long, embedding: Array[Float|Double]); other
+    *            columns are projected away — join extra attributes back
+    *            on vec_id from `assignments`.
+    * @return (assignments: vec_id/x/cent_id/d2, centroids: cent_id/cvec,
     *         inertia per round) */
   def fit(emb: DataFrame, k: Int, iters: Int)
       : (DataFrame, DataFrame, Seq[Double]) = {
     require(k >= 1 && iters >= 1)
     require(!emb.isEmpty, "KMeans.fit: input is empty")
-    val spark = emb.sparkSession
 
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("x"))

@@ -71,6 +71,11 @@ object DedupQueries {
     // clear the cache after each query run)
     val shN = withSizes(sh).persist()
     shN.count()
+    // the sized copy supersedes the raw index: drop the raw cache now
+    // (same discipline as ngramJaccard/contamination) so two copies of
+    // the shingle index never sit in memory through the heavy pair join.
+    // No-op when the caller didn't persist sh.
+    sh.unpersist(false)
     cand
       .join(shN.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shN.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
