@@ -50,6 +50,13 @@ class AsofJoinSpec extends SparkSpec {
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
       .collect()
     val errors = ev.filter(_.getString(3) == "error")
+    // ASOF leaves equal-timestamp ties unspecified (both here in maxBy
+    // and in the operator's window) — guard the precondition so a
+    // regenerated testdata with a tie fails loudly instead of flaking
+    val tied = errors.groupBy(e => (e.getLong(1), e.getTimestamp(2)))
+      .filter(_._2.size > 1).keys
+    assert(tied.isEmpty,
+      s"duplicate (user_id, ts) error rows make this oracle ambiguous: ${tied.take(3)}")
     val expected = ev.filter(_.getString(3) == "purchase").map { p =>
       val prior = errors.filter(e =>
         e.getLong(1) == p.getLong(1) &&

@@ -37,9 +37,10 @@ class MediaPipelineSpec extends SparkSpec {
     resized.foreach { r =>
       assert(r.outWidth <= 64 && r.outHeight <= 48)
       assert(r.outWidth >= 1 && r.outHeight >= 1)
-      // one dimension saturates the box (fit, not shrink-only)
-      assert(r.outWidth == 64 || r.outHeight == 48 ||
-        math.abs(r.scale * r.width - r.outWidth) <= 0.5 + 1e-9)
+      // one dimension saturates the box (fit, not shrink-only): the
+      // binding axis lands exactly on the target after rounding
+      assert(r.outWidth == 64 || r.outHeight == 48,
+        s"asset ${r.assetId}: ${r.outWidth}x${r.outHeight} fills neither axis")
       // aspect preserved within rounding of both axes
       val expectH = r.height * r.scale
       assert(math.abs(r.outHeight - expectH) <= 0.5 + 1e-9)

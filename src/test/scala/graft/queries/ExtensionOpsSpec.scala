@@ -257,7 +257,9 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_bigrams") >= 1L))
   }
 
-  test("ann_pq_topk recalls most of the exact L2 top-k after re-rank") {
+  /** Exact L2 top-10 per query (every 50th vec) — the shared recall
+    * oracle for the PQ tests; computed once per suite run. */
+  private lazy val exactL2Top10: Map[Long, Set[Long]] = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = graft.util.Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") % 50 === 0)
@@ -265,51 +267,40 @@ class ExtensionOpsSpec extends SparkSpec {
     val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
-    val exact = q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
+    q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (expr("graft_norm2(qv)") + expr("graft_norm2(nv)") -
           lit(2.0) * expr("graft_dot(qv, nv)")).as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("q_id", "n_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val pq = SimilarityQueries.pqTopK(spark, dir)
-      .select("q_id", "n_id").as[(Long, Long)].collect()
+  }
+
+  /** Mean recall@10 of an ANN result (q_id, n_id) vs [[exactL2Top10]]. */
+  private def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+    val got = df.select("q_id", "n_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    assert(exact.keySet == pq.keySet)
-    val recalls = exact.map { case (qid, ex) =>
-      (ex intersect pq(qid)).size.toDouble / ex.size
+    assert(exactL2Top10.keySet == got.keySet)
+    val r = exactL2Top10.map { case (qid, ex) =>
+      (ex intersect got(qid)).size.toDouble / ex.size
     }
-    val mean = recalls.sum / recalls.size
+    r.sum / r.size
+  }
+
+  /** Seed-codebook recall, shared by both PQ tests (one pqTopK run). */
+  private lazy val seedRecall: Double = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    meanRecall(SimilarityQueries.pqTopK(spark, dir))
+  }
+
+  test("ann_pq_topk recalls most of the exact L2 top-k after re-rank") {
     // structure-free random vectors are the PQ worst case (distance
     // concentration); measured 0.82 with M=16, k=31, R=50
-    assert(mean >= 0.7, s"mean recall@10 = $mean")
+    assert(seedRecall >= 0.7, s"mean recall@10 = $seedRecall")
   }
 
   test("ann_pq_learned: trained codebooks beat the seed-codebook recall") {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
-    val e = graft.util.Tables.load(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
-    val exact = q.crossJoin(n).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        (expr("graft_norm2(qv)") + expr("graft_norm2(nv)") -
-          lit(2.0) * expr("graft_dot(qv, nv)")).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
-      .select("q_id", "n_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select("q_id", "n_id").as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      assert(exact.keySet == got.keySet)
-      val r = exact.map { case (qid, ex) =>
-        (ex intersect got(qid)).size.toDouble / ex.size
-      }
-      r.sum / r.size
-    }
-    val seed = meanRecall(SimilarityQueries.pqTopK(spark, dir))
+    val seed = seedRecall
     val learned = meanRecall(SimilarityQueries.pqLearnedTopK(spark, dir))
     info(s"recall@10: seed=$seed learned=$learned")
     // the whole point of training: Lloyd's-refined per-subspace

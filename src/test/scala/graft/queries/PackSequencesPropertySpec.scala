@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,7 +17,7 @@ class PackSequencesPropertySpec extends SparkSpec {
   import spark.implicits._
 
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
-    val dir = Files.createTempDirectory("graft-pack").toString
+    val dir = tmpDir("graft-pack").toString
     rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(5)

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
@@ -37,7 +36,7 @@ class PoolCapSpec extends SparkSpec {
         (id, noisy.toSeq, l)
       }
     }.toSeq
-    val d = Files.createTempDirectory("graft-cap").toString
+    val d = tmpDir("graft-cap").toString
     byGroup.toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
       .repartition(4)

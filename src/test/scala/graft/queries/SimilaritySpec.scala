@@ -41,8 +41,12 @@ class SimilaritySpec extends SparkSpec {
       for ((n, c) <- neighbors if bruteScores.contains(n))
         assert(bruteScores(n) == c, s"cosine mismatch q=$q n=$n")
     }
-    // bucketing must cut candidate work: every query returns <= 10 and
-    // at least one query should have a pruned (shorter) list
+    // bucketing must cut candidate work: if bucketCode regressed to a
+    // constant, every query would land in one giant bucket — the bucket
+    // column in the output must show a spread
     assert(lsh.values.forall(_.size <= 10))
+    val buckets = SimilarityQueries.lshTopK(spark, dir)
+      .select("bucket").distinct().count()
+    assert(buckets >= 2, s"all LSH queries share $buckets bucket(s) — no pruning")
   }
 }

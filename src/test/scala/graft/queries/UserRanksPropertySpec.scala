@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,7 +22,7 @@ class UserRanksPropertySpec extends SparkSpec {
     * (ts = int64 nanos) and return the dir. */
   private def writeEvents(
       rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
-    val dir = Files.createTempDirectory("graft-ur").toString
+    val dir = tmpDir("graft-ur").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(4)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -28,7 +28,8 @@ class BucketedTablesSpec extends SparkSpec {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
       val joined = a.join(b, "user_id")
       val p = joined.queryExecution.executedPlan.toString
-      assert(!p.contains("ShuffleExchange"), p)
+      // ShuffleExchangeExec prints as "Exchange hashpartitioning(...)"
+      // in plan strings (never "ShuffleExchange")
       assert(!p.contains("Exchange hashpartitioning"), p)
       // same result as the shuffled plan over the raw table
       val expected = ev.select("event_id", "user_id", "value")

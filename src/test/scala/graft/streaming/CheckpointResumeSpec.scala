@@ -53,8 +53,11 @@ class CheckpointResumeSpec extends SparkSpec {
       out.toString, Trigger.AvailableNow())
     q2.awaitTermination()
 
+    // render the hour via Instant: Timestamp.toString uses the JVM
+    // default timezone, which would break the noon lookup below on any
+    // non-UTC host (session TZ is UTC but user.timezone is not pinned)
     def key(r: org.apache.spark.sql.Row): (String, Long, Long, Long, String, String) = (
-      r.getAs[java.sql.Timestamp]("hour").toString,
+      r.getAs[java.sql.Timestamp]("hour").toInstant.toString,
       r.getAs[Long]("tariff_switches"),
       r.getAs[Long]("total_logins"),
       r.getAs[Long]("active_customers"),
@@ -69,7 +72,7 @@ class CheckpointResumeSpec extends SparkSpec {
     // the 12:00 hour saw events in BOTH runs: one login per run (both
     // CUST01), distinct customers {CUST01, CUST03} — CUST01 must not be
     // double-counted across the restart
-    val noon = streamed.find(_._1.startsWith("2025-06-04 12")).get
+    val noon = streamed.find(_._1.startsWith("2025-06-04T12")).get
     assert(noon._3 == 2L, s"total_logins: $noon")
     assert(noon._4 == 2L, s"active_customers: $noon")
 

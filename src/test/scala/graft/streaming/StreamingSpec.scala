@@ -47,7 +47,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[String]
     val streamDf = EventsPipeline.hourlyMetrics(
       EventsPipeline.rawEvents(
-        EventsPipeline.parseAndValidate(mem.toDF().withColumnRenamed("value", "value")))
+        EventsPipeline.parseAndValidate(mem.toDF()))
         .withWatermark("event_time", "24 hours"))
 
     val q = streamDf.writeStream
@@ -77,9 +77,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file pipeline end-to-end: upsert sink is idempotent across restarts") {
-    val in = Files.createTempDirectory("graft-in")
-    val ckpt = Files.createTempDirectory("graft-ckpt")
-    val out = Files.createTempDirectory("graft-out")
+    val in = tmpDir("graft-in")
+    val ckpt = tmpDir("graft-ckpt")
+    val out = tmpDir("graft-out")
 
     Files.write(in.resolve("part1.jsonl"),
       lines.take(5).mkString("\n").getBytes("UTF-8"))
