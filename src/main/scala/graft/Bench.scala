@@ -74,11 +74,16 @@ object Bench {
     }
     // a query that never succeeded has no timing: report it under
     // "errors" rather than inventing a number (the JSON consumer sees
-    // the shrunken coverage explicitly)
+    // the shrunken coverage explicitly). Queries that failed in SOME
+    // pass but still have a valid min timing are transient — counted
+    // separately so subtracting "errors" from coverage never
+    // double-books them against "queries"
     val results = names.filter(best.contains).map(n => n -> best(n))
     val total = results.map(_._2).sum
+    val neverSucceeded = failed.filterNot(best.contains)
+    val nTransient = failed.size - neverSucceeded.size
     val errJson = "\"errors\":[" +
-      failed.map(n => "\"" + n + "\"").mkString(",") + "]"
+      neverSucceeded.map(n => "\"" + n + "\"").mkString(",") + "]"
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // full-precision per-query detail goes to a file; stdout gets ONE
@@ -91,7 +96,7 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$pass",$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min-of-$pass",$errJson,"n_transient":$nTransient,"queries":$qs,"sf":"$sfDir"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
@@ -106,7 +111,7 @@ object Bench {
       val entries = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) } ++
         (if (rest.nonEmpty) Seq("\"_rest\":" + f3(rest.map(_._2).sum)) else Nil)
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"min-of-$pass","elided":${rest.size},"n_failed":${failed.size},"detail":"bench_detail.json","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","mode":"min-of-$pass","elided":${rest.size},"n_failed":${neverSucceeded.size},"n_transient":$nTransient,"detail":"bench_detail.json","queries":$qs,"sf":"$sfDir"}"""
     }
     val maxLine = 1850 // tail window 2000 minus sbt's trailing [success] line
     var keep = sorted.size

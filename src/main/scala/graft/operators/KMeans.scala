@@ -123,8 +123,11 @@ object KMeans {
         .groupBy(col("grp"), col("cent_id"), col("pos"))
         // fixed-point 2^27 component sums (the labelCentroids idiom):
         // double avg() depends on shuffle merge order, and a ULP of
-        // centroid drift can flip near-tie codes run-to-run
-        .agg((sum(round(col("col") * (1L << 27))).cast("long")
+        // centroid drift can flip near-tie codes run-to-run. Each term
+        // casts to long BEFORE the sum — summing integer-valued doubles
+        // is only exact while the running sum stays under 2^53, which a
+        // corpus-scale group would exceed
+        .agg((sum(round(col("col") * (1L << 27)).cast("long"))
           .cast("double") / (1L << 27) / count(lit(1))).as("m"))
         .groupBy(col("grp"), col("cent_id"))
         .agg(transform(

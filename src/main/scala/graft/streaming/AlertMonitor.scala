@@ -90,11 +90,17 @@ class AlertMonitor(
   def tick(atMs: Long): Unit = record(atMs, 0L)
 
   // idle events carry an id but no query name: remember the id whose
-  // progress matched `onlyQuery` so name-addressed monitors still see
-  // their own idle ticks
+  // start/progress matched `onlyQuery` so name-addressed monitors still
+  // see their own idle ticks. Captured at onQueryStarted (the start
+  // event DOES carry the name) so a stream that is idle from startup —
+  // or restarts and goes quiet before its first progress — ticks from
+  // its first event onward; a restart under the same name re-binds to
+  // the latest started id
   @volatile private var matchedId: Option[String] = None
 
-  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    if (onlyQuery.exists(n => n == event.name || n == event.id.toString))
+      matchedId = Some(event.id.toString)
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = {

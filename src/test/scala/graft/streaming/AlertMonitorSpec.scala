@@ -100,6 +100,54 @@ class AlertMonitorSpec extends SparkSpec {
     assert(m.firing)
   }
 
+  test("a name-addressed monitor ticks on idle from startup, before any progress") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryStartedEvent}
+    val m = new AlertMonitor(failuresPerMinute = 5.0, onlyQuery = Some("mine"))
+    // seed a firing state through the rule core, then verify the
+    // LISTENER path alone can clear it: the started event (which DOES
+    // carry the name) binds the id, so idle ticks — which carry only
+    // ids — match even though no progress event ever arrived
+    var t = 0L
+    while (t <= 80000L) { m.record(t, 2); t += 10000L }
+    assert(m.firing)
+    val id = java.util.UUID.randomUUID()
+    m.onQueryStarted(new QueryStartedEvent(id, java.util.UUID.randomUUID(),
+      "mine", java.time.Instant.ofEpochMilli(t).toString))
+    val idleCtor = classOf[QueryIdleEvent]
+      .getConstructor(classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    for (dt <- 10000L to (3 * minute) by 10000L)
+      m.onQueryIdle(idleCtor.newInstance(id, java.util.UUID.randomUUID(),
+        java.time.Instant.ofEpochMilli(t + dt).toString))
+    assert(!m.firing, "idle ticks from a started-but-never-progressed query must clear")
+    assert(m.transitions.map(_.firing) == Seq(true, false))
+  }
+
+  test("restart under the same name re-binds: the old run's idle ticks are ignored") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryStartedEvent}
+    val m = new AlertMonitor(failuresPerMinute = 5.0, onlyQuery = Some("mine"))
+    var t = 0L
+    while (t <= 80000L) { m.record(t, 2); t += 10000L }
+    assert(m.firing)
+    val oldId = java.util.UUID.randomUUID()
+    val newId = java.util.UUID.randomUUID()
+    m.onQueryStarted(new QueryStartedEvent(oldId, java.util.UUID.randomUUID(),
+      "mine", java.time.Instant.ofEpochMilli(t).toString))
+    // overlapping restart: a NEW query takes the name while the old one
+    // is still winding down — the monitor must follow the latest start
+    m.onQueryStarted(new QueryStartedEvent(newId, java.util.UUID.randomUUID(),
+      "mine", java.time.Instant.ofEpochMilli(t).toString))
+    val idleCtor = classOf[QueryIdleEvent]
+      .getConstructor(classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    // the stopping query's idle events (old id) must NOT advance the
+    // clock: only the new incarnation's silence counts
+    m.onQueryIdle(idleCtor.newInstance(oldId, java.util.UUID.randomUUID(),
+      java.time.Instant.ofEpochMilli(10 * minute).toString))
+    assert(m.firing, "a foreign (superseded) run id advanced the clock")
+    m.onQueryIdle(idleCtor.newInstance(newId, java.util.UUID.randomUUID(),
+      java.time.Instant.ofEpochMilli(10 * minute).toString))
+    assert(!m.firing)
+  }
+
   test("listener path: invalid counts flow from a live observed query") {
     implicit val sqlCtx = spark.sqlContext
     // sustain=0 so one bad micro-batch raises immediately
