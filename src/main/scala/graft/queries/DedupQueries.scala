@@ -457,19 +457,39 @@ object DedupQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
-  /** Near-dup pairs by SimHash: candidates share one of six 10-bit
-    * chunks (guarantees recall for Hamming <= 5), verified with
-    * bit_count(xor) <= 9.
+  /** Parametric SimHash banding: [[SimhashBands]] chunks of
+    * [[SimhashWidth]] bits each (bands x width = 60). Pigeonhole: a
+    * pair at Hamming distance <= bands-1 differs in at most bands-1
+    * chunks, so it SHARES at least one — candidate generation via the
+    * chunk-equality join is provably complete for any radius <=
+    * bands-1 ([[SimhashRadius]]; SimhashBandingPropertySpec proves the
+    * pigeonhole bound over random flips, DedupSpec checks the banded
+    * result equals brute-force all-pairs on real data).
     *
-    * Scale note: chunk buckets have a FIXED 1024-value domain, so
-    * bucket postings grow with corpus/1024 and the candidate join has
-    * a quadratic term with a 1/1024 constant (measured still
-    * near-linear at 40k docs: 1.21x at 2x data, r7 curve). Unlike the
-    * cosine/kNN pools, a posting cap here would silently void the
-    * Hamming<=5 recall guarantee; the principled re-bound at extreme
-    * scale is WIDER chunks (more bands of more bits), which shrinks
-    * postings exponentially while keeping the pigeonhole guarantee for
-    * a smaller radius. */
+    * Scale: the bucket domain is 2^width values, so posting lists grow
+    * with corpus/2^width and the candidate join's quadratic term
+    * carries a 1/2^width constant. Width trades radius for capacity —
+    * the r6/r7 default (6x10: radius 5, 1024-value domain) was the
+    * last documented scale-killer at 100x corpus; the 4x15 default
+    * (radius 3, 32768-value domain) shrinks the quadratic constant
+    * 32x. At even larger corpora, 3x20 (radius 2, ~1M-value domain)
+    * or 2x30 (radius 1) continue the same trade without touching the
+    * query shape. Unlike the cosine/kNN pools, a posting CAP here
+    * would silently void the recall guarantee, so capacity must come
+    * from the banding itself. */
+  private[queries] val SimhashBands = 4
+  private[queries] val SimhashWidth = 60 / SimhashBands
+  private[queries] val SimhashRadius = SimhashBands - 1
+  require(SimhashBands * SimhashWidth == 60,
+    s"simhash banding must tile the 60-bit signature: $SimhashBands x $SimhashWidth")
+  require(SimhashRadius <= SimhashBands - 1,
+    "pigeonhole recall guarantee needs radius <= bands-1")
+
+  /** Near-dup pairs by SimHash: candidates share one of the
+    * [[SimhashBands]] [[SimhashWidth]]-bit chunks, verified with
+    * bit_count(xor) <= [[SimhashRadius]] — exactly all pairs within
+    * the guaranteed-recall radius, so the result set is a property of
+    * the signatures alone, not of the banding config. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // both sides of the chunk self-join consume the signature; persist
     // + eager count so the shingle explode + 60-column vote aggregation
@@ -477,9 +497,9 @@ object DedupQueries {
     val sig = simhashSig(spark, dir).persist()
     sig.count()
     val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 6).map { j =>
+      explode(array((0 until SimhashBands).map { j =>
         struct(lit(j).as("chunk_id"),
-          (shiftright(col("simhash"), 10 * j) % 1024).as("chunk"))
+          (shiftright(col("simhash"), SimhashWidth * j) % (1L << SimhashWidth)).as("chunk"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
     chunks.as("a").join(chunks.as("b"),
@@ -488,13 +508,14 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 9)
+      .filter(col("hamming") <= SimhashRadius)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val simhashPairsSql: String = {
-    val chunkRows = (0 until 6)
-      .map(j => s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${10 * j}) % 1024 AS chunk FROM sig")
+    val chunkRows = (0 until SimhashBands)
+      .map(j => s"SELECT doc_id, simhash, $j AS chunk_id, " +
+        s"(simhash >> ${SimhashWidth * j}) % ${1L << SimhashWidth} AS chunk FROM sig")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH sig AS (
        |  SELECT doc_id, CAST(${simHashSql(shingleHashesSql(3))} AS BIGINT) AS simhash FROM documents),
@@ -504,7 +525,7 @@ object DedupQueries {
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM chunks a JOIN chunks b
        |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashRadius
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -12,7 +12,12 @@ class DedupSpec extends SparkSpec {
 
   private lazy val dir = {
     val d = tmpDir("graft-dedup")
-    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge every sunny morning while birds sing loud songs across the green valley fields"
+    // long enough (64 tokens) that a one-token change lands within the
+    // SimHash guaranteed radius (hamming 3 here) — on short docs a
+    // single token flips too many majority votes to count as near-dup
+    // under the production radius-3 contract
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge every sunny morning while birds sing loud songs across the green valley fields" +
+      " then the silver river winds past tall oak trees where children play simple games under warm afternoon light and farmers carry fresh apples toward the busy market square before evening rain arrives quietly over distant purple hills"
     val nearDup = base.replace("sunny", "rainy") // one token changed
     val other = "completely different text about spark catalyst optimizer rules and physical plans with columnar batches"
     val docs = Seq(
@@ -71,6 +76,15 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 2L)))
     assert(pairs.contains((0L, 1L)))
+    // recall completeness on real signatures: the banded candidate join
+    // must recover EXACTLY the brute-force all-pairs result at the
+    // guaranteed radius (pigeonhole: radius <= bands-1)
+    val ids = sig.keySet.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if ham(a, b) <= DedupQueries.SimhashRadius
+    } yield (a, b)).toSet
+    assert(pairs == brute)
   }
 
   test("embedding cosine near-dup finds planted near-identical vectors") {
