@@ -101,26 +101,31 @@ object SimilarityQueries {
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($e[i] AS DOUBLE) * ($signs)[i]))"
   }
 
-  /** 8-bit bucket code from the projection signs. */
-  private val bucketCode: Column =
-    (0 until NPlanes).map(p => when(proj(p) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+  /** Bucket code from the projection signs — 2^nPlanes buckets. */
+  private def bucketCode(nPlanes: Int): Column =
+    (0 until nPlanes).map(p => when(proj(p) > 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  private def bucketCodeSql(e: String): String =
-    (0 until NPlanes)
+  private def bucketCodeSql(e: String, nPlanes: Int): String =
+    (0 until nPlanes)
       .map(p => s"CASE WHEN ${projSql(p, e)} > 0.0 THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
 
-  /** Scale note: the 256-bucket domain is fixed, so bucket postings
-    * grow with corpus/256 and the candidate join carries a quadratic
-    * term with a 1/256 constant (still 1.22x wall at 10x data on the
-    * r7 curve). The re-bound at extreme scale is MORE planes —
-    * capacity grows exponentially per plane while recall decays
-    * gradually — unlike the fixed-label blocks that needed pool caps.
-    * IVF ([[ivfTopK]]) self-scales instead: its centroid count grows
-    * with the corpus, holding cell size constant. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode)
+  /** Scale note: for a FIXED plane count the bucket domain is fixed,
+    * so bucket postings grow with corpus/2^planes and the candidate
+    * join carries a quadratic term with a 1/2^planes constant (1.22x
+    * wall at 10x data on the r7 curve at 8 planes). The re-bound at
+    * extreme scale is MORE planes — capacity grows exponentially per
+    * plane while recall decays gradually — so the plane count is now a
+    * parameter interpolated into BOTH engines: `ann_lsh_topk` runs the
+    * 8-plane default, `ann_lsh_topk12` the 12-plane scale point (16x
+    * the bucket domain; LshScalingSpec pins candidate-set shrinkage
+    * and the recall floor, BENCH_SF1.md the measured curve point).
+    * O(log n) planes keeps per-bucket postings constant as the corpus
+    * grows. IVF ([[ivfTopK]]) self-scales differently: its centroid
+    * count grows with the corpus, holding cell size constant. */
+  def lshTopKPlanes(spark: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
     val q = e.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
@@ -136,10 +141,21 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val lshTopKSql: String =
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopKPlanes(spark, dir, NPlanes)
+
+  /** (vec_id, bucket) assignment under nPlanes — the index itself;
+    * exposed so LshScalingSpec can measure candidate-join volume
+    * (sum over buckets of |queries| x |members|) without running the
+    * join. */
+  private[queries] def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int): DataFrame =
+    withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
+      .select(col("vec_id"), col("bucket"))
+
+  def lshTopKSqlPlanes(nPlanes: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
-       |         ${bucketCodeSql("embedding")} AS bucket
+       |         ${bucketCodeSql("embedding", nPlanes)} AS bucket
        |  FROM embeddings),
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
@@ -153,6 +169,8 @@ object SimilarityQueries {
        |SELECT q_id, bucket, n_id, cosine, rank
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
+
+  val lshTopKSql: String = lshTopKSqlPlanes(NPlanes)
 
   // ---------------------------------------------------------------------
   // ann_ivf_topk: inverted-file (IVF) bucketed ANN
@@ -941,6 +959,9 @@ object SimilarityQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
+    ("ann_lsh_topk12",
+      (s: SparkSession, d: String) => lshTopKPlanes(s, d, 12),
+      lshTopKSqlPlanes(12)),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
