@@ -804,6 +804,17 @@ object SimilarityQueries {
     pqPipeline(e, cents)
   }
 
+  /** Per-(vector, centroid, subspace) micro-quantized PQ distance
+    * partials via the fused kernel — shared by [[pqPipeline]] and the
+    * IVF-pruned [[ivfpqTopK]]. */
+  private def pqPartials(vecs: DataFrame, cents: DataFrame, M: Int): DataFrame =
+    vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(expr(s"graft_pq_d2s(embedding, cvec, $M)")))
+      .select(col("vec_id"), col("cent_id"), col("pos").as("s"),
+        round(col("col") * lit(1e6)).cast(LongType).as("d2q"))
+
   /** Encode + ADC scan + exact re-rank against a given (cent_id, cvec)
     * codebook — shared by the seed-codebook [[pqTopK]] (full DuckDB
     * oracle) and the trained-codebook [[pqLearnedTopK]]. */
@@ -822,12 +833,7 @@ object SimilarityQueries {
     // Built twice from different inputs instead of persisting one big
     // frame: the encode pass runs over the whole corpus, the LUT pass
     // only over the (tiny) query subset filtered BEFORE the crossJoin.
-    def partials(vecs: DataFrame): DataFrame = vecs
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        posexplode(expr(s"graft_pq_d2s(embedding, cvec, $M)")))
-      .select(col("vec_id"), col("cent_id"), col("pos").as("s"),
-        round(col("col") * lit(1e6)).cast(LongType).as("d2q"))
+    def partials(vecs: DataFrame): DataFrame = pqPartials(vecs, cents, M)
     // argmin as a partial-aggregable groupBy min(struct) — lexicographic
     // struct ordering IS (d2q, cent_id) tie-breaking, and map-side
     // combine collapses the |corpus| x k x M rows per partition instead
@@ -956,6 +962,176 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ann_ivfpq_topk: IVF cell pruning + PQ-ADC scoring (the standard
+  // 100 TB ANN composite)
+  // ---------------------------------------------------------------------
+
+  /** IVF-PQ: [[ivfTopK]]'s self-scaling cell pruning composed with
+    * [[pqTopK]]'s fused-kernel ADC scoring. Queries probe their NProbe
+    * nearest coarse cells, candidates are the cells' members, and each
+    * candidate costs 16 int64 LUT lookups (its PQ codes) instead of a
+    * 64-float dot product; the ADC shortlist re-ranks exactly. Both
+    * halves are deterministic (seed centroids/codebook, fixed-point
+    * partials, exact-int tie-breaks), so unlike [[pqLearnedTopK]] the
+    * whole composite is SQL-expressible and hash-checked.
+    *
+    * Scale shape — strictly better than either parent:
+    *  - vs ann_pq_topk: the ADC join touches NProbe cells per query
+    *    (candidates ~ NProbe x corpus/|cells|, constant per query as
+    *    the corpus grows since |cells| grows with it), not the whole
+    *    corpus.
+    *  - vs ann_ivf_topk: the coarse assignment here is a
+    *    partial-aggregable max(struct) argmin — map-side combined,
+    *    never the corpus x |cents| row window shuffle — and in-cell
+    *    scoring reads the 16-code PQ index (16 bytes/vector at rest)
+    *    instead of raw 256-byte embeddings.
+    * At rest the index is (cell, 16 codes) per vector — the layout a
+    * 100 TB deployment persists; both index passes are one corpus scan
+    * each. */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val M = 16
+    val R = 50
+    val e = withNorm(embs(spark, dir))
+    val coarse = e.filter(isCentroid)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    def ccosOf(vecs: DataFrame): DataFrame = vecs.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("cent_id"),
+        (expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
+          .as("ccos"))
+    // cell assignment WITHOUT a window: argmax as max(struct(ccos,
+    // -cent_id)) — same (ccos desc, cent_id asc) selection as the
+    // oracle's row_number, but partial-aggregable: the corpus x cents
+    // rows collapse map-side to one row per vec_id before any shuffle
+    val assign = ccosOf(e)
+      .groupBy(col("vec_id").as("n_id"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
+      .select(col("n_id"), (-col("best.neg")).as("cell"))
+    // probes: the window runs only over the tiny query subset
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = ccosOf(e.filter(isQuery))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    // PQ index: one corpus pass -> 16 codes per vector (the pqTopK
+    // codebook: fixed k=31 regardless of corpus size)
+    val pqCents = embs(spark, dir)
+      .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val codes = pqPartials(embs(spark, dir), pqCents, M)
+      .groupBy(col("vec_id").as("n_id"), col("s"))
+      .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
+      .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
+    val lut = pqPartials(embs(spark, dir).filter(isQuery), pqCents, M)
+      .select(col("vec_id").as("lq_id"), col("s").as("qs"),
+        col("cent_id"), col("d2q"))
+    // candidates = members of the probed cells; ADC-score those only
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val sw = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2q_total"), col("n_id"))
+    val shortlist = cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut),
+        col("s") === col("qs") && col("code") === col("cent_id") &&
+          col("q_id") === col("lq_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2q")).as("d2q_total"))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= R)
+      .select(col("q_id"), col("n_id"))
+    val qv = embs(spark, dir).filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val nv = embs(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("n_id"))
+    shortlist
+      .join(broadcast(qv), Seq("q_id"))
+      .join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_norm2(qvec)") + expr("graft_norm2(nvec)") -
+          lit(2.0) * expr("graft_dot(qvec, nvec)")).as("d2"))
+      .withColumn("rank", row_number().over(rw).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfpqTopKSql: String = {
+    def subNorm2(a: String) =
+      s"list_sum(list_transform(generate_series(1, 4), i -> " +
+        s"CAST($a[s.s*4+i] AS DOUBLE) * CAST($a[s.s*4+i] AS DOUBLE)))"
+    val subDot =
+      s"list_sum(list_transform(generate_series(1, 4), i -> " +
+        s"CAST(e.embedding[s.s*4+i] AS DOUBLE) * CAST(c.cvec[s.s*4+i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+       |  FROM e WHERE vec_id % 40 = 7),
+       |cscored AS (
+       |  SELECT vec_id, ccos, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |           ${dotSql("e.embedding", "cvec")} / (e.nrm * cnrm) AS ccos
+       |    FROM e, coarse)),
+       |assign AS (SELECT vec_id AS n_id, cent_id AS cell FROM cscored WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell
+       |  FROM cscored WHERE vec_id % 50 = 0 AND crn <= $NProbe),
+       |pqcents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 500 AND vec_id % 16 = 7),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id, s.s,
+       |         CAST(round((${subNorm2("e.embedding")}
+       |           + ${subNorm2("c.cvec")}
+       |           - 2.0 * $subDot) * 1e6) AS BIGINT) AS d2q
+       |  FROM embeddings e, pqcents c, generate_series(0, 15) s(s)),
+       |codes AS (
+       |  SELECT vec_id AS n_id, s, cent_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                 ORDER BY d2q, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS q_id, s, cent_id, d2q
+       |  FROM scored WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.n_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.q_id != a.n_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT cd.q_id, cd.n_id,
+       |           row_number() OVER (PARTITION BY cd.q_id
+       |             ORDER BY CAST(sum(d2q) AS BIGINT), cd.n_id) AS srn
+       |    FROM cand cd
+       |    JOIN codes ON cd.n_id = codes.n_id
+       |    JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id
+       |             AND cd.q_id = lut.q_id
+       |    GROUP BY cd.q_id, cd.n_id) WHERE srn <= 50),
+       |rerank AS (
+       |  SELECT sl.q_id, sl.n_id,
+       |         ${norm2Sql("q.embedding")} + ${norm2Sql("n.embedding")}
+       |           - 2.0 * ${dotSql("q.embedding", "n.embedding")} AS d2
+       |  FROM shortlist sl
+       |  JOIN embeddings q ON sl.q_id = q.vec_id
+       |  JOIN embeddings n ON sl.n_id = n.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, d2,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d2, n_id) AS BIGINT) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, d2, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
@@ -971,5 +1147,6 @@ object SimilarityQueries {
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_power_iteration", powerIteration _, powerIterationSql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
+    ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
     ("ann_pq_learned", pqLearnedTopK _, null))
 }

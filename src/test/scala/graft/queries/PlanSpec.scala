@@ -317,6 +317,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Cartesian"), p)
   }
 
+  test("ivfpq: cell assignment and encoding aggregate, never window the corpus") {
+    val p = plan("ann_ivfpq_topk")
+    // coarse assignment is max(struct) — partial-aggregable, map-side
+    // combined; a row_number window here would shuffle corpus x cells
+    assert(p.contains("partial_max"), p)
+    // PQ encoding argmin likewise stays a partial aggregate
+    assert(p.contains("partial_min"), p)
+    // centroids/codebook/LUT all ride broadcasts; nothing cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("user ranks: no global unpartitioned window anywhere in the plan") {
     // the user grain grows with the data — a single-partition WindowExec
     // here (the round-6 `weak`) serializes every user through one task.
