@@ -348,18 +348,17 @@ class PlanSpec extends SparkSpec {
     assert(partitioned.nonEmpty) // the firsts/bucket windows are still windows
   }
 
-  test("retention cohorts: raw events scanned once; branches reuse the cached grain") {
+  test("retention cohorts: raw events scanned once; branches reuse the checkpointed grain") {
     // the (user, week) distinct is the only raw-grain pass; the three
     // consumers (activity join, first-seen, cohort sizes) must all read
-    // the cached grain, not re-scan parquet. Checked on the optimized
-    // LOGICAL plan: the cache is a leaf there, so any LogicalRelation
-    // would be a real re-scan (the executed-plan string embeds the
-    // cache's own build scan and can't distinguish the two).
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // the lazily checkpointed grain, not re-scan parquet. Checked on
+    // the optimized LOGICAL plan: the checkpoint is a LogicalRDD leaf
+    // there, so any LogicalRelation would be a real re-scan.
+    import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val lp = graft.SparkEntry.queries("ev_retention_cohorts")(spark, dir)
       .queryExecution.optimizedPlan
-    assert(lp.collect { case r: InMemoryRelation => r }.nonEmpty, lp.toString)
+    assert(lp.collect { case r: LogicalRDD => r }.nonEmpty, lp.toString)
     assert(lp.collect { case r: LogicalRelation => r }.isEmpty, lp.toString)
   }
 
