@@ -218,7 +218,9 @@ object TextQueries {
   // ---------------------------------------------------------------------
 
   /** Subword chunking: greedy up-to-4-char alnum runs ("customer" ->
-    * cust, omer) — the regex stand-in for a BPE tokenizer's merge walk.
+    * cust, omer) — the cheap regex approximation of a BPE tokenizer.
+    * The REAL learned merge walk is [[bpeMerges]]/[[bpeEncode]]; this
+    * stays as the zero-training single-pass variant (no vocab scan).
     * Greedy {1,4} quantifiers behave identically in Java regex (Spark)
     * and RE2 (DuckDB): longest match at each position, resume after. */
   private val SubTokenPattern = "[a-z0-9]{1,4}"
@@ -251,6 +253,178 @@ object TextQueries {
        |       CAST(len(list_distinct(subs)) AS BIGINT) AS n_uniq_subtokens,
        |       CAST(len(subs) AS DOUBLE) / CAST(n_words AS DOUBLE) AS subtokens_per_word
        |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // txt_bpe_merges / txt_bpe_encode: the real learned BPE merge walk
+  // ---------------------------------------------------------------------
+
+  /** Fixed merge-round count — literal in both engines so the DuckDB
+    * oracle can unroll the walk as CTEs. */
+  private val BpeRounds = 4
+
+  /** Symbol-sequence string encoding shared by both engines: every
+    * symbol wrapped in its own spaces (" c  u  s  t "). The wrapping
+    * makes a literal `replace` of " a  b " -> " ab " exactly the BPE
+    * greedy left-to-right non-overlapping merge: each occurrence owns
+    * its delimiters, so adjacent matches never share a character (a
+    * single-space encoding drops every second merge in runs — "a b a
+    * b" -> "ab a b"), and a pattern can never match mid-symbol or on
+    * a symbol prefix. `replace` is literal (no regex) and
+    * left-to-right non-overlapping in both Spark (UTF8String.replace)
+    * and DuckDB. */
+  private def wrapSyms(word: Column): Column =
+    concat(lit(" "),
+      array_join(regexp_extract_all(word, lit("."), lit(0)), "  "),
+      lit(" "))
+
+  /** Nonempty segments of the wrapped symbol string. */
+  private val symsOfS = "filter(split(s, ' '), x -> x != '')"
+
+  /** Word-type grain (word, freq, s): the merge walk runs here, not on
+    * the corpus — vocabulary size is sublinear in corpus size, so at
+    * 100 TB the per-round aggregates touch millions of rows while the
+    * corpus is scanned exactly once to build the frequencies. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), wrapSyms(col("word")).as("s"))
+
+  /** The merge walk: [[BpeRounds]] rounds of (find the most frequent
+    * adjacent symbol pair, weighted by word frequency; merge it
+    * everywhere). Returns the learned merge table and the final
+    * word-type symbolization.
+    *
+    * Discipline (KMeans.fit): one 1-row argmax collect per round —
+    * the merge IS driver state, like a centroid set — and an eager
+    * vocab-sized localCheckpoint per round so lineage doesn't nest
+    * R aggregates deep. The pair argmax is min(struct(-n, pair)):
+    * partial-aggregable (count desc, pair asc) tie-breaking, exact
+    * int counts, so both engines pick identical merges. */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var w = bpeWords(spark, dir).localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to BpeRounds if !exhausted) {
+      val best = w
+        .select(col("freq"), expr(symsOfS).as("syms"))
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .agg(min(struct((-col("n")).as("neg"), col("pair").as("p"))).as("b"))
+        .select(col("b.p").as("pair"), (-col("b.neg")).as("n"))
+        .head()
+      if (best.isNullAt(0)) {
+        // every word is a single symbol already — the walk is done
+        // early (can't happen on a real corpus at this round count;
+        // the oracle SQL assumes non-exhaustion, which the hash check
+        // itself enforces)
+        exhausted = true
+      } else {
+        val pair = best.getString(0)
+        val n = best.getLong(1)
+        val merged = pair.replace(" ", "")
+        w = w.withColumn("s",
+            regexp_replace( // literal: pattern is quoted
+              col("s"),
+              lit(java.util.regex.Pattern.quote(" " + pair.replace(" ", "  ") + " ")),
+              lit(java.util.regex.Matcher.quoteReplacement(" " + merged + " "))))
+          .localCheckpoint()
+        merges += ((r.toLong, pair, merged, n))
+      }
+    }
+    (merges.toSeq, w)
+  }
+
+  /** The learned merge table, round by round — the artifact a
+    * tokenizer ships. Oracled: DuckDB unrolls the same walk as
+    * [[BpeRounds]] CTE blocks, and exact counts + lexicographic
+    * tie-breaks make the merge choice engine-independent. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLoop(spark, dir)
+    spark.createDataFrame(merges)
+      .toDF("merge_round", "pair", "merged", "n_pair")
+      .orderBy(col("merge_round"))
+  }
+
+  /** Per-doc token counts under the learned merges: corpus tokens are
+    * joined against the final word-type symbolization (a vocabulary-
+    * sized equi-join, the txt_tfidf shape) and summed per doc — the
+    * number a training-data pipeline budgets sequences with. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, wFinal) = bpeLoop(spark, dir)
+    val lens = wFinal.select(col("word"),
+      size(expr(symsOfS)).cast(LongType).as("n_sub"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(lens, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The walk's CTE prefix shared by both BPE oracles: w0 is the
+    * word-type grain; each round r adds p{r} (pair counts), b{r} (the
+    * argmax merge) and w{r} (the merge applied). */
+  private def bpeCteSql: String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0 GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq,
+         |               unnest(list_transform(generate_series(1, len(syms)-1),
+         |                        i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |        FROM (SELECT freq, list_filter(string_split(s, ' '), x -> x != '') AS syms
+         |              FROM w${r - 1}))
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, replace(pair, ' ', '') AS merged, n
+         |        FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |w$r AS (SELECT word, freq,
+         |               replace(s, ' ' || (SELECT replace(pair, ' ', '  ') FROM b$r) || ' ',
+         |                          ' ' || (SELECT merged FROM b$r) || ' ') AS s
+         |        FROM w${r - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  val bpeMergesSql: String = {
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, pair, merged, n AS n_pair FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeCteSql
+       |SELECT merge_round, pair, merged, n_pair FROM (
+       |  $union)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  val bpeEncodeSql: String =
+    s"""$bpeCteSql,
+       |lens AS (
+       |  SELECT word,
+       |         CAST(len(list_filter(string_split(s, ' '), x -> x != '')) AS BIGINT) AS n_sub
+       |  FROM w$BpeRounds),
+       |toks AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bpe_per_word
+       |FROM toks JOIN lens USING (word)
+       |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1006,6 +1180,8 @@ object TextQueries {
     ("txt_token_hist", tokenHist _, tokenHistSql),
     ("txt_fingerprint", fingerprint _, fingerprintSql),
     ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
+    ("txt_bpe_merges", bpeMerges _, bpeMergesSql),
+    ("txt_bpe_encode", bpeEncode _, bpeEncodeSql),
     ("txt_quantiles", lenQuantiles _, lenQuantilesSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in ExtensionOpsSpec
