@@ -40,6 +40,25 @@ object EventsQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
 
+  /** The Grafana `$__timeFrom/To` surface (SURVEY F5): every dashboard
+    * panel takes optional half-open `[from, to)` bounds on raw event
+    * time. `None` (the registered default) applies no predicate at
+    * all, keeping the oracle row byte-identical; when set, the bounds
+    * are plain `ts` comparisons. On engine-written layouts those
+    * prune (PlanSpec's PartitionedEvents guard); on the raw testdata
+    * the nanos→micros rebuild in Tables.load blocks scan pushdown, so
+    * there they evaluate as a codegen'd row filter before the first
+    * aggregate. Panels that window the hourly rollup filter BEFORE
+    * aggregating, like the reference views refreshed under a
+    * dashboard time filter. */
+  private def timeBounded(ev: DataFrame,
+      from: Option[String], to: Option[String]): DataFrame = {
+    val preds =
+      from.map(f => col("ts") >= lit(f).cast(TimestampType)).toSeq ++
+        to.map(t => col("ts") < lit(t).cast(TimestampType))
+    preds.reduceOption(_ && _).map(ev.filter).getOrElse(ev)
+  }
+
   /** Session id lives in the props JSON blob: {"k": <int>}. */
   private val sessionId: Column =
     get_json_object(col("props"), "$.k").cast(IntegerType)
@@ -100,8 +119,9 @@ object EventsQueries {
 
   /** SURVEY §2 A1a–A1h: hourly conditional counts/sums, exact distincts,
     * max, and flush-time derived averages (consumer/consumer.py:313-318). */
-  def hourlyMetrics(spark: SparkSession, dir: String): DataFrame =
-    hourlyExact(events(spark, dir))
+  def hourlyMetrics(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(
         epochUs(col("hour")).as("hour_us"),
         col("total_events"),
@@ -147,9 +167,10 @@ object EventsQueries {
     * computed as exact SUM over the frame / COUNT over the frame so both
     * engines produce bit-identical doubles (segment-tree vs sequential
     * float summation would not). */
-  def rolling24h(spark: SparkSession, dir: String): DataFrame = {
+  def rolling24h(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
-    hourlyExact(events(spark, dir))
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(
         col("hour"),
         col("purchases"), col("active_users"), col("error_value_dec"))
@@ -178,8 +199,9 @@ object EventsQueries {
   // A5/X4/F6: daily_energy_summary view (database/schema.sql:81-93)
   // ---------------------------------------------------------------------
 
-  def dailySummary(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def dailySummary(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
       .agg(
         count(lit(1)).as("total_events"),
@@ -209,8 +231,9 @@ object EventsQueries {
   /** Per-user profile: 13 aggregates + sorted distinct arrays + the
     * correlated-subquery pair (most-recent / second-most-recent purchase)
     * rewritten as a row_number window (SURVEY §2 J3). */
-  def customerView(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+  def customerView(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
+    val ev = timeBounded(events(spark, dir), from, to)
 
     val profile = ev.groupBy(col("user_id")).agg(
       count(lit(1)).as("total_events"),
@@ -284,8 +307,9 @@ object EventsQueries {
 
   /** Per-"channel" (event_type here) rollup with FILTER-style
     * conditional aggregates. */
-  def channelPerformance(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def channelPerformance(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .groupBy(col("event_type").as("channel"))
       .agg(
         count(lit(1)).as("events"),
@@ -315,8 +339,9 @@ object EventsQueries {
 
   /** Multi-distinct funnel: distinct users per stage + conversion
     * rates, in one aggregate (Spark plans expand + re-agg). */
-  def engagementFunnel(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def engagementFunnel(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .agg(
         count_distinct(when(isSignup, col("user_id"))).as("signed_up"),
         count_distinct(when(isView, col("user_id"))).as("viewed"),
@@ -347,8 +372,9 @@ object EventsQueries {
 
   /** Semi-join (users restricted to those with a signup) + UNION ALL of
     * labelled stage rows. */
-  def customerActivity(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+  def customerActivity(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
+    val ev = timeBounded(events(spark, dir), from, to)
     val signedUp = ev.filter(isSignup).select(col("user_id")).distinct()
     def stage(label: String, order: Int, pred: Column): DataFrame =
       ev.filter(pred)
@@ -382,10 +408,11 @@ object EventsQueries {
   // W2: Green Adoption — cumulative sums (business-metrics.json:806)
   // ---------------------------------------------------------------------
 
-  def cumulativeAdoption(spark: SparkSession, dir: String): DataFrame = {
+  def cumulativeAdoption(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    hourlyExact(events(spark, dir))
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(col("hour"), col("purchases"), col("premium_purchases"))
       .select(
         epochUs(col("hour")).as("hour_us"),
@@ -406,9 +433,10 @@ object EventsQueries {
   // W3: Demand Elasticity — LAG + pct change (business-metrics.json:945)
   // ---------------------------------------------------------------------
 
-  def demandElasticity(spark: SparkSession, dir: String): DataFrame = {
+  def demandElasticity(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour"))
-    hourlyExact(events(spark, dir))
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(col("hour"), col("error_value_dec"))
       .select(
         col("hour"),
@@ -446,8 +474,9 @@ object EventsQueries {
 
   /** Postgres EXTRACT(dow) is 0=Sunday; Spark dayofweek is 1=Sunday, so
     * subtract 1 for oracle parity (SURVEY §7.1 quirk 8). */
-  def peakLoad(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def peakLoad(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .groupBy(
         hour(col("ts")).as("hour_of_day"),
         (dayofweek(col("ts")) - 1).as("day_of_week"))
@@ -529,11 +558,12 @@ object EventsQueries {
 
   /** 14-sample same-hour-of-day rolling baseline (partitioned ROWS frame)
     * + revenue percentile. */
-  def dynamicPricing(spark: SparkSession, dir: String): DataFrame = {
+  def dynamicPricing(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val seasonal = Window.partitionBy(hour(col("hour")))
       .orderBy(col("hour")).rowsBetween(-13, 0)
     val pr = Window.orderBy(col("purchase_revenue_dec").asc_nulls_first)
-    hourlyExact(events(spark, dir))
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(col("hour"), col("purchase_revenue_dec"))
       .select(
         epochUs(col("hour")).as("hour_us"),
@@ -560,8 +590,9 @@ object EventsQueries {
   // F8: A/B Framework — CASE-driven segmentation (business-metrics.json:1392)
   // ---------------------------------------------------------------------
 
-  def abFramework(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def abFramework(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .withColumn("segment",
         when(col("user_id") % 3 === 0, "control")
           .when(col("user_id") % 3 === 1, "variant_a")
@@ -597,8 +628,9 @@ object EventsQueries {
     * invalid rows to an error log with a reason — here we surface the
     * reason histogram (the dead-letter *sink* is exercised in the
     * streaming pipeline + its spec). */
-  def validationSummary(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def validationSummary(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    timeBounded(events(spark, dir), from, to)
       .withColumn("reason",
         when(col("event_type").isNull ||
           length(trim(col("event_type"))) === 0, "missing_event_type")
@@ -630,8 +662,9 @@ object EventsQueries {
   // (business-metrics.json Total Energy panel)
   // ---------------------------------------------------------------------
 
-  def totalErrorValue(spark: SparkSession, dir: String): DataFrame =
-    hourlyExact(events(spark, dir))
+  def totalErrorValue(spark: SparkSession, dir: String,
+      from: Option[String] = None, to: Option[String] = None): DataFrame =
+    hourlyExact(timeBounded(events(spark, dir), from, to))
       .select(
         epochUs(col("hour")).as("hour_us"),
         col("error_value_dec").cast(DoubleType).as("total_error_value"),
@@ -1438,22 +1471,22 @@ object EventsQueries {
       |ORDER BY user_id""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
-    ("ev_hourly_metrics", hourlyMetrics _, hourlyMetricsSql),
-    ("ev_rolling_24h", rolling24h _, rolling24hSql),
-    ("ev_daily_summary", dailySummary _, dailySummarySql),
-    ("ev_customer_view", customerView _, customerViewSql),
-    ("ev_channel_performance", channelPerformance _, channelPerformanceSql),
-    ("ev_engagement_funnel", engagementFunnel _, engagementFunnelSql),
-    ("ev_customer_activity", customerActivity _, customerActivitySql),
-    ("ev_cumulative_adoption", cumulativeAdoption _, cumulativeAdoptionSql),
-    ("ev_demand_elasticity", demandElasticity _, demandElasticitySql),
-    ("ev_peak_load", peakLoad _, peakLoadSql),
+    ("ev_hourly_metrics", (s, d) => hourlyMetrics(s, d), hourlyMetricsSql),
+    ("ev_rolling_24h", (s, d) => rolling24h(s, d), rolling24hSql),
+    ("ev_daily_summary", (s, d) => dailySummary(s, d), dailySummarySql),
+    ("ev_customer_view", (s, d) => customerView(s, d), customerViewSql),
+    ("ev_channel_performance", (s, d) => channelPerformance(s, d), channelPerformanceSql),
+    ("ev_engagement_funnel", (s, d) => engagementFunnel(s, d), engagementFunnelSql),
+    ("ev_customer_activity", (s, d) => customerActivity(s, d), customerActivitySql),
+    ("ev_cumulative_adoption", (s, d) => cumulativeAdoption(s, d), cumulativeAdoptionSql),
+    ("ev_demand_elasticity", (s, d) => demandElasticity(s, d), demandElasticitySql),
+    ("ev_peak_load", (s, d) => peakLoad(s, d), peakLoadSql),
     ("ev_business_kpis",
       (s: SparkSession, d: String) => businessKpis(s, d), businessKpisSql),
-    ("ev_dynamic_pricing", dynamicPricing _, dynamicPricingSql),
-    ("ev_ab_framework", abFramework _, abFrameworkSql),
-    ("ev_validation_summary", validationSummary _, validationSummarySql),
-    ("ev_total_error_value", totalErrorValue _, totalErrorValueSql),
+    ("ev_dynamic_pricing", (s, d) => dynamicPricing(s, d), dynamicPricingSql),
+    ("ev_ab_framework", (s, d) => abFramework(s, d), abFrameworkSql),
+    ("ev_validation_summary", (s, d) => validationSummary(s, d), validationSummarySql),
+    ("ev_total_error_value", (s, d) => totalErrorValue(s, d), totalErrorValueSql),
     ("ev_sessionization", sessionization _, sessionizationSql),
     ("ev_asof_join", asofLastError _, asofLastErrorSql),
     ("ev_type_rollup", typeRollup _, typeRollupSql),

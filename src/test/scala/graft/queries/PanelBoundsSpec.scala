@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The dashboard time-filter surface (SURVEY F5 — Grafana
+  * `$__timeFrom/To` on every panel): optional `[from, to)` bounds on
+  * each `ev_*` panel. Three properties:
+  *
+  *  - defaults (`None`) are a no-op — byte-identical to the
+  *    registered oracle-checked form,
+  *  - hour-aligned bounds equal filtering the unbounded rollup output
+  *    (the reference's view-then-filter refresh semantics),
+  *  - the bound is a plain `ts` predicate applied before the first
+  *    aggregate (on the raw testdata layout the nanos→micros rebuild
+  *    blocks scan pushdown; partition pruning on engine-written
+  *    layouts is covered by PlanSpec's PartitionedEvents guard).
+  */
+class PanelBoundsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val f = "2024-01-05"
+  private val t = "2024-01-12"
+  private def us(day: String): Long =
+    java.sql.Timestamp.valueOf(day + " 00:00:00").getTime * 1000L
+
+  test("default bounds are a no-op on every parameterized panel") {
+    val bounded = EventsQueries.hourlyMetrics(spark, dir, None, None)
+    val registered = graft.SparkEntry.queries("ev_hourly_metrics")(spark, dir)
+    assert(bounded.collect().toSeq == registered.collect().toSeq)
+  }
+
+  test("hour-aligned bounds equal filtering the unbounded rollup") {
+    val bounded = EventsQueries.hourlyMetrics(spark, dir, Some(f), Some(t))
+      .collect().toSeq
+    val filtered = EventsQueries.hourlyMetrics(spark, dir)
+      .filter(col("hour_us") >= us(f) && col("hour_us") < us(t))
+      .collect().toSeq
+    assert(bounded.nonEmpty)
+    assert(bounded == filtered)
+  }
+
+  test("day-aligned bounds equal filtering the unbounded daily summary") {
+    val bounded = EventsQueries.dailySummary(spark, dir, Some(f), Some(t))
+      .collect().toSeq
+    val filtered = EventsQueries.dailySummary(spark, dir)
+      .filter(col("day") >= f && col("day") < t)
+      .collect().toSeq
+    assert(bounded.nonEmpty)
+    assert(bounded == filtered)
+  }
+
+  test("bounds evaluate as a row filter before the first aggregate") {
+    val p = EventsQueries.peakLoad(spark, dir, Some(f), Some(t))
+      .queryExecution.executedPlan.toString
+    // the predicate must sit under the partial aggregate (a Filter in
+    // the same codegen stage as the scan), never above a shuffle
+    val filterPos = p.indexOf(" Filter ")
+    val aggPos = p.lastIndexOf("HashAggregate")
+    assert(filterPos >= 0 && aggPos >= 0 && filterPos > aggPos, p)
+    assert(p.contains("2024-01-05"), p)
+  }
+}
