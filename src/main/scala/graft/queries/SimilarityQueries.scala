@@ -886,23 +886,35 @@ object SimilarityQueries {
     * is the ExtensionOpsSpec floor — trained codebooks must BEAT the
     * seed-codebook recall@10 on the same corpus, plus the driver's
     * rows/schema check. */
+  /** (vec_id, xf = double-cast embedding) projection feeding the PQ
+    * training slices. */
+  private def xfProjection(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("xf"))
+
+  /** (grp = subspace, vec_id, x = 4-dim slice) training frame. */
+  private def xfSlices(src: DataFrame): DataFrame = src
+    .select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        s => slice(col("xf"), s * lit(4) + lit(1), lit(4)))))
+    .select(col("pos").as("grp"), col("vec_id"), col("col").as("x"))
+
+  /** The bounded deterministic training sample (≤2000 vectors at any
+    * corpus size) — exposed so PlanSpec can pin that the vec_id bound
+    * reaches the parquet scan: if a refactor ever drops it, training
+    * cost would silently scale with the corpus. */
+  private[graft] def pqTrainingInput(spark: SparkSession, dir: String): DataFrame =
+    xfSlices(xfProjection(spark, dir)
+      .filter(col("vec_id") < 8000 && col("vec_id") % 4 === 1))
+
   def pqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir)
-    val xfull = e.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("xf"))
-    // (grp = subspace, vec_id, x = 4-dim slice) training frame
-    def slices(src: DataFrame): DataFrame = src
-      .select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          s => slice(col("xf"), s * lit(4) + lit(1), lit(4)))))
-      .select(col("pos").as("grp"), col("vec_id"), col("col").as("x"))
-    val seeds = slices(
-      xfull.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
+    val seeds = xfSlices(xfProjection(spark, dir)
+      .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
       .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
     val trained = graft.operators.KMeans.fitGrouped(
-      slices(xfull.filter(col("vec_id") < 8000 && col("vec_id") % 4 === 1)),
-      seeds, iters = 2)
+      pqTrainingInput(spark, dir), seeds, iters = 2)
     // stitch: composite centroid j = concat of subspace codebooks' entry
     // j in subspace order (identical id sets per group by fitGrouped's
     // empty-cluster carry-forward); cast to float for the fused kernel

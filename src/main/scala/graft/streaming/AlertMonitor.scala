@@ -97,10 +97,18 @@ class AlertMonitor(
   // its first event onward; a restart under the same name re-binds to
   // the latest started id
   @volatile private var matchedId: Option[String] = None
+  // once any started event has bound the id, progress events must not
+  // re-bind it: during an overlapping restart the OLD run's late
+  // progress still matches by name, and letting it steal the binding
+  // would deafen the monitor to the new run's idle ticks. Progress
+  // binding remains the fallback for monitors attached mid-flight.
+  @volatile private var boundByStart: Boolean = false
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    if (onlyQuery.exists(n => n == event.name || n == event.id.toString))
+    if (onlyQuery.exists(n => n == event.name || n == event.id.toString)) {
       matchedId = Some(event.id.toString)
+      boundByStart = true
+    }
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
   override def onQueryIdle(event: QueryIdleEvent): Unit = {
@@ -114,7 +122,7 @@ class AlertMonitor(
     val mine = onlyQuery.forall(n =>
       n == event.progress.name || n == event.progress.id.toString)
     if (mine && om.containsKey("graft_ingest")) {
-      matchedId = Some(event.progress.id.toString)
+      if (!boundByStart) matchedId = Some(event.progress.id.toString)
       val atMs = java.time.Instant.parse(event.progress.timestamp).toEpochMilli
       record(atMs, om.get("graft_ingest").getAs[Long]("invalid_events"))
     }

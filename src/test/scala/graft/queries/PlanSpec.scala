@@ -330,6 +330,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pq learned: training sample bound reaches the embeddings scan") {
+    // without the pushed vec_id bound the Lloyd's training pass would
+    // scale with the corpus instead of staying <=2000 vectors
+    val p = SimilarityQueries.pqTrainingInput(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(vec_id,8000)"), p)
+  }
+
   test("user ranks: no global unpartitioned window anywhere in the plan") {
     // the user grain grows with the data — a single-partition WindowExec
     // here (the round-6 `weak`) serializes every user through one task.

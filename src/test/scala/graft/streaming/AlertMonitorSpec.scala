@@ -148,6 +148,56 @@ class AlertMonitorSpec extends SparkSpec {
     assert(!m.firing)
   }
 
+  test("overlapping restart: the old run's late progress cannot steal the id binding") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, QueryProgressEvent, QueryStartedEvent}
+    import org.apache.spark.sql.streaming.StreamingQueryProgress
+    val m = new AlertMonitor(failuresPerMinute = 5.0, onlyQuery = Some("mine"))
+    var t = 0L
+    while (t <= 80000L) { m.record(t, 2); t += 10000L }
+    assert(m.firing)
+    val oldId = java.util.UUID.randomUUID()
+    val newId = java.util.UUID.randomUUID()
+    def progressEvent(id: java.util.UUID, atMs: Long, invalid: Long): QueryProgressEvent = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("invalid_events",
+          org.apache.spark.sql.types.LongType)))
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](invalid), schema)
+      val om = new java.util.HashMap[String, org.apache.spark.sql.Row]()
+      om.put("graft_ingest", row)
+      val pc = classOf[StreamingQueryProgress].getDeclaredConstructors.head
+      pc.setAccessible(true)
+      val p = pc.newInstance(id, java.util.UUID.randomUUID(), "mine",
+        java.time.Instant.ofEpochMilli(atMs).toString,
+        java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L),
+        new java.util.HashMap[String, java.lang.Long](),
+        new java.util.HashMap[String, String](),
+        Array.empty[org.apache.spark.sql.streaming.StateOperatorProgress],
+        Array.empty[org.apache.spark.sql.streaming.SourceProgress],
+        null, om).asInstanceOf[StreamingQueryProgress]
+      val ec = classOf[QueryProgressEvent]
+        .getDeclaredConstructor(classOf[StreamingQueryProgress])
+      ec.setAccessible(true)
+      ec.newInstance(p)
+    }
+    m.onQueryStarted(new QueryStartedEvent(oldId, java.util.UUID.randomUUID(),
+      "mine", java.time.Instant.ofEpochMilli(t).toString))
+    m.onQueryProgress(progressEvent(oldId, t, 2L))
+    // restart: the new incarnation takes the name and the binding
+    m.onQueryStarted(new QueryStartedEvent(newId, java.util.UUID.randomUUID(),
+      "mine", java.time.Instant.ofEpochMilli(t).toString))
+    // the stopping run's LAST progress arrives after the new start —
+    // it still counts toward the window (same name) but must not
+    // re-bind the idle matching to the superseded id
+    m.onQueryProgress(progressEvent(oldId, t, 2L))
+    val idleCtor = classOf[QueryIdleEvent]
+      .getConstructor(classOf[java.util.UUID], classOf[java.util.UUID], classOf[String])
+    m.onQueryIdle(idleCtor.newInstance(newId, java.util.UUID.randomUUID(),
+      java.time.Instant.ofEpochMilli(10 * minute).toString))
+    assert(!m.firing,
+      "the new run's idle tick was ignored: a late old-run progress stole the binding")
+  }
+
   test("listener path: invalid counts flow from a live observed query") {
     implicit val sqlCtx = spark.sqlContext
     // sustain=0 so one bad micro-batch raises immediately
