@@ -428,6 +428,121 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_bm25_topk: inverted-index BM25 retrieval
+  // ---------------------------------------------------------------------
+
+  /** Max posting-list length joined per term: hot (stopword-like)
+    * terms keep a deterministic md5-sampled ~[[Bm25MaxPosting]]-doc
+    * pool (the ann_knn_join idiom — inactive while postings fit, so
+    * results are byte-identical at small SFs; bounded past it). */
+  private val Bm25MaxPosting = 1000L
+
+  /** Okapi BM25 top-10 retrieval: every 50th document is a query; its
+    * distinct terms probe the inverted (term, doc, tf) index and
+    * candidates score sum_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * with k1=1.2, b=0.75 and the +1-smoothed idf.
+    *
+    * Scale shape: ONE tokenized pass builds the (term, doc, tf) grain
+    * (one shuffle); df/dl/avgdl reuse it; the probe is a
+    * vocabulary-keyed equi-join whose per-term fan-out is capped by
+    * [[Bm25MaxPosting]], so per-query cost is |query terms| × cap at
+    * any corpus size — never corpus × corpus.
+    *
+    * Determinism (the bigramLogprob discipline): both transcendental/
+    * rounding-sensitive factors are micro-quantized to int64 — idf
+    * once per vocab term, the tf part once per candidate — and the
+    * per-(query, doc) score is an exact int64 multiply-sum, order-free
+    * and map-side combined; ranking ties break on doc_id. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    perDoc.count()
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+        .as("avgdl"))
+    val dft = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dft.crossJoin(broadcast(stats)) // 1-row scalar
+      .select(col("term"), col("df"), col("n_docs"), col("avgdl"),
+        round(log(((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)) * 1e6)
+          .cast(LongType).as("idf_micro"))
+    val postings = perDoc.join(dft.select(col("term"), col("df")), "term")
+      .filter(h60Pool(col("doc_id"), col("df"), Bm25MaxPosting))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val qterms = perDoc.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_pico").desc, col("doc_id"))
+    qterms
+      .join(postings, "term")
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(dl, "doc_id")
+      .join(idf.select(col("term"), col("idf_micro"), col("avgdl")), "term")
+      .select(col("q_id"), col("doc_id"),
+        (col("idf_micro") *
+          round(col("tf").cast(DoubleType) * lit(2.2) /
+            (col("tf").cast(DoubleType) + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast(DoubleType) / col("avgdl")))) * 1e6)
+            .cast(LongType)).as("contrib"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_pico"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("score_pico"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM perdoc GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM perdoc GROUP BY 1),
+       |idf AS (
+       |  SELECT term, df, avgdl,
+       |         CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+       |  FROM dft, stats),
+       |postings AS (
+       |  SELECT p.term, p.doc_id, p.tf
+       |  FROM perdoc p JOIN dft USING (term)
+       |  WHERE ${h60PoolSql("p.doc_id", "df", 1000L)}),
+       |qterms AS (
+       |  SELECT doc_id AS q_id, term FROM perdoc WHERE doc_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, p.doc_id,
+       |         CAST(sum(i.idf_micro *
+       |           CAST(round(CAST(p.tf AS DOUBLE) * 2.2
+       |             / (CAST(p.tf AS DOUBLE) + 1.2 *
+       |                (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / i.avgdl))) * 1e6) AS BIGINT))
+       |           AS BIGINT) AS score_pico
+       |  FROM qterms q
+       |  JOIN postings p USING (term)
+       |  JOIN dl ON p.doc_id = dl.doc_id
+       |  JOIN idf i USING (term)
+       |  WHERE q.q_id != p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, doc_id, score_pico, rank FROM (
+       |  SELECT q_id, doc_id, score_pico,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score_pico DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_quantiles: exact interpolated percentiles of doc length
   // ---------------------------------------------------------------------
 
@@ -1181,6 +1296,7 @@ object TextQueries {
     ("txt_fingerprint", fingerprint _, fingerprintSql),
     ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
     ("txt_bpe_merges", bpeMerges _, bpeMergesSql),
+    ("txt_bm25_topk", bm25TopK _, bm25TopKSql),
     ("txt_bpe_encode", bpeEncode _, bpeEncodeSql),
     ("txt_quantiles", lenQuantiles _, lenQuantilesSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle

@@ -330,6 +330,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bm25: posting cap survives optimization; probe stays an equi-join") {
+    val p = plan("txt_bm25_topk")
+    // without the md5 posting pool a stopword-like term joins every
+    // query against the whole corpus
+    assert(p.contains("1048576"), p)
+    // the only nested loop allowed is the broadcast 1-row stats scalar
+    assert("NestedLoop".r.findAllIn(p).length ==
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq learned: training sample bound reaches the embeddings scan") {
     // without the pushed vec_id bound the Lloyd's training pass would
     // scale with the corpus instead of staying <=2000 vectors
