@@ -471,9 +471,21 @@ object TextQueries {
         round(log(((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
           (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)) * 1e6)
           .cast(LongType).as("idf_micro"))
+    // contributions are attached to the CAPPED postings (≤ vocab × cap
+    // rows) before the query fan-out, so the q × postings candidate
+    // set — the only corpus-scale frame — flows straight into its one
+    // groupBy shuffle instead of also shuffling for a dl join
     val postings = perDoc.join(dft.select(col("term"), col("df")), "term")
       .filter(h60Pool(col("doc_id"), col("df"), Bm25MaxPosting))
-      .select(col("term"), col("doc_id"), col("tf"))
+      .join(dl, "doc_id")
+      .join(idf.select(col("term"), col("idf_micro"), col("avgdl")), "term")
+      .select(col("term"), col("doc_id"),
+        (col("idf_micro") *
+          round(col("tf").cast(DoubleType) * lit(2.2) /
+            (col("tf").cast(DoubleType) + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast(DoubleType) / col("avgdl")))) * 1e6)
+            .cast(LongType)).as("contrib"))
     val qterms = perDoc.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("q_id"), col("term"))
     val w = org.apache.spark.sql.expressions.Window
@@ -482,15 +494,6 @@ object TextQueries {
     qterms
       .join(postings, "term")
       .filter(col("q_id") =!= col("doc_id"))
-      .join(dl, "doc_id")
-      .join(idf.select(col("term"), col("idf_micro"), col("avgdl")), "term")
-      .select(col("q_id"), col("doc_id"),
-        (col("idf_micro") *
-          round(col("tf").cast(DoubleType) * lit(2.2) /
-            (col("tf").cast(DoubleType) + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast(DoubleType) / col("avgdl")))) * 1e6)
-            .cast(LongType)).as("contrib"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_pico"))
       .withColumn("rank", row_number().over(w).cast(LongType))
