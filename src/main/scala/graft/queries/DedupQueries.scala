@@ -416,6 +416,100 @@ object DedupQueries {
        |ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_pagerank: PageRank over the near-dup pair graph
+  // ---------------------------------------------------------------------
+
+  /** Fixed PageRank iteration count — literal in both engines so the
+    * DuckDB oracle can unroll the walk as CTEs. */
+  private val PrIters = 3
+  /** Fixed-point PageRank unit (1 pico = 1e-12 of total mass). */
+  private val PrUnit = 1000000000000L
+
+  /** PageRank over the verified MinHash near-dup graph: a
+    * centrality-based canonical-document signal — where
+    * [[clusters]]' min-label picks the smallest doc_id per component,
+    * the top PageRank doc is the one most *connected* within its dup
+    * neighborhood (the natural keep-candidate for hub-shaped
+    * clusters). d = 0.85, [[PrIters]] rounds, top 20 by rank.
+    *
+    * Scale shape: each round is one equi-join (edges × current ranks,
+    * both edge-grain) + one map-side-combinable aggregate; lineage is
+    * truncated per round with eager localCheckpoint (the [[clusters]]
+    * discipline); the top-20 is TakeOrdered — no global window, no
+    * global sort shuffle.
+    *
+    * Determinism: the entire iteration is int64 fixed-point — rank
+    * mass in picos, per-edge contribution `pr div deg`, damping
+    * `(inflow * 85) div 100` — positive-integer division truncates
+    * identically in Spark (`div`) and DuckDB (`//`), so both engines
+    * are bit-identical with zero float ops. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(spark, dir)
+      .select(col("doc_id"), col("pr").as("pr_pico"))
+      .orderBy(col("pr_pico").desc, col("doc_id"))
+      .limit(20)
+
+  /** Full (doc_id, pr) ranks — exposed for the mass-conservation
+    * spec; [[pagerank]] takes the top 20. */
+  private[queries] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsBody(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val n = math.max(nodes.count(), 1L)
+    val base = (PrUnit * 15L / 100L) / n
+    var pr = nodes.select(col("doc_id"), lit(PrUnit / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val inflow = edges
+        .join(pr.select(col("doc_id").as("src"), col("pr")), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("pr div deg")).as("inflow"))
+      pr = nodes.join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) +
+            expr(s"(coalesce(inflow, 0L) * 85) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to PrIters).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS doc_id, CAST(sum(p.pr // o.deg) AS BIGINT) AS inflow
+         |  FROM edges e
+         |  JOIN pr${r - 1} p ON e.src = p.doc_id
+         |  JOIN outdeg o ON e.src = o.src
+         |  GROUP BY 1),
+         |pr$r AS (
+         |  SELECT nd.doc_id,
+         |         ((${PrUnit * 15L / 100L} // n.n)
+         |           + (COALESCE(c.inflow, 0) * 85) // 100) AS pr
+         |  FROM nodes nd CROSS JOIN n LEFT JOIN c$r c ON nd.doc_id = c.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |n AS (SELECT greatest(count(*), 1) AS n FROM nodes),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT doc_id, $PrUnit // n.n AS pr FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr_pico FROM pr$PrIters
+       |ORDER BY pr_pico DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // dedup_simhash: 60-bit SimHash per doc + banded Hamming pairs
   // ---------------------------------------------------------------------
 
@@ -807,6 +901,7 @@ object DedupQueries {
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_clusters", clusters _, clustersSql),
+    ("dedup_pagerank", pagerank _, pagerankSql),
     ("dedup_corpus_clean", corpusClean _, corpusCleanSql),
     ("dedup_contamination", contamination _, contaminationSql))
 }

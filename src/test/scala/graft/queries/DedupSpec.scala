@@ -57,6 +57,22 @@ class DedupSpec extends SparkSpec {
     assert(exactPair._3 == 1.0)
   }
 
+  test("pagerank over the dup graph conserves mass; regular components rank uniformly") {
+    // fixture graph: {0,1,2} near-dup triangle + {3,5} exact-dup pair —
+    // both components are regular, so stationary PageRank is uniform;
+    // with 3 fixed-point iterations every node must hold ~1/5 of the
+    // mass and the total must be UNIT minus only integer-truncation
+    // dust (< n picos per division site per round)
+    val pr = DedupQueries.pagerankRanks(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pr.keySet == Set(0L, 1L, 2L, 3L, 5L), pr.toString)
+    val unit = 1000000000000L
+    val total = pr.values.sum
+    assert(total <= unit && total > (unit * 99L) / 100L, s"mass $total")
+    assert(pr.values.toSet.size == 1,
+      s"regular-graph ranks must be uniform: $pr")
+  }
+
   test("MinHash LSH banding recovers the same pairs as exact Jaccard") {
     val exact = DedupQueries.ngramJaccard(spark, dir.toString).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
