@@ -341,20 +341,25 @@ object DedupQueries {
     * reachable origins (exponential in component size in general, fine
     * at oracle SF where components are tiny).
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    // eager localCheckpoint, not persist: each round's output feeds the
-    // next round's LOGICAL plan, so with plain caching the analyzed
-    // tree doubles every round (the full minhash pipeline re-enters the
-    // plan each iteration) and Catalyst re-optimization on the driver
-    // dominates runtime within two rounds. Checkpointing truncates the
-    // lineage to a scan, keeping every round's plan constant-size —
-    // the standard pattern for iterative DataFrame algorithms (on a
-    // multi-node cluster this would be a reliable checkpoint instead).
+  /** Symmetric (src, dst) edge list over the verified MinHash near-dup
+    * pairs — the ONE dup-graph construction shared by [[clusters]] and
+    * [[pagerank]], so both always see the same graph. The pairs are
+    * eagerly localCheckpoint'ed: both iterative consumers feed each
+    * round's output back into the next round's LOGICAL plan, and
+    * without truncation the analyzed tree re-enters the full minhash
+    * pipeline every iteration and driver-side re-optimization dominates
+    * runtime within two rounds (on a multi-node cluster this would be a
+    * reliable checkpoint instead). */
+  private def dupEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairsBody(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = pairs
+    pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+  }
+
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(spark, dir)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
     // sum() is null on an empty pair graph — nothing to propagate then
@@ -452,11 +457,10 @@ object DedupQueries {
   /** Full (doc_id, pr) ranks — exposed for the mass-conservation
     * spec; [[pagerank]] takes the top 20. */
   private[queries] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairsBody(spark, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
+    // edges are re-consumed every iteration, so checkpoint the union
+    // itself too (clusters leaves it lazy because its per-round plan
+    // already re-reads only the checkpointed pairs)
+    val edges = dupEdges(spark, dir).localCheckpoint(true)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(true)
@@ -573,11 +577,13 @@ object DedupQueries {
     * from the banding itself. */
   private[queries] val SimhashBands = 4
   private[queries] val SimhashWidth = 60 / SimhashBands
-  private[queries] val SimhashRadius = SimhashBands - 1
+  // Independent of the band count so the pigeonhole guard below has
+  // teeth: tightening bands without shrinking the radius must fail fast.
+  private[queries] val SimhashRadius = 3
   require(SimhashBands * SimhashWidth == 60,
     s"simhash banding must tile the 60-bit signature: $SimhashBands x $SimhashWidth")
   require(SimhashRadius <= SimhashBands - 1,
-    "pigeonhole recall guarantee needs radius <= bands-1")
+    s"pigeonhole recall guarantee needs radius <= bands-1: $SimhashRadius vs $SimhashBands bands")
 
   /** Near-dup pairs by SimHash: candidates share one of the
     * [[SimhashBands]] [[SimhashWidth]]-bit chunks, verified with

@@ -53,9 +53,23 @@ object EventsQueries {
     * dashboard time filter. */
   private def timeBounded(ev: DataFrame,
       from: Option[String], to: Option[String]): DataFrame = {
+    // fail fast on a malformed bound: lit(bad).cast(timestamp) is null
+    // and `ts >= null` filters EVERY row, so a typo'd dashboard range
+    // would render an empty panel with no signal the bound was wrong
+    def parsed(which: String, s: String): Column = {
+      // strict ISO parse (Timestamp.valueOf would NORMALIZE month 13
+      // to January instead of rejecting it)
+      val iso =
+        if (s.contains(" ")) s.replace(' ', 'T')
+        else if (s.contains("T")) s
+        else s + "T00:00:00"
+      require(scala.util.Try(java.time.LocalDateTime.parse(iso)).isSuccess,
+        s"$which bound is not a timestamp: '$s'")
+      lit(s).cast(TimestampType)
+    }
     val preds =
-      from.map(f => col("ts") >= lit(f).cast(TimestampType)).toSeq ++
-        to.map(t => col("ts") < lit(t).cast(TimestampType))
+      from.map(f => col("ts") >= parsed("from", f)).toSeq ++
+        to.map(t => col("ts") < parsed("to", t))
     preds.reduceOption(_ && _).map(ev.filter).getOrElse(ev)
   }
 

@@ -29,6 +29,13 @@ object SimilarityQueries {
   private val NPlanes = 8
   private val TopK = 10
 
+  /** PQ geometry, shared by every PQ variant (seed, learned, IVF-PQ)
+    * AND interpolated into their oracle SQL — one source of truth so
+    * the engines cannot drift. M subspaces of 64/M dims; R is the ADC
+    * shortlist fed to the exact re-rank. */
+  private val PqM = 16
+  private val PqR = 50
+
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
@@ -796,13 +803,16 @@ object SimilarityQueries {
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir)
-    // fixed k=31 codebook regardless of corpus size (vec_id < 500
-    // bounds the seed pool — a codebook that grew with the corpus
-    // would defeat the whole point of quantization at 100 TB)
-    val cents = e.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    pqPipeline(e, cents)
+    pqPipeline(e, pqSeedCents(e))
   }
+
+  /** The fixed k=31 seed codebook regardless of corpus size (vec_id <
+    * 500 bounds the seed pool — a codebook that grew with the corpus
+    * would defeat the whole point of quantization at 100 TB). Shared
+    * by [[pqTopK]] and [[ivfpqTopK]]; SQL twin [[pqSeedCentsSql]]. */
+  private def pqSeedCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
 
   /** Per-(vector, centroid, subspace) micro-quantized PQ distance
     * partials via the fused kernel — shared by [[pqPipeline]] and the
@@ -816,11 +826,17 @@ object SimilarityQueries {
         round(col("col") * lit(1e6)).cast(LongType).as("d2q"))
 
   /** Encode + ADC scan + exact re-rank against a given (cent_id, cvec)
-    * codebook — shared by the seed-codebook [[pqTopK]] (full DuckDB
-    * oracle) and the trained-codebook [[pqLearnedTopK]]. */
-  private def pqPipeline(e: DataFrame, cents: DataFrame): DataFrame = {
-    val M = 16 // subspaces of 4 dims each
-    val R = 50 // ADC shortlist size fed to the exact re-rank
+    * codebook — the ONE PQ-ADC pipeline, shared by the seed-codebook
+    * [[pqTopK]] (full DuckDB oracle), the trained-codebook
+    * [[pqLearnedTopK]], and — via `cand` — the IVF-pruned
+    * [[ivfpqTopK]]. `cand` (q_id, n_id), when given, restricts ADC
+    * scoring to those candidate pairs (IVF cell members) instead of
+    * the whole corpus; a fix to the quantization, shortlist size, or
+    * tie-breaks lands in every variant at once. */
+  private def pqPipeline(e: DataFrame, cents: DataFrame,
+      cand: Option[DataFrame] = None): DataFrame = {
+    val M = PqM
+    val R = PqR
     // per-(vector, centroid, subspace) quantized partials via the
     // FUSED kernel (functions.VectorExpressions.PqSubD2s): one pass
     // over the two vectors computes all M subspace distances with the
@@ -843,13 +859,27 @@ object SimilarityQueries {
       .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
       .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
     val lut = partials(e.filter(isQuery))
-      .select(col("vec_id").as("q_id"), col("s").as("qs"),
+      .select(col("vec_id").as("lq_id"), col("s").as("qs"),
         col("cent_id"), col("d2q"))
+    // full scan: every (query, corpus vector) pair flows through the
+    // code==LUT-entry equi-join; IVF variant: the cand join restricts
+    // it to probed-cell members first, and the LUT key must then also
+    // match the pair's own query
+    val scoredPairs = cand match {
+      case None =>
+        codes.join(broadcast(lut),
+            col("s") === col("qs") && col("code") === col("cent_id"))
+          .withColumn("q_id", col("lq_id"))
+          .filter(col("q_id") =!= col("n_id"))
+      case Some(c) =>
+        c.join(codes, Seq("n_id"))
+          .join(broadcast(lut),
+            col("s") === col("qs") && col("code") === col("cent_id") &&
+              col("q_id") === col("lq_id"))
+    }
     val sw = Window.partitionBy(col("q_id"))
       .orderBy(col("d2q_total"), col("n_id"))
-    val shortlist = codes.join(broadcast(lut),
-        col("s") === col("qs") && col("code") === col("cent_id"))
-      .filter(col("q_id") =!= col("n_id"))
+    val shortlist = scoredPairs
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("d2q")).as("d2q_total"))
       .withColumn("srn", row_number().over(sw))
@@ -925,22 +955,32 @@ object SimilarityQueries {
     pqPipeline(e, composite)
   }
 
-  val pqTopKSql: String = {
+  /** The seed-codebook CTE body (k=31 fixed regardless of corpus
+    * size), shared by [[pqTopKSql]] and [[ivfpqTopKSql]]. */
+  private val pqSeedCentsSql: String =
+    """SELECT vec_id AS cent_id, embedding AS cvec
+      |  FROM embeddings WHERE vec_id < 500 AND vec_id % 16 = 7""".stripMargin
+
+  /** The ONE PQ-ADC oracle text — scored/codes/lut CTEs over centroid
+    * CTE `cents`, then the shortlist/rerank/ranked tail over candidate
+    * join `candJoins` — interpolated by BOTH [[pqTopKSql]] (full-scan
+    * join) and [[ivfpqTopKSql]] (cand-restricted join), mirroring the
+    * Spark-side [[pqPipeline]] sharing: a fix to the quantization,
+    * shortlist size, or tie-breaks lands in both oracles at once. */
+  private def pqAdcSql(cents: String, candJoins: String): String = {
+    val d = 64 / PqM // dims per subspace
     def subNorm2(a: String) =
-      s"list_sum(list_transform(generate_series(1, 4), i -> " +
-        s"CAST($a[s.s*4+i] AS DOUBLE) * CAST($a[s.s*4+i] AS DOUBLE)))"
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST($a[s.s*$d+i] AS DOUBLE) * CAST($a[s.s*$d+i] AS DOUBLE)))"
     val subDot =
-      s"list_sum(list_transform(generate_series(1, 4), i -> " +
-        s"CAST(e.embedding[s.s*4+i] AS DOUBLE) * CAST(c.cvec[s.s*4+i] AS DOUBLE)))"
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cvec
-       |  FROM embeddings WHERE vec_id < 500 AND vec_id % 16 = 7),
-       |scored AS (
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST(e.embedding[s.s*$d+i] AS DOUBLE) * CAST(c.cvec[s.s*$d+i] AS DOUBLE)))"
+    s"""scored AS (
        |  SELECT e.vec_id, c.cent_id, s.s,
        |         CAST(round((${subNorm2("e.embedding")}
        |           + ${subNorm2("c.cvec")}
        |           - 2.0 * $subDot) * 1e6) AS BIGINT) AS d2q
-       |  FROM embeddings e, cents c, generate_series(0, 15) s(s)),
+       |  FROM embeddings e, $cents c, generate_series(0, ${PqM - 1}) s(s)),
        |codes AS (
        |  SELECT vec_id AS n_id, s, cent_id AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
@@ -951,12 +991,12 @@ object SimilarityQueries {
        |  FROM scored WHERE vec_id % 50 = 0),
        |shortlist AS (
        |  SELECT q_id, n_id FROM (
-       |    SELECT q_id, n_id, CAST(sum(d2q) AS BIGINT) AS d2q_total,
-       |           row_number() OVER (PARTITION BY q_id
-       |             ORDER BY CAST(sum(d2q) AS BIGINT), n_id) AS srn
-       |    FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id
-       |    WHERE q_id != n_id
-       |    GROUP BY q_id, n_id) WHERE srn <= 50),
+       |    SELECT lut.q_id AS q_id, codes.n_id AS n_id,
+       |           row_number() OVER (PARTITION BY lut.q_id
+       |             ORDER BY CAST(sum(d2q) AS BIGINT), codes.n_id) AS srn
+       |    FROM $candJoins
+       |    WHERE lut.q_id != codes.n_id
+       |    GROUP BY lut.q_id, codes.n_id) WHERE srn <= $PqR),
        |rerank AS (
        |  SELECT sl.q_id, sl.n_id,
        |         ${norm2Sql("q.embedding")} + ${norm2Sql("n.embedding")}
@@ -973,6 +1013,13 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  val pqTopKSql: String =
+    s"""WITH cents AS (
+       |  $pqSeedCentsSql),
+       |${pqAdcSql("cents",
+          "codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id")}"""
+      .stripMargin
 
   // ---------------------------------------------------------------------
   // ann_ivfpq_topk: IVF cell pruning + PQ-ADC scoring (the standard
@@ -1003,8 +1050,6 @@ object SimilarityQueries {
     * each. */
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val M = 16
-    val R = 50
     val e = withNorm(embs(spark, dir))
     val coarse = e.filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
@@ -1028,57 +1073,17 @@ object SimilarityQueries {
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
-    // PQ index: one corpus pass -> 16 codes per vector (the pqTopK
-    // codebook: fixed k=31 regardless of corpus size)
-    val pqCents = embs(spark, dir)
-      .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val codes = pqPartials(embs(spark, dir), pqCents, M)
-      .groupBy(col("vec_id").as("n_id"), col("s"))
-      .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
-      .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
-    val lut = pqPartials(embs(spark, dir).filter(isQuery), pqCents, M)
-      .select(col("vec_id").as("lq_id"), col("s").as("qs"),
-        col("cent_id"), col("d2q"))
-    // candidates = members of the probed cells; ADC-score those only
+    // candidates = members of the probed cells; the shared PQ-ADC
+    // pipeline (pqTopK's codebook: fixed k=31 regardless of corpus
+    // size) scores those pairs only
     val cand = probes.join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val sw = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2q_total"), col("n_id"))
-    val shortlist = cand.join(codes, Seq("n_id"))
-      .join(broadcast(lut),
-        col("s") === col("qs") && col("code") === col("cent_id") &&
-          col("q_id") === col("lq_id"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("d2q")).as("d2q_total"))
-      .withColumn("srn", row_number().over(sw))
-      .filter(col("srn") <= R)
-      .select(col("q_id"), col("n_id"))
-    val qv = embs(spark, dir).filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-    val nv = embs(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
-    val rw = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2"), col("n_id"))
-    shortlist
-      .join(broadcast(qv), Seq("q_id"))
-      .join(nv, Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        (expr("graft_norm2(qvec)") + expr("graft_norm2(nvec)") -
-          lit(2.0) * expr("graft_dot(qvec, nvec)")).as("d2"))
-      .withColumn("rank", row_number().over(rw).cast(LongType))
-      .filter(col("rank") <= TopK)
-      .orderBy(col("q_id"), col("rank"))
+    val raw = embs(spark, dir)
+    pqPipeline(raw, pqSeedCents(raw), Some(cand))
   }
 
-  val ivfpqTopKSql: String = {
-    def subNorm2(a: String) =
-      s"list_sum(list_transform(generate_series(1, 4), i -> " +
-        s"CAST($a[s.s*4+i] AS DOUBLE) * CAST($a[s.s*4+i] AS DOUBLE)))"
-    val subDot =
-      s"list_sum(list_transform(generate_series(1, 4), i -> " +
-        s"CAST(e.embedding[s.s*4+i] AS DOUBLE) * CAST(c.cvec[s.s*4+i] AS DOUBLE)))"
+  val ivfpqTopKSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
        |  FROM embeddings),
@@ -1096,53 +1101,16 @@ object SimilarityQueries {
        |probes AS (
        |  SELECT vec_id AS q_id, cent_id AS cell
        |  FROM cscored WHERE vec_id % 50 = 0 AND crn <= $NProbe),
-       |pqcents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cvec
-       |  FROM embeddings WHERE vec_id < 500 AND vec_id % 16 = 7),
-       |scored AS (
-       |  SELECT e.vec_id, c.cent_id, s.s,
-       |         CAST(round((${subNorm2("e.embedding")}
-       |           + ${subNorm2("c.cvec")}
-       |           - 2.0 * $subDot) * 1e6) AS BIGINT) AS d2q
-       |  FROM embeddings e, pqcents c, generate_series(0, 15) s(s)),
-       |codes AS (
-       |  SELECT vec_id AS n_id, s, cent_id AS code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-       |                                 ORDER BY d2q, cent_id) AS rn
-       |    FROM scored) WHERE rn = 1),
-       |lut AS (
-       |  SELECT vec_id AS q_id, s, cent_id, d2q
-       |  FROM scored WHERE vec_id % 50 = 0),
        |cand AS (
        |  SELECT DISTINCT p.q_id, a.n_id
        |  FROM probes p JOIN assign a ON p.cell = a.cell
        |  WHERE p.q_id != a.n_id),
-       |shortlist AS (
-       |  SELECT q_id, n_id FROM (
-       |    SELECT cd.q_id, cd.n_id,
-       |           row_number() OVER (PARTITION BY cd.q_id
-       |             ORDER BY CAST(sum(d2q) AS BIGINT), cd.n_id) AS srn
-       |    FROM cand cd
-       |    JOIN codes ON cd.n_id = codes.n_id
-       |    JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id
-       |             AND cd.q_id = lut.q_id
-       |    GROUP BY cd.q_id, cd.n_id) WHERE srn <= 50),
-       |rerank AS (
-       |  SELECT sl.q_id, sl.n_id,
-       |         ${norm2Sql("q.embedding")} + ${norm2Sql("n.embedding")}
-       |           - 2.0 * ${dotSql("q.embedding", "n.embedding")} AS d2
-       |  FROM shortlist sl
-       |  JOIN embeddings q ON sl.q_id = q.vec_id
-       |  JOIN embeddings n ON sl.n_id = n.vec_id),
-       |ranked AS (
-       |  SELECT q_id, n_id, d2,
-       |         CAST(row_number() OVER (PARTITION BY q_id
-       |           ORDER BY d2, n_id) AS BIGINT) AS rank
-       |  FROM rerank)
-       |SELECT q_id, n_id, d2, rank
-       |FROM ranked WHERE rank <= $TopK
-       |ORDER BY q_id, rank""".stripMargin
-  }
+       |pqcents AS (
+       |  $pqSeedCentsSql),
+       |${pqAdcSql("pqcents",
+          "cand cd JOIN codes ON cd.n_id = codes.n_id " +
+            "JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id " +
+            "AND cd.q_id = lut.q_id")}""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),

@@ -437,6 +437,10 @@ object TextQueries {
     * results are byte-identical at small SFs; bounded past it). */
   private val Bm25MaxPosting = 1000L
 
+  /** Result-list depth per query; interpolated into BOTH engines so the
+    * Spark plan and the DuckDB oracle can never drift (MaxBlock idiom). */
+  private val Bm25TopK = 10
+
   /** Okapi BM25 top-10 retrieval: every 50th document is a query; its
     * distinct terms probe the inverted (term, doc, tf) index and
     * candidates score sum_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
@@ -454,7 +458,7 @@ object TextQueries {
     * per-(query, doc) score is an exact int64 multiply-sum, order-free
     * and map-side combined; ranking ties break on doc_id. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val k = 10
+    val k = Bm25TopK
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -521,7 +525,7 @@ object TextQueries {
        |postings AS (
        |  SELECT p.term, p.doc_id, p.tf
        |  FROM perdoc p JOIN dft USING (term)
-       |  WHERE ${h60PoolSql("p.doc_id", "df", 1000L)}),
+       |  WHERE ${h60PoolSql("p.doc_id", "df", Bm25MaxPosting)}),
        |qterms AS (
        |  SELECT doc_id AS q_id, term FROM perdoc WHERE doc_id % 50 = 0),
        |scored AS (
@@ -542,7 +546,7 @@ object TextQueries {
        |         CAST(row_number() OVER (PARTITION BY q_id
        |           ORDER BY score_pico DESC, doc_id) AS BIGINT) AS rank
        |  FROM scored)
-       |WHERE rank <= 10
+       |WHERE rank <= $Bm25TopK
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -51,6 +51,21 @@ class PanelBoundsSpec extends SparkSpec {
     assert(bounded == filtered)
   }
 
+  test("malformed bounds fail fast instead of silently emptying the panel") {
+    // lit(bad).cast(timestamp) is null and `ts >= null` drops every
+    // row — a typo'd dashboard range must error, not render empty
+    val e = intercept[IllegalArgumentException] {
+      EventsQueries.hourlyMetrics(spark, dir, Some("2024-13-99"), None)
+    }
+    assert(e.getMessage.contains("2024-13-99"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      EventsQueries.dailySummary(spark, dir, None, Some("not-a-time"))
+    }
+    // ISO 'T' separator and plain dates both parse
+    assert(EventsQueries.hourlyMetrics(spark, dir,
+      Some("2024-01-05T06:00:00"), Some(t)).collect().nonEmpty)
+  }
+
   test("bounds evaluate as a row filter before the first aggregate") {
     val p = EventsQueries.peakLoad(spark, dir, Some(f), Some(t))
       .queryExecution.executedPlan.toString
