@@ -19,7 +19,8 @@ object ScaleCurve {
       else Seq(
         "dedup_clusters", "dedup_ngram_jaccard", "dedup_contamination",
         "dedup_minhash_pairs", "dedup_simhash_pairs", "txt_bigram_logprob",
-        "ann_pq_topk", "ann_pq_learned", "txt_tfidf", "tpch_waiting_suppliers",
+        "ann_pq_topk", "ann_pq_learned", "ann_ivfpq_learned", "txt_tfidf",
+        "tpch_waiting_suppliers",
         "tpch_nation_trade", "tpch_market_share", "ann_int8_topk",
         "ann_knn_join", "dedup_embedding_cosine", "txt_pack_sequences",
         "ev_sessionization", "ev_user_ranks", "ev_hourly_metrics",

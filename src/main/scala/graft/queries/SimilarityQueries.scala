@@ -939,7 +939,13 @@ object SimilarityQueries {
 
   def pqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val e = embs(spark, dir)
+    pqPipeline(embs(spark, dir), trainedComposite(spark, dir))
+  }
+
+  /** The trained composite codebook: per-subspace Lloyd's on the
+    * bounded sample, stitched back into full-width centroid vectors —
+    * shared by [[pqLearnedTopK]] and [[ivfpqLearnedTopK]]. */
+  private def trainedComposite(spark: SparkSession, dir: String): DataFrame = {
     val seeds = xfSlices(xfProjection(spark, dir)
       .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
       .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
@@ -948,11 +954,10 @@ object SimilarityQueries {
     // stitch: composite centroid j = concat of subspace codebooks' entry
     // j in subspace order (identical id sets per group by fitGrouped's
     // empty-cluster carry-forward); cast to float for the fused kernel
-    val composite = trained.groupBy(col("cent_id"))
+    trained.groupBy(col("cent_id"))
       .agg(transform(flatten(transform(
         sort_array(collect_list(struct(col("grp"), col("cvec")))),
         s => s.getField("cvec"))), _.cast("float")).as("cvec"))
-    pqPipeline(e, composite)
   }
 
   /** The seed-codebook CTE body (k=31 fixed regardless of corpus
@@ -1050,6 +1055,17 @@ object SimilarityQueries {
     * each. */
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // candidates = members of the probed cells; the shared PQ-ADC
+    // pipeline (pqTopK's codebook: fixed k=31 regardless of corpus
+    // size) scores those pairs only
+    val raw = embs(spark, dir)
+    pqPipeline(raw, pqSeedCents(raw), Some(ivfCandidates(spark, dir)))
+  }
+
+  /** IVF (q_id, n_id) candidate pairs: every query joined to the
+    * members of its [[NProbe]] nearest coarse cells — the cell-pruning
+    * half shared by [[ivfpqTopK]] and [[ivfpqLearnedTopK]]. */
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embs(spark, dir))
     val coarse = e.filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
@@ -1073,14 +1089,25 @@ object SimilarityQueries {
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
-    // candidates = members of the probed cells; the shared PQ-ADC
-    // pipeline (pqTopK's codebook: fixed k=31 regardless of corpus
-    // size) scores those pairs only
-    val cand = probes.join(assign, Seq("cell"))
+    probes.join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val raw = embs(spark, dir)
-    pqPipeline(raw, pqSeedCents(raw), Some(cand))
+  }
+
+  /** The full production ANN layout: IVF cell pruning + LEARNED PQ
+    * codebooks — [[ivfpqTopK]]'s candidate restriction composed with
+    * [[pqLearnedTopK]]'s trained composite codebook, both through the
+    * one shared [[pqPipeline]]. Like `ann_pq_learned` the k-means
+    * training isn't SQL-expressible, so this registers rows-only; its
+    * correctness contract is the IvfPqRecallSpec floor (the learned
+    * composite must not lose recall vs the seed-codebook composite)
+    * plus the driver's rows/schema check. Scale shape inherits both
+    * parents': bounded training sample, cell-pruned ADC join, 16-byte
+    * codes at rest. */
+  def ivfpqLearnedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    pqPipeline(embs(spark, dir), trainedComposite(spark, dir),
+      Some(ivfCandidates(spark, dir)))
   }
 
   val ivfpqTopKSql: String =
@@ -1128,5 +1155,6 @@ object SimilarityQueries {
     ("emb_power_iteration", powerIteration _, powerIterationSql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
     ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
-    ("ann_pq_learned", pqLearnedTopK _, null))
+    ("ann_pq_learned", pqLearnedTopK _, null),
+    ("ann_ivfpq_learned", ivfpqLearnedTopK _, null))
 }

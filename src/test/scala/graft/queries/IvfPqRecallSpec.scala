@@ -59,4 +59,17 @@ class IvfPqRecallSpec extends SparkSpec {
     assert(ivfpq >= 0.9, f"ivfpq recall $ivfpq%.3f under floor")
     assert(ivfpq >= ivf - 0.05, f"ADC shortlist lost recall: $ivfpq%.3f vs ivf $ivf%.3f")
   }
+
+  test("learned codebooks keep the composite's recall (ann_ivfpq_learned)") {
+    // same cell probes; only the codebook differs — Lloyd's-refined
+    // codes must not DROP recall vs the seed codebook before re-rank
+    // (this is ann_ivfpq_learned's correctness contract: its k-means
+    // half isn't SQL-expressible, so no oracle row exists)
+    val seed = recallOf(SimilarityQueries.ivfpqTopK(spark, dir.toString))
+    val learned = recallOf(SimilarityQueries.ivfpqLearnedTopK(spark, dir.toString))
+    info(f"recall@10: seed codebook $seed%.3f, learned $learned%.3f")
+    assert(learned >= 0.9, f"ivfpq_learned recall $learned%.3f under floor")
+    assert(learned >= seed - 0.05,
+      f"training lost recall: $learned%.3f vs seed $seed%.3f")
+  }
 }
