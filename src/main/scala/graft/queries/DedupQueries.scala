@@ -350,9 +350,12 @@ object DedupQueries {
     * pipeline every iteration and driver-side re-optimization dominates
     * runtime within two rounds (on a multi-node cluster this would be a
     * reliable checkpoint instead). */
-  private def dupEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairsBody(spark, dir)
+  private def dupPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsBody(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+
+  private def dupEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dupPairs(spark, dir)
     pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -512,6 +515,81 @@ object DedupQueries {
        |ORDER BY pr_pico DESC, doc_id
        |LIMIT 20""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // dedup_triangles: triangle counts + clustering coefficient over the
+  // near-dup pair graph
+  // ---------------------------------------------------------------------
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over the verified MinHash near-dup graph — third graph signal
+    * next to [[clusters]] (membership) and [[pagerank]] (centrality):
+    * a high coefficient marks a tight mutual-dup clique (safe to keep
+    * one canonical doc), a low one marks a hub whose neighbors are NOT
+    * dups of each other (chained near-dups — risky to collapse).
+    *
+    * Scale shape: the textbook oriented enumeration — pairs are
+    * already canonical (doc_a < doc_b), so each triangle a<b<c is
+    * found exactly once by closing the 2-path (a,b)+(b,c) with the
+    * (a,c) edge. Two equi-joins on node ids, O(m^(3/2)) worst case,
+    * on the sparse VERIFIED pair graph (never the candidate graph).
+    * Per-node counts are one explode + partial-agg'd groupBy; degree
+    * rides the symmetric edge list.
+    *
+    * Determinism: pure int64 counting; the coefficient
+    * 2·tri/(deg·(deg−1)) is emitted micro-quantized via positive-int
+    * division (`div` / `//` truncate identically — the [[pagerank]]
+    * discipline), so both engines are bit-identical with zero floats. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = dupPairs(spark, dir)
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") &&
+          col("e2.doc_b") === col("e3.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+    val tcnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tri_cnt"))
+    val deg = dupEdges(spark, dir)
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.join(tcnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("cc_micro",
+        when(col("deg") >= 2,
+          expr("(2 * tri_cnt * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH $minhashPairsCtes,
+       |p AS (SELECT doc_a, doc_b FROM pairs),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM p e1
+       |  JOIN p e2 ON e1.doc_b = e2.doc_a
+       |  JOIN p e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+       |tcnt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+       |    SELECT a AS doc_id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS doc_id FROM p
+       |    UNION ALL SELECT doc_b FROM p)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, d.deg, COALESCE(t.tri_cnt, 0) AS tri_cnt,
+       |       CASE WHEN d.deg >= 2
+       |            THEN (2 * COALESCE(t.tri_cnt, 0) * 1000000)
+       |                   // (d.deg * (d.deg - 1))
+       |            ELSE 0 END AS cc_micro
+       |FROM deg d LEFT JOIN tcnt t USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_simhash: 60-bit SimHash per doc + banded Hamming pairs
@@ -908,6 +986,7 @@ object DedupQueries {
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_clusters", clusters _, clustersSql),
     ("dedup_pagerank", pagerank _, pagerankSql),
+    ("dedup_triangles", triangles _, trianglesSql),
     ("dedup_corpus_clean", corpusClean _, corpusCleanSql),
     ("dedup_contamination", contamination _, contaminationSql))
 }

@@ -73,6 +73,22 @@ class DedupSpec extends SparkSpec {
       s"regular-graph ranks must be uniform: $pr")
   }
 
+  test("triangle counts separate the mutual-dup clique from the plain pair") {
+    // {0,1,2} is a 3-clique (cc = 1.0 each: safe to collapse to one
+    // canonical doc); {3,5} is a bare edge (deg 1, no triangle, cc 0)
+    val r = DedupQueries.triangles(spark, dir.toString).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("deg"), x.getAs[Long]("tri_cnt"),
+          x.getAs[Long]("cc_micro")))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 5L), r.toString)
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(r(id) == ((2L, 1L, 1000000L)), s"doc $id: ${r(id)}")
+    }
+    Seq(3L, 5L).foreach { id =>
+      assert(r(id) == ((1L, 0L, 0L)), s"doc $id: ${r(id)}")
+    }
+  }
+
   test("MinHash LSH banding recovers the same pairs as exact Jaccard") {
     val exact = DedupQueries.ngramJaccard(spark, dir.toString).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
