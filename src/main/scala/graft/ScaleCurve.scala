@@ -18,6 +18,7 @@ object ScaleCurve {
       if (args.length > 3) args(3).split(",").toSeq
       else Seq(
         "dedup_clusters", "dedup_ngram_jaccard", "dedup_contamination",
+        "dedup_triangles",
         "dedup_minhash_pairs", "dedup_simhash_pairs", "txt_bigram_logprob",
         "ann_pq_topk", "ann_pq_learned", "ann_ivfpq_learned", "txt_tfidf",
         "tpch_waiting_suppliers",
