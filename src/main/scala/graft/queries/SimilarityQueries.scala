@@ -834,31 +834,38 @@ object SimilarityQueries {
     * the whole corpus; a fix to the quantization, shortlist size, or
     * tie-breaks lands in every variant at once. */
   private def pqPipeline(e: DataFrame, cents: DataFrame,
-      cand: Option[DataFrame] = None): DataFrame = {
-    val M = PqM
-    val R = PqR
-    // per-(vector, centroid, subspace) quantized partials via the
-    // FUSED kernel (functions.VectorExpressions.PqSubD2s): one pass
-    // over the two vectors computes all M subspace distances with the
-    // same accumulation order as the norm+norm-2dot slice folds
-    // kmeansStep uses, so oracle parity is untouched — but each pair
-    // costs one kernel call instead of 3 x M slice+fold calls (and the
-    // generator arg evaluates ONCE per pair row; a per-subspace
-    // "array of 16 folds then posexplode of composed slice exprs" form
-    // was measured 3.5x slower because the 48 slice allocations stay).
-    // Built twice from different inputs instead of persisting one big
-    // frame: the encode pass runs over the whole corpus, the LUT pass
-    // only over the (tiny) query subset filtered BEFORE the crossJoin.
-    def partials(vecs: DataFrame): DataFrame = pqPartials(vecs, cents, M)
-    // argmin as a partial-aggregable groupBy min(struct) — lexicographic
-    // struct ordering IS (d2q, cent_id) tie-breaking, and map-side
-    // combine collapses the |corpus| x k x M rows per partition instead
-    // of shuffling them all into a row_number window
-    val codes = partials(e)
+      cand: Option[DataFrame] = None): DataFrame =
+    pqServe(e, cents, pqEncode(e, cents), cand)
+
+  /** The PQ index-build half: (n_id, s, code) codes for every corpus
+    * vector against `cents`. Argmin as a partial-aggregable groupBy
+    * min(struct) — lexicographic struct ordering IS (d2q, cent_id)
+    * tie-breaking, and map-side combine collapses the |corpus| x k x M
+    * rows per partition instead of shuffling them all into a
+    * row_number window. Exposed so `sources.AnnIndexLayout` can
+    * PERSIST the codes instead of recomputing them per query. */
+  private[graft] def pqEncode(e: DataFrame, cents: DataFrame): DataFrame =
+    pqPartials(e, cents, PqM)
       .groupBy(col("vec_id").as("n_id"), col("s"))
       .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
       .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
-    val lut = partials(e.filter(isQuery))
+
+  /** The PQ serve half: ADC scan over GIVEN codes + exact re-rank.
+    * Codes and LUT use the same fused kernel
+    * (functions.VectorExpressions.PqSubD2s): one pass over the two
+    * vectors computes all M subspace distances with the same
+    * accumulation order as the norm+norm-2dot slice folds kmeansStep
+    * uses, so oracle parity is untouched — but each pair costs one
+    * kernel call instead of 3 x M slice+fold calls (and the generator
+    * arg evaluates ONCE per pair row; a per-subspace "array of 16
+    * folds then posexplode of composed slice exprs" form was measured
+    * 3.5x slower because the 48 slice allocations stay). The LUT pass
+    * runs only over the (tiny) query subset filtered BEFORE the
+    * crossJoin. */
+  private[graft] def pqServe(e: DataFrame, cents: DataFrame,
+      codes: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    val R = PqR
+    val lut = pqPartials(e.filter(isQuery), cents, PqM)
       .select(col("vec_id").as("lq_id"), col("s").as("qs"),
         col("cent_id"), col("d2q"))
     // full scan: every (query, corpus vector) pair flows through the
@@ -1062,36 +1069,69 @@ object SimilarityQueries {
     pqPipeline(raw, pqSeedCents(raw), Some(ivfCandidates(spark, dir)))
   }
 
-  /** IVF (q_id, n_id) candidate pairs: every query joined to the
-    * members of its [[NProbe]] nearest coarse cells — the cell-pruning
-    * half shared by [[ivfpqTopK]] and [[ivfpqLearnedTopK]]. */
-  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embs(spark, dir))
-    val coarse = e.filter(isCentroid)
+  /** Query-to-coarse-centroid cosines for any vector subset. */
+  private def coarseCosOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val coarse = withNorm(embs(spark, dir)).filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
-    def ccosOf(vecs: DataFrame): DataFrame = vecs.crossJoin(broadcast(coarse))
+    vecs.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("cent_id"),
         (expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
           .as("ccos"))
-    // cell assignment WITHOUT a window: argmax as max(struct(ccos,
-    // -cent_id)) — same (ccos desc, cent_id asc) selection as the
-    // oracle's row_number, but partial-aggregable: the corpus x cents
-    // rows collapse map-side to one row per vec_id before any shuffle
-    val assign = ccosOf(e)
+  }
+
+  /** IVF index-build half: (n_id, cell) coarse assignment for every
+    * corpus vector. Cell assignment WITHOUT a window: argmax as
+    * max(struct(ccos, -cent_id)) — same (ccos desc, cent_id asc)
+    * selection as the oracle's row_number, but partial-aggregable: the
+    * corpus x cents rows collapse map-side to one row per vec_id
+    * before any shuffle. Exposed for `sources.AnnIndexLayout`. */
+  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    coarseCosOf(spark, dir, withNorm(embs(spark, dir)))
       .groupBy(col("vec_id").as("n_id"))
       .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
       .select(col("n_id"), (-col("best.neg")).as("cell"))
-    // probes: the window runs only over the tiny query subset
+
+  /** IVF query half: each registered query's [[NProbe]] nearest cells
+    * — the window runs only over the tiny query subset. */
+  private[graft] def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val probes = ccosOf(e.filter(isQuery))
+    coarseCosOf(spark, dir, withNorm(embs(spark, dir)).filter(isQuery))
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
-    probes.join(assign, Seq("cell"))
+  }
+
+  /** IVF (q_id, n_id) candidate pairs: every query joined to the
+    * members of its [[NProbe]] nearest coarse cells — the cell-pruning
+    * half shared by [[ivfpqTopK]] and [[ivfpqLearnedTopK]]. */
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame =
+    ivfProbes(spark, dir).join(ivfAssign(spark, dir), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
+
+  /** The seed-codebook PQ codes for the whole corpus — the second
+    * index-build product next to [[ivfAssign]]. */
+  private[graft] def pqCorpusCodes(spark: SparkSession, dir: String): DataFrame = {
+    val raw = embs(spark, dir)
+    pqEncode(raw, pqSeedCents(raw))
+  }
+
+  /** [[ivfpqTopK]] served from PERSISTED index frames: `assign`
+    * (n_id, cell) and `codes` (n_id, s, code) come from storage
+    * instead of being recomputed, so a query pays only the probe
+    * window (queries x cells), the cell-member ADC join, and the
+    * point-lookup re-rank — never a corpus encode. Must return the
+    * exact ivfpqTopK rows (AnnIndexLayoutSpec asserts byte equality). */
+  private[graft] def ivfpqServeFrom(spark: SparkSession, dir: String,
+      assign: DataFrame, codes: DataFrame): DataFrame = {
+    val cand = ivfProbes(spark, dir).join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val raw = embs(spark, dir)
+    pqServe(raw, pqSeedCents(raw), codes, Some(cand))
   }
 
   /** The full production ANN layout: IVF cell pruning + LEARNED PQ

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.SimilarityQueries
+
+/** Build-once / query-many persistence for the IVF-PQ ANN index — the
+  * missing half of `ann_ivfpq_topk`'s "the layout a 100 TB deployment
+  * persists" story.
+  *
+  * The online query (`ann_ivfpq_topk`) re-derives the coarse cell
+  * assignment and the PQ codes from raw embeddings on every run; both
+  * are pure functions of the corpus, and at scale they are the two
+  * expensive linear scans. This layout writes them ONCE as bucketed
+  * managed tables:
+  *
+  *  - `<prefix>_cells` (n_id, cell), bucketed + sorted by `cell` —
+  *    the probe equi-join key, so "members of the probed cells" reads
+  *    only the matching buckets with no shuffle of the index side;
+  *  - `<prefix>_codes` (n_id, s, code), bucketed + sorted by `n_id` —
+  *    the ADC join key, so the (small, query-driven) candidate list
+  *    shuffles while the corpus-sized code table never does. At rest
+  *    this is 16 subspace codes per vector — the 16-byte-per-vector
+  *    PQ representation, vs 256 bytes of raw floats.
+  *
+  * Serving reuses the SAME query-side plan as `ann_ivfpq_topk`
+  * ([[SimilarityQueries.ivfpqServeFrom]]): probe window over queries x
+  * cells, cell-member ADC join against the persisted codes, exact
+  * re-rank via point lookups into raw embeddings. Results are
+  * byte-identical to the online query (AnnIndexLayoutSpec asserts it)
+  * because build and serve share the exact encode/probe code paths.
+  *
+  * Reference point: the reference keeps its derived state hot the same
+  * way — precomputed tables maintained ahead of queries
+  * (consumer/consumer.py:240-293, database/schema.sql:30-59) — rather
+  * than recomputing rollups per dashboard refresh.
+  */
+object AnnIndexLayout {
+
+  /** Build the index: one corpus scan for the coarse assignment, one
+    * for the PQ encode — each the partial-aggregable shape from the
+    * online query — persisted as bucketed tables under `prefix`. */
+  def build(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    BucketedTables.writeBucketed(
+      SimilarityQueries.ivfAssign(spark, dir), s"${prefix}_cells",
+      "cell", buckets)
+    BucketedTables.writeBucketed(
+      SimilarityQueries.pqCorpusCodes(spark, dir), s"${prefix}_codes",
+      "n_id", buckets)
+  }
+
+  /** Serve the registered query set from the persisted index: must
+    * equal `ann_ivfpq_topk` row-for-row without re-encoding the
+    * corpus. */
+  def query(spark: SparkSession, dir: String, prefix: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    SimilarityQueries.ivfpqServeFrom(spark, dir,
+      BucketedTables.read(spark, s"${prefix}_cells"),
+      BucketedTables.read(spark, s"${prefix}_codes"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.queries.SimilarityQueries
+
+/** Build-once / query-many contract of the persisted IVF-PQ index:
+  * serving from the bucketed index tables must return the EXACT
+  * `ann_ivfpq_topk` rows (build and serve share the online query's
+  * encode/probe code paths, so any drift is a real bug), and the serve
+  * plan must read the index instead of re-encoding the corpus. */
+class AnnIndexLayoutSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("serving from the persisted index equals the online ivfpq query") {
+    AnnIndexLayout.build(spark, dir, "ann_idx_spec", buckets = 4)
+    try {
+      val online = SimilarityQueries.ivfpqTopK(spark, dir).collect().toSeq
+      val served = AnnIndexLayout.query(spark, dir, "ann_idx_spec")
+      assert(online.nonEmpty)
+      assert(served.collect().toSeq == online)
+
+      // the serve plan scans the two index tables...
+      val p = served.queryExecution.executedPlan.toString
+      assert(p.contains("ann_idx_spec_cells"), p)
+      assert(p.contains("ann_idx_spec_codes"), p)
+      // ...and never re-runs the corpus encode: the PQ kernel must
+      // survive only in the query-side LUT (queries x codebook), so
+      // the corpus (n_id, s) code argmin — which prints as
+      // "partial_min(struct(d2q" in the ONLINE plan (checked: present
+      // there) — must be gone from the served plan
+      assert("graft_pq_d2s".r.findAllIn(p).nonEmpty, p)
+      assert(!p.contains("partial_min(struct(d2q"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_spec_cells")
+      spark.sql("DROP TABLE IF EXISTS ann_idx_spec_codes")
+    }
+  }
+}
