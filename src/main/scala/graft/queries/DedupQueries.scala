@@ -552,8 +552,12 @@ object DedupQueries {
     val tcnt = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("tri_cnt"))
-    val deg = dupEdges(spark, dir)
-      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    // degree from the SAME checkpointed pair frame the joins consume —
+    // calling dupEdges here would re-run the whole minhash pipeline a
+    // second time (its dupPairs call is an independent eager checkpoint)
+    val deg = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
     deg.join(tcnt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"),
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))

@@ -57,13 +57,14 @@ object EventsQueries {
     // and `ts >= null` filters EVERY row, so a typo'd dashboard range
     // would render an empty panel with no signal the bound was wrong
     def parsed(which: String, s: String): Column = {
-      // strict ISO parse (Timestamp.valueOf would NORMALIZE month 13
-      // to January instead of rejecting it)
-      val iso =
-        if (s.contains(" ")) s.replace(' ', 'T')
-        else if (s.contains("T")) s
-        else s + "T00:00:00"
-      require(scala.util.Try(java.time.LocalDateTime.parse(iso)).isSuccess,
+      // validate with the SAME parser the cast uses (rejects month 13
+      // — Timestamp.valueOf would normalize it to January — while
+      // accepting everything Grafana emits: zone-suffixed
+      // '...T00:00:00Z', explicit offsets, non-padded '2024-1-5')
+      require(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            java.time.ZoneOffset.UTC).isDefined,
         s"$which bound is not a timestamp: '$s'")
       lit(s).cast(TimestampType)
     }

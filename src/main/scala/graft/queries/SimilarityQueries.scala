@@ -35,6 +35,11 @@ object SimilarityQueries {
     * shortlist fed to the exact re-rank. */
   private val PqM = 16
   private val PqR = 50
+  /** Dims per subspace — embeddings are 64-wide. Training (xfSlices)
+    * and serving (pqPartials / pqAdcSql) MUST slice with the same d,
+    * or a changed PqM would train codebooks whose subspace boundaries
+    * disagree with the ADC scorer. */
+  private val PqSubDim = 64 / PqM
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -929,11 +934,14 @@ object SimilarityQueries {
     embs(spark, dir).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("xf"))
 
-  /** (grp = subspace, vec_id, x = 4-dim slice) training frame. */
+  /** (grp = subspace, vec_id, x = [[PqSubDim]]-dim slice) training
+    * frame — geometry derived from [[PqM]], never hardcoded, so the
+    * trained codebooks always tile the same subspaces the ADC scorer
+    * reads. */
   private def xfSlices(src: DataFrame): DataFrame = src
     .select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        s => slice(col("xf"), s * lit(4) + lit(1), lit(4)))))
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(col("xf"), s * lit(PqSubDim) + lit(1), lit(PqSubDim)))))
     .select(col("pos").as("grp"), col("vec_id"), col("col").as("x"))
 
   /** The bounded deterministic training sample (≤2000 vectors at any
@@ -980,7 +988,7 @@ object SimilarityQueries {
     * Spark-side [[pqPipeline]] sharing: a fix to the quantization,
     * shortlist size, or tie-breaks lands in both oracles at once. */
   private def pqAdcSql(cents: String, candJoins: String): String = {
-    val d = 64 / PqM // dims per subspace
+    val d = PqSubDim // dims per subspace
     def subNorm2(a: String) =
       s"list_sum(list_transform(generate_series(1, $d), i -> " +
         s"CAST($a[s.s*$d+i] AS DOUBLE) * CAST($a[s.s*$d+i] AS DOUBLE)))"

@@ -64,6 +64,16 @@ class PanelBoundsSpec extends SparkSpec {
     // ISO 'T' separator and plain dates both parse
     assert(EventsQueries.hourlyMetrics(spark, dir,
       Some("2024-01-05T06:00:00"), Some(t)).collect().nonEmpty)
+    // the guard must accept everything the cast accepts: Grafana's
+    // $__timeFrom emits zone-suffixed UTC ISO-8601, and Spark's cast
+    // parses 'Z', explicit offsets, and non-padded date fields
+    val utc = EventsQueries.hourlyMetrics(spark, dir,
+      Some(f + "T00:00:00Z"), Some(t + "T00:00:00Z")).collect().toSeq
+    assert(utc.nonEmpty)
+    assert(utc == EventsQueries.hourlyMetrics(spark, dir, Some(f), Some(t))
+      .collect().toSeq)
+    assert(EventsQueries.hourlyMetrics(spark, dir,
+      Some("2024-1-5"), None).collect().nonEmpty)
   }
 
   test("bounds evaluate as a row filter before the first aggregate") {
