@@ -373,6 +373,66 @@ object ProfileQueries {
       |FROM w, tot
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // util_weighted_sample: deterministic weighted per-stratum sampling
+  // ---------------------------------------------------------------------
+
+  /** Weighted sampling without replacement, per stratum — the
+    * Efraimidis–Spirakis exponential race: each doc draws a uniform
+    * u from its content hash and competes with key −ln(u)/w; the K
+    * smallest keys per source are EXACTLY a weight-proportional
+    * sample without replacement (the doc winning round 1 has
+    * P = w_i/Σw — WeightedSampleSpec proves that property
+    * empirically over simulated seeds). Weight = n_chars, i.e.
+    * sample probability proportional to document size, the usual
+    * token-budget draw; [[stratifiedSample]] is the unweighted twin.
+    *
+    * Determinism: u = (h60(text)+1)/2^60 is pure integer→double
+    * arithmetic (exact on both engines); the ONLY transcendental
+    * (ln) is quantized to nano units like [[TextQueries.tfidf]]'s
+    * milli scores, then ties break on doc_id.
+    *
+    * Scale shape: one map-side keyed projection (no pre-shuffle),
+    * then the per-source rn ≤ K window — Spark plans it as a
+    * WindowGroupLimit, so every partition keeps only its local
+    * top-K before the single |sources|-keyed shuffle. No corpus
+    * sort, no driver-side sampling state. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val K = 20
+    val u = (h60(col("text")) + lit(1L)).cast(DoubleType) /
+      lit(1152921504606846976L).cast(DoubleType) // 2^60: u in (0, 1]
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("key_nano"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars").cast(DoubleType) * lit(1e9))
+          .cast(LongType).as("key_nano"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= K)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"),
+        col("key_nano"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val weightedSampleSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(round(-ln(CAST(${h60Sql("text")} + 1 AS DOUBLE)
+       |             / CAST(1152921504606846976 AS DOUBLE))
+       |           / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+       |  FROM documents WHERE n_chars > 0),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |              ORDER BY key_nano, doc_id) AS BIGINT) AS rn
+       |  FROM keyed)
+       |SELECT source, rn, doc_id, n_chars, key_nano
+       |FROM ranked WHERE rn <= 20
+       |ORDER BY source, rn""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
@@ -380,5 +440,6 @@ object ProfileQueries {
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
     ("util_skew_profile", skewProfile _, skewProfileSql),
     ("util_temperature_mix", temperatureMix _, temperatureMixSql),
+    ("util_weighted_sample", weightedSample _, weightedSampleSql),
     ("ev_user_cms", userCms _, null))
 }
