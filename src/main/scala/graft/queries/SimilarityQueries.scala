@@ -1096,7 +1096,17 @@ object SimilarityQueries {
     * corpus x cents rows collapse map-side to one row per vec_id
     * before any shuffle. Exposed for `sources.AnnIndexLayout`. */
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    coarseCosOf(spark, dir, withNorm(embs(spark, dir)))
+    ivfAssignOf(spark, dir, lit(true))
+
+  /** [[ivfAssign]] restricted to `pred` — the index-DELTA shape: the
+    * coarse centroid set still comes from the full table (delta
+    * encoding reuses the frozen index geometry; retraining is a
+    * rebuild, not an append), but only the matching vectors are
+    * scanned and assigned, so a `vec_id >= watermark` delta prunes at
+    * the parquet scan. */
+  private[graft] def ivfAssignOf(spark: SparkSession, dir: String,
+      pred: Column): DataFrame =
+    coarseCosOf(spark, dir, withNorm(embs(spark, dir).filter(pred)))
       .groupBy(col("vec_id").as("n_id"))
       .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
       .select(col("n_id"), (-col("best.neg")).as("cell"))
@@ -1122,9 +1132,16 @@ object SimilarityQueries {
 
   /** The seed-codebook PQ codes for the whole corpus — the second
     * index-build product next to [[ivfAssign]]. */
-  private[graft] def pqCorpusCodes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqCorpusCodes(spark: SparkSession, dir: String): DataFrame =
+    pqCorpusCodesOf(spark, dir, lit(true))
+
+  /** [[pqCorpusCodes]] restricted to `pred` — like [[ivfAssignOf]],
+    * the codebook (seed centroids) comes from the FULL table while
+    * only the delta vectors are encoded. */
+  private[graft] def pqCorpusCodesOf(spark: SparkSession, dir: String,
+      pred: Column): DataFrame = {
     val raw = embs(spark, dir)
-    pqEncode(raw, pqSeedCents(raw))
+    pqEncode(raw.filter(pred), pqSeedCents(raw))
   }
 
   /** [[ivfpqTopK]] served from PERSISTED index frames: `assign`

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 import graft.queries.SimilarityQueries
 
@@ -41,13 +42,34 @@ object AnnIndexLayout {
     * for the PQ encode — each the partial-aggregable shape from the
     * online query — persisted as bucketed tables under `prefix`. */
   def build(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, where: Column = lit(true)): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     BucketedTables.writeBucketed(
-      SimilarityQueries.ivfAssign(spark, dir), s"${prefix}_cells",
+      SimilarityQueries.ivfAssignOf(spark, dir, where), s"${prefix}_cells",
       "cell", buckets)
     BucketedTables.writeBucketed(
-      SimilarityQueries.pqCorpusCodes(spark, dir), s"${prefix}_codes",
+      SimilarityQueries.pqCorpusCodesOf(spark, dir, where), s"${prefix}_codes",
+      "n_id", buckets)
+  }
+
+  /** Incremental maintenance — the operation a 100 TB deployment runs
+    * DAILY while full rebuilds stay rare: encode ONLY the vectors
+    * matching `where` (e.g. `vec_id >= ingestWatermark`, which prunes
+    * at the parquet scan) against the index's FROZEN geometry — the
+    * coarse centroids and PQ codebook of the original build — and
+    * append them into the bucketed tables. Because per-vector
+    * assignment and encoding are independent of every other vector,
+    * build(A) + appendDelta(B) is bit-identical to build(A ∪ B)
+    * (AnnIndexLayoutSpec asserts it against the online query).
+    * Retraining the geometry is a rebuild, never an append. */
+  def appendDelta(spark: SparkSession, dir: String, prefix: String,
+      where: Column, buckets: Int = 8): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    BucketedTables.appendBucketed(
+      SimilarityQueries.ivfAssignOf(spark, dir, where), s"${prefix}_cells",
+      "cell", buckets)
+    BucketedTables.appendBucketed(
+      SimilarityQueries.pqCorpusCodesOf(spark, dir, where), s"${prefix}_codes",
       "n_id", buckets)
   }
 

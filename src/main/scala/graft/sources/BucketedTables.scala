@@ -27,6 +27,17 @@ object BucketedTables {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec —
+    * Spark validates the (buckets, key) pair against the catalog, so a
+    * drifted spec fails loudly instead of silently mixing layouts.
+    * New files land in their hash bucket; readers keep the
+    * shuffle-free bucketed join. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }

@@ -36,4 +36,27 @@ class AnnIndexLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ann_idx_spec_codes")
     }
   }
+
+  test("build + appendDelta equals a full build (incremental maintenance)") {
+    import org.apache.spark.sql.functions.col
+    // a realistic delta: everything at or past the ingest watermark —
+    // a range predicate, so the delta encode prunes at the parquet scan
+    AnnIndexLayout.build(spark, dir, "ann_idx_delta", buckets = 4,
+      where = col("vec_id") < 300L)
+    try {
+      AnnIndexLayout.appendDelta(spark, dir, "ann_idx_delta",
+        col("vec_id") >= 300L, buckets = 4)
+      val online = SimilarityQueries.ivfpqTopK(spark, dir).collect().toSeq
+      val served = AnnIndexLayout.query(spark, dir, "ann_idx_delta")
+        .collect().toSeq
+      assert(online.nonEmpty)
+      assert(served == online)
+      // the index really is the union, each vector exactly once
+      val n = spark.table("ann_idx_delta_cells").count()
+      assert(n == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_delta_cells")
+      spark.sql("DROP TABLE IF EXISTS ann_idx_delta_codes")
+    }
+  }
 }
