@@ -185,6 +185,73 @@ object SimilarityQueries {
   val lshTopKSql: String = lshTopKSqlPlanes(NPlanes)
 
   // ---------------------------------------------------------------------
+  // ann_lsh_multiprobe: Hamming-1 multi-probe over the LSH buckets
+  // ---------------------------------------------------------------------
+
+  /** Multi-probe LSH (the Lv et al. 2007 idea, restricted to the
+    * Hamming-1 probe set): each query scans its own bucket PLUS the
+    * nPlanes buckets one sign-flip away — the buckets a true neighbor
+    * most likely fell into when a single projection straddled zero.
+    * This is the missing half of the planes dial: MORE planes shrink
+    * buckets exponentially (capacity) but lose recall linearly-ish;
+    * probing buys that recall back for a ≤(nPlanes+1)× candidate
+    * multiplier instead of the 2× per REMOVED plane. Run more planes
+    * + probes at the same recall → smaller candidate volume than
+    * fewer planes alone (MultiProbeSpec measures both directions).
+    *
+    * Shape: a corpus vector lives in exactly ONE bucket, so the probe
+    * explode (queries × (nPlanes+1), tiny) joins the corpus index
+    * without producing duplicate (q, n) pairs — still one equi-join
+    * on the bucket key, no dedup pass needed. */
+  def lshMultiProbePlanes(spark: SparkSession, dir: String,
+      nPlanes: Int): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
+    val probeSet = array(col("bucket") +:
+      (0 until nPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
+        explode(probeSet).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    q.as("q").join(e.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        cosine("q", "c").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def lshMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    lshMultiProbePlanes(spark, dir, NPlanes)
+
+  def lshMultiProbeSqlPlanes(nPlanes: Int): String = {
+    val probes = ("bucket" +:
+      (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+       |         ${bucketCodeSql("embedding", nPlanes)} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding, nrm,
+       |         unnest([$probes]) AS bucket
+       |  FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |         ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+       |  FROM probes p JOIN e c ON p.bucket = c.bucket AND p.q_id != c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, cosine, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val lshMultiProbeSql: String = lshMultiProbeSqlPlanes(NPlanes)
+
+  // ---------------------------------------------------------------------
   // ann_ivf_topk: inverted-file (IVF) bucketed ANN
   // ---------------------------------------------------------------------
 
@@ -1210,6 +1277,7 @@ object SimilarityQueries {
     ("ann_lsh_topk12",
       (s: SparkSession, d: String) => lshTopKPlanes(s, d, 12),
       lshTopKSqlPlanes(12)),
+    ("ann_lsh_multiprobe", lshMultiProbe _, lshMultiProbeSql),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
