@@ -935,9 +935,17 @@ object SimilarityQueries {
     * runs only over the (tiny) query subset filtered BEFORE the
     * crossJoin. */
   private[graft] def pqServe(e: DataFrame, cents: DataFrame,
-      codes: DataFrame, cand: Option[DataFrame]): DataFrame = {
+      codes: DataFrame, cand: Option[DataFrame]): DataFrame =
+    pqServeQueries(e, e.filter(isQuery), cents, codes, cand)
+
+  /** [[pqServe]] for an ARBITRARY query frame (vec_id, embedding) —
+    * the online-serving surface: the LUT and the exact re-rank read
+    * the given queries (a micro-batch, an external request set)
+    * instead of the registered corpus subset. */
+  private[graft] def pqServeQueries(e: DataFrame, queries: DataFrame,
+      cents: DataFrame, codes: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val R = PqR
-    val lut = pqPartials(e.filter(isQuery), cents, PqM)
+    val lut = pqPartials(queries, cents, PqM)
       .select(col("vec_id").as("lq_id"), col("s").as("qs"),
         col("cent_id"), col("d2q"))
     // full scan: every (query, corpus vector) pair flows through the
@@ -965,7 +973,7 @@ object SimilarityQueries {
       .filter(col("srn") <= R)
       .select(col("q_id"), col("n_id"))
     // exact re-rank of the shortlist: |queries| x R id-lookups
-    val qv = e.filter(isQuery)
+    val qv = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
     val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
     val rw = Window.partitionBy(col("q_id"))
@@ -1180,10 +1188,16 @@ object SimilarityQueries {
 
   /** IVF query half: each registered query's [[NProbe]] nearest cells
     * — the window runs only over the tiny query subset. */
-  private[graft] def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfProbes(spark: SparkSession, dir: String): DataFrame =
+    ivfProbesOf(spark, dir, withNorm(embs(spark, dir)).filter(isQuery))
+
+  /** [[ivfProbes]] for an arbitrary (vec_id, embedding, nrm) query
+    * frame — the online-serving surface. */
+  private[graft] def ivfProbesOf(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    coarseCosOf(spark, dir, withNorm(embs(spark, dir)).filter(isQuery))
+    coarseCosOf(spark, dir, queries)
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
@@ -1219,11 +1233,21 @@ object SimilarityQueries {
     * exact ivfpqTopK rows (AnnIndexLayoutSpec asserts byte equality). */
   private[graft] def ivfpqServeFrom(spark: SparkSession, dir: String,
       assign: DataFrame, codes: DataFrame): DataFrame = {
-    val cand = ivfProbes(spark, dir).join(assign, Seq("cell"))
+    val raw = embs(spark, dir)
+    ivfpqServeQueriesFrom(spark, dir,
+      withNorm(raw).filter(isQuery), assign, codes)
+  }
+
+  /** [[ivfpqServeFrom]] for an ARBITRARY (vec_id, embedding, nrm)
+    * query frame — what `sources.AnnIndexLayout.serve/serveStream`
+    * feed with external request sets / micro-batches. */
+  private[graft] def ivfpqServeQueriesFrom(spark: SparkSession, dir: String,
+      queries: DataFrame, assign: DataFrame, codes: DataFrame): DataFrame = {
+    val cand = ivfProbesOf(spark, dir, queries).join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
     val raw = embs(spark, dir)
-    pqServe(raw, pqSeedCents(raw), codes, Some(cand))
+    pqServeQueries(raw, queries, pqSeedCents(raw), codes, Some(cand))
   }
 
   /** The full production ANN layout: IVF cell pruning + LEARNED PQ

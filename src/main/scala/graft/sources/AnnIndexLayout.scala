@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, expr, lit, sqrt}
 
 import graft.queries.SimilarityQueries
 
@@ -82,4 +82,36 @@ object AnnIndexLayout {
       BucketedTables.read(spark, s"${prefix}_cells"),
       BucketedTables.read(spark, s"${prefix}_codes"))
   }
+
+  /** Serve an ARBITRARY query set — (vec_id BIGINT, embedding
+    * ARRAY<FLOAT>) — from the persisted index: probe window over the
+    * given queries, cell-member ADC join, exact re-rank. The request
+    * side is request-sized end to end; the corpus appears only through
+    * the two index tables and point lookups into raw embeddings. */
+  def serve(spark: SparkSession, dir: String, prefix: String,
+      queries: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val q = queries.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+    SimilarityQueries.ivfpqServeQueriesFrom(spark, dir, q,
+      BucketedTables.read(spark, s"${prefix}_cells"),
+      BucketedTables.read(spark, s"${prefix}_codes"))
+  }
+
+  /** ONLINE serving: a stream of query vectors answered from the
+    * persisted index, micro-batch at a time. The ADC scan + re-rank
+    * are batch plans (they need windows and multi-joins Structured
+    * Streaming forbids on unbounded input), so each micro-batch runs
+    * through [[serve]] inside `foreachBatch` — the standard
+    * stream-to-batch bridge for serving — and the caller's `sink`
+    * decides where results land. Exactly-once is the sink's usual
+    * foreachBatch contract (idempotent write keyed on batchId). */
+  def serveStream(spark: SparkSession, dir: String, prefix: String,
+      queryStream: DataFrame)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(serve(spark, dir, prefix, batch), batchId)
+      }
+      .start()
 }

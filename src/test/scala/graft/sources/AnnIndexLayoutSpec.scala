@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.Row
+
 import graft.SparkSpec
 import graft.queries.SimilarityQueries
 
@@ -57,6 +59,49 @@ class AnnIndexLayoutSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ann_idx_delta_cells")
       spark.sql("DROP TABLE IF EXISTS ann_idx_delta_codes")
+    }
+  }
+
+  test("a query stream served from the index reproduces the online rows") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    AnnIndexLayout.build(spark, dir, "ann_idx_stream", buckets = 4)
+    try {
+      // the registered query subset, split across two micro-batches
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      assert(qs.size >= 4)
+      val (b1, b2) = qs.splitAt(qs.size / 2)
+
+      val collected = scala.collection.mutable.ArrayBuffer.empty[Seq[Row]]
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = mem.toDF().toDF("vec_id", "embedding")
+      val q = AnnIndexLayout.serveStream(spark, dir, "ann_idx_stream",
+        stream) { (res: DataFrame, _: Long) =>
+        val rows = res.collect().toSeq
+        collected.synchronized { collected += rows }
+      }
+      try {
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        mem.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val online = SimilarityQueries.ivfpqTopK(spark, dir).collect().toSeq
+      val served = collected.flatten
+        .sortBy(r => (r.getLong(0), r.getLong(3)))
+      assert(served.nonEmpty)
+      assert(served == online.sortBy(r => (r.getLong(0), r.getLong(3))))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_stream_cells")
+      spark.sql("DROP TABLE IF EXISTS ann_idx_stream_codes")
     }
   }
 }
