@@ -433,6 +433,98 @@ object ProfileQueries {
        |ORDER BY source, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // util_scd2_merge: slowly-changing-dimension type-2 snapshot merge
+  // ---------------------------------------------------------------------
+
+  /** The canonical warehouse history operator: merge yesterday's
+    * dimension snapshot with today's into SCD type-2 rows — changed
+    * keys close their old version and open a new one, inserts open,
+    * deletes close, unchanged keys keep one open row. The engine's
+    * upsert sink (`EventsPipeline`, A2) is the latest-wins half of
+    * this; SCD2 is the keep-history half.
+    *
+    * The two snapshots derive DETERMINISTICALLY from the customer
+    * table (no wall clock, identical in both engines): the old
+    * snapshot rewrites c_mktsegment to 'LEGACY' for custkey % 5 = 0
+    * (simulated attribute drift) and lacks custkey % 11 = 0 (today's
+    * inserts); the new snapshot lacks custkey % 13 = 0 (today's
+    * deletes). Validity stamps are literal epochs (old = 100,
+    * new = 200, open = NULL).
+    *
+    * Scale shape: ONE null-safe full-outer sort-merge join on the
+    * dimension key, per-key classification, and an explode emitting
+    * at most 2 rows per key — no windows, no second pass over either
+    * snapshot. At 100 TB this is exactly the nightly dim-merge plan
+    * you want: both sides shuffle once on the join key. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val old = cust.filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("LEGACY"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        col("c_acctbal").as("bal"))
+    val neu = cust.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    // open rows carry a sentinel close (both engines emit the same
+    // literal): NULL would be semantically nicer but adds nothing to
+    // the operator and everything to cross-engine row ordering
+    val Open = 99999999L
+    def ver(seg: Column, bal: Column, vf: Long, vt: Long): Column =
+      struct(seg.as("seg"), bal.as("bal"),
+        lit(vf).as("valid_from"), lit(vt).as("valid_to"))
+    val j = old.as("o").join(neu.as("n"),
+      col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+    val changed = !(col("o.seg") <=> col("n.seg")) ||
+      !(col("o.bal") <=> col("n.bal"))
+    j.select(
+        coalesce(col("o.c_custkey"), col("n.c_custkey")).as("c_custkey"),
+        explode(
+          when(col("o.c_custkey").isNull, // insert
+            array(ver(col("n.seg"), col("n.bal"), 200L, Open)))
+          .when(col("n.c_custkey").isNull, // delete
+            array(ver(col("o.seg"), col("o.bal"), 100L, 200L)))
+          .when(changed,
+            array(ver(col("o.seg"), col("o.bal"), 100L, 200L),
+              ver(col("n.seg"), col("n.bal"), 200L, Open)))
+          .otherwise(
+            array(ver(col("n.seg"), col("n.bal"), 100L, Open)))
+          ).as("v"))
+      .select(col("c_custkey"), col("v.seg").as("c_mktsegment"),
+        col("v.bal").as("c_acctbal"), col("v.valid_from"), col("v.valid_to"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val scd2MergeSql: String =
+    """WITH old AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 5 = 0 THEN 'LEGACY' ELSE c_mktsegment END AS seg,
+      |         c_acctbal AS bal
+      |  FROM customer WHERE c_custkey % 11 != 0),
+      |new AS (
+      |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+      |  FROM customer WHERE c_custkey % 13 != 0),
+      |j AS (
+      |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+      |         o.seg AS oseg, o.bal AS obal, n.seg AS nseg, n.bal AS nbal,
+      |         o.c_custkey IS NULL AS ins, n.c_custkey IS NULL AS del,
+      |         (o.seg IS DISTINCT FROM n.seg
+      |           OR o.bal IS DISTINCT FROM n.bal) AS chg
+      |  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+      |SELECT c_custkey, nseg AS c_mktsegment, nbal AS c_acctbal,
+      |       CAST(200 AS BIGINT) AS valid_from, CAST(99999999 AS BIGINT) AS valid_to
+      |  FROM j WHERE ins
+      |UNION ALL
+      |SELECT c_custkey, oseg, obal, 100, 200 FROM j WHERE del
+      |UNION ALL
+      |SELECT c_custkey, oseg, obal, 100, 200 FROM j WHERE NOT ins AND NOT del AND chg
+      |UNION ALL
+      |SELECT c_custkey, nseg, nbal, 200, 99999999 FROM j WHERE NOT ins AND NOT del AND chg
+      |UNION ALL
+      |SELECT c_custkey, nseg, nbal, 100, 99999999 FROM j WHERE NOT ins AND NOT del AND NOT chg
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
@@ -441,5 +533,6 @@ object ProfileQueries {
     ("util_skew_profile", skewProfile _, skewProfileSql),
     ("util_temperature_mix", temperatureMix _, temperatureMixSql),
     ("util_weighted_sample", weightedSample _, weightedSampleSql),
+    ("util_scd2_merge", scd2Merge _, scd2MergeSql),
     ("ev_user_cms", userCms _, null))
 }
