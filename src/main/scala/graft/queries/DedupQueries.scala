@@ -176,6 +176,84 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_prefix_jaccard: EXACT high-threshold join via prefix filtering
+  // ---------------------------------------------------------------------
+
+  /** Exact Jaccard ≥ τ pairs via PREFIX FILTERING (the AllPairs/ppjoin
+    * family, Bayardo et al. 2007 / Xiao et al. 2008): order each doc's
+    * shingles globally rarest-first and index only the first
+    * n − ⌈τ·n⌉ + 1 of them — two sets with Jaccard ≥ τ overlap in
+    * > (1−τ)·n elements, so they MUST share a prefix shingle
+    * (PrefixJaccardSpec asserts zero false negatives against the full
+    * inverted join). Complements [[ngramJaccard]]: that query serves
+    * the low-τ regime with a capped full index (approximate under the
+    * cap); this one serves the high-τ near-dup regime exactly, with
+    * candidate volume shrunk twice over — only the (1−τ) rarest tail
+    * of each doc is indexed, and rare-first ordering means those
+    * postings are the SHORTEST, so no skew cap is needed and
+    * exactness survives at scale.
+    *
+    * Shape: the rank window runs over the doc_id partitioning the
+    * index already has; the pair join touches prefix postings only;
+    * the τ·max ≤ min size filter prunes before the distinct; exact
+    * verification reuses [[verifyJaccard]] on the surviving pairs. */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tau = PrefixTau
+    val sh = shingles(spark, dir).persist()
+    sh.count()
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = withSizes(sh).join(dfs, "s")
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
+      .select(col("doc_id"), col("s"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast(DoubleType) >=
+            lit(tau) * greatest(col("a.n"), col("b.n")).cast(DoubleType))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private[queries] val PrefixTau = 0.7
+
+  val prefixJaccardSql: String =
+    s"""WITH sh AS ($shinglesCte),
+       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |sized AS (
+       |  SELECT doc_id, s,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM sh),
+       |prefix AS (
+       |  SELECT doc_id, s, n FROM (
+       |    SELECT z.doc_id, z.s, z.n,
+       |           row_number() OVER (PARTITION BY z.doc_id
+       |                              ORDER BY d.df, z.s) AS rn
+       |    FROM sized z JOIN dfs d USING (s))
+       |  WHERE rn <= n - CAST(ceil($PrefixTau * n) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |   AND CAST(least(a.n, b.n) AS DOUBLE)
+       |       >= $PrefixTau * CAST(greatest(a.n, b.n) AS DOUBLE)),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb, count(*) AS common
+       |  FROM cand c
+       |  JOIN sized sa ON c.doc_a = sa.doc_id
+       |  JOIN sized sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |       CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+       |FROM common
+       |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= $PrefixTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_posting_audit: what does the posting-list cap cost?
   // ---------------------------------------------------------------------
 
@@ -981,6 +1059,7 @@ object DedupQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
+    ("dedup_prefix_jaccard", prefixJaccard _, prefixJaccardSql),
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
