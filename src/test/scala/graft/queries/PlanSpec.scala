@@ -395,4 +395,27 @@ class PlanSpec extends SparkSpec {
     assert(filtered.count() > 0)
     assert(filtered.count() < all.count())
   }
+
+  test("weighted sample: per-stratum top-K is a map-side WindowGroupLimit") {
+    val p = plan("util_weighted_sample")
+    // the race key is a projection; partitions keep only local winners,
+    // so the one shuffle moves ~|sources| x K rows at any corpus size
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scd2 merge: one shuffle join pair, no windows, no cartesian") {
+    val p = plan("util_scd2_merge")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // classification is per-row CASE
+  }
+
+  test("multiprobe lsh: probe explode rides the query side, join stays equi") {
+    val p = plan("ann_lsh_multiprobe")
+    assert(p.contains("Generate explode"), p) // the probe-set explode
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // top-k stays map-side
+  }
 }
