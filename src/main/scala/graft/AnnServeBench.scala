@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.AnnIndexLayout
+
+/** ANN online-serving benchmark: build the persisted IVF-PQ index once,
+  * then answer the registered query set as a STREAM of micro-batches
+  * through `AnnIndexLayout.serveStream` and report queries/second —
+  * the serving-side complement to `StreamBench`'s ingest number.
+  * Build time is reported separately: at 100 TB the build is the rare
+  * nightly/delta job while serving is the steady state.
+  */
+object AnnServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SERVE_BATCHES", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-serve-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prefix = "ann_serve_bench"
+    val tb0 = System.nanoTime()
+    AnnIndexLayout.build(spark, sfDir, prefix)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+
+    val qs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val groups = qs.grouped(math.max(1, qs.size / batches)).toSeq
+
+    var served = 0L
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = AnnIndexLayout.serveStream(spark, sfDir, prefix, stream) {
+      (res, _) => served += res.count()
+    }
+    val t0 = System.nanoTime()
+    val batchSecs = groups.map { g =>
+      val b0 = System.nanoTime()
+      mem.addData(g: _*)
+      q.processAllAvailable()
+      (System.nanoTime() - b0) / 1e9
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    require(served > 0, "no results served")
+
+    val qps = qs.size / wall
+    println(f"""{"metric":"ann_serve_queries_per_sec","value":$qps%.1f,"unit":"queries/sec","queries":${qs.size},"result_rows":$served,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_avg":${batchSecs.sum / batchSecs.size}%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"sf":${util.Json.quote(sfDir)}}""")
+    spark.stop()
+  }
+}
