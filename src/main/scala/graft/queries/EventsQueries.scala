@@ -45,10 +45,11 @@ object EventsQueries {
     * time. `None` (the registered default) applies no predicate at
     * all, keeping the oracle row byte-identical; when set, the bounds
     * are plain `ts` comparisons. On engine-written layouts those
-    * prune (PlanSpec's PartitionedEvents guard); on the raw testdata
-    * the nanos→micros rebuild in Tables.load blocks scan pushdown, so
-    * there they evaluate as a codegen'd row filter before the first
-    * aggregate. Panels that window the hourly rollup filter BEFORE
+    * prune (PlanSpec's PartitionedEvents guard); on raw testdata in
+    * the legacy nanos layout the nanos→micros rebuild in Tables.load
+    * blocks scan pushdown, so there they evaluate as a codegen'd row
+    * filter before the first aggregate (micro-precision layouts push
+    * down). Panels that window the hourly rollup filter BEFORE
     * aggregating, like the reference views refreshed under a
     * dashboard time filter. */
   private def timeBounded(ev: DataFrame,

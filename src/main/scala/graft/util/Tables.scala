@@ -25,14 +25,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // The driver-generated parquet stores events.ts as TIMESTAMP(NANOS)
-    // (pandas/arrow default), which Spark's parquet schema converter
-    // rejects. Read nanos as raw longs and rebuild the timestamp at
-    // micro precision (what DuckDB also does when it reads the file).
+    // events.ts arrives in one of two physical layouts depending on the
+    // generator build: TIMESTAMP(NANOS) (pandas/arrow default — Spark's
+    // parquet converter rejects it, so read the raw int64 nanos and
+    // rebuild at micro precision, which is also what DuckDB keeps), or
+    // a plain micro-precision timestamp (decodes as TIMESTAMP_NTZ and
+    // is normalized by the fold below). Detect from the decoded type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val withTs =
-      if (name == "events")
+      if (name == "events" && raw.schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     // Millis-precision columns arrive as TIMESTAMP_NTZ; normalize to

@@ -13,9 +13,11 @@ import graft.SparkSpec
   *  - hour-aligned bounds equal filtering the unbounded rollup output
   *    (the reference's view-then-filter refresh semantics),
   *  - the bound is a plain `ts` predicate applied before the first
-  *    aggregate (on the raw testdata layout the nanos→micros rebuild
-  *    blocks scan pushdown; partition pruning on engine-written
-  *    layouts is covered by PlanSpec's PartitionedEvents guard).
+  *    aggregate, and on the micro-precision testdata layout it reaches
+  *    the parquet scan as PushedFilters (row-group stats skip whole
+  *    chunks outside the dashboard range — the scan-level analog of
+  *    the partition pruning PlanSpec's PartitionedEvents guard covers
+  *    on engine-written layouts).
   */
 class PanelBoundsSpec extends SparkSpec {
 
@@ -85,5 +87,17 @@ class PanelBoundsSpec extends SparkSpec {
     val aggPos = p.lastIndexOf("HashAggregate")
     assert(filterPos >= 0 && aggPos >= 0 && filterPos > aggPos, p)
     assert(p.contains("2024-01-05"), p)
+  }
+
+  test("bounds reach the events scan as pushed filters (micros layout)") {
+    // Catalyst rewrites `cast(ts as timestamp) >= lit` below the
+    // loader's NTZ normalization (UTC session: the cast is
+    // order-preserving), so the dashboard range lands in the parquet
+    // scan where row-group stats can skip data — the property that
+    // keeps a narrow dashboard window cheap on a 100 TB event log.
+    val p = EventsQueries.peakLoad(spark, dir, Some(f), Some(t))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-05"), p)
+    assert(p.contains("LessThan(ts,2024-01-12"), p)
   }
 }
