@@ -845,6 +845,159 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------
+  // emb_pca2: second spectral direction via deflation
+  // ---------------------------------------------------------------------
+
+  /** Second principal-direction estimate by deflation: compute the
+    * [[powerIteration]] direction v̂1, project it out of every vector
+    * (y = x − (x·v̂1)·v̂1), and take one power step on the residual:
+    * v2 = normalize( Σ_y (y·v0) y ). (v̂1, v̂2) span the rank-2
+    * subspace a whitening / low-rank-projection pass would use;
+    * `v1_dot_v2` (≈0) is emitted as the orthogonality audit.
+    *
+    * Scale shape: stage A is [[powerIteration]]'s aggregation (one
+    * (pos) shuffle, fixed-point int64 sums); v̂1 comes back as ONE
+    * 64-wide row broadcast onto the corpus — never a collect. Stage B
+    * re-scans the corpus once more: per-row t = x·v̂1 and the deflated
+    * y are sequential in-array folds (bit-identical cross-engine),
+    * feeding the same fixed-point per-position accumulation. Two
+    * linear scans total, no global windows, no driver-side data. */
+  def pca2(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1048576.0 // 2^20, as in powerIteration
+    val sv = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType))
+    val accum = embs(spark, dir)
+      .select(col("vec_id"), col("embedding"), sv.as("s"))
+      // barrier against CollapseProject inlining the fold per row
+      // (see powerIteration)
+      .repartition(col("vec_id"))
+      .select(col("s"), posexplode(col("embedding")))
+      .select(col("pos"),
+        round(col("s") * col("col").cast(DoubleType) * lit(Scale))
+          .cast(LongType).as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("sq"))
+      .select(col("pos"), (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
+    val pivots1 = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+    val norm1 =
+      sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
+    val v1 = accum.agg(pivots1.head, pivots1.tail: _*)
+      .select(array((0 until Dim).map(i => col(s"m$i") / norm1): _*).as("v1"))
+
+    val t = aggregate(
+      zip_with(col("embedding"), col("v1"), (x, v) => x.cast(DoubleType) * v),
+      lit(0.0), (acc, x) => acc + x)
+    val deflated = embs(spark, dir).crossJoin(broadcast(v1))
+      .select(col("vec_id"), col("v1"), col("embedding"), t.as("t"))
+      .select(col("vec_id"), col("v1"),
+        zip_with(col("embedding"), col("v1"),
+          (x, v) => x.cast(DoubleType) - col("t") * v).as("y"))
+    val s2 = aggregate(col("y"), lit(0.0), (acc, x) => acc + x)
+    val accum2 = deflated
+      .select(col("vec_id"), col("v1"), col("y"), s2.as("s2"))
+      .repartition(col("vec_id")) // same barrier as stage A
+      .select(col("s2"), col("v1"), posexplode(col("y")))
+      .select(col("pos"),
+        element_at(col("v1"), col("pos") + 1).as("v1p"),
+        round(col("s2") * col("col") * lit(Scale)).cast(LongType).as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"),
+        max(col("v1p")).as("v1p"))
+      .select(col("pos"), col("n"), col("v1p"),
+        (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
+    val pivots2 = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i")) ++
+      (0 until Dim).map(i =>
+        max(when(col("pos") === i, col("v1p"))).as(s"v$i"))
+    val norm2c =
+      sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
+    // 64-term dot folded in syntactic (index) order — both engines
+    // build the same left-associated + chain, so the double hashes
+    val dot = (0 until Dim).map(i => col(s"v$i") * (col(s"m$i") / norm2c))
+      .reduce(_ + _)
+    accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*)
+      .select(col("n_vecs"), norm2c.as("anorm2"),
+        (col("m0") / norm2c).as("v2_0"),
+        (col("m31") / norm2c).as("v2_31"),
+        (col("m63") / norm2c).as("v2_63"),
+        dot.as("v1_dot_v2"))
+  }
+
+  val pca2Sql: String = {
+    val mPivots1 = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
+      .mkString(",\n       ")
+    // norms are hoisted into their own CTE column: inlining the
+    // 64-term chain into each of the 64 v1 elements (or 64 dot terms)
+    // exceeds DuckDB's expression-binder recursion depth
+    val norm1 = "sqrt(" +
+      (0 until Dim).map(i => s"m$i * m$i").mkString(" + ") + ")"
+    val v1List = "[" +
+      (0 until Dim).map(i => s"m$i / nrm1").mkString(", ") + "]"
+    val mPivots2 = ((0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i") ++
+      (0 until Dim)
+        .map(i => s"max(CASE WHEN pos = $i THEN v1p END) AS v$i"))
+      .mkString(",\n       ")
+    val norm2 = "sqrt(" +
+      (0 until Dim).map(i => s"m$i * m$i").mkString(" + ") + ")"
+    val dot = (0 until Dim).map(i => s"v$i * (m$i / anorm2)").mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sv
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT i - 1 AS pos,
+       |         CAST(round(sv * CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+       |  FROM s, generate_series(1, $Dim) t(i)),
+       |a AS (
+       |  SELECT pos, CAST(sum(q) AS DOUBLE) / 1048576.0 AS m
+       |  FROM x GROUP BY 1),
+       |p AS (
+       |  SELECT $mPivots1
+       |  FROM a),
+       |pn AS (
+       |  SELECT *, $norm1 AS nrm1 FROM p),
+       |v AS (
+       |  SELECT $v1List AS v1 FROM pn),
+       |d0 AS (
+       |  SELECT e.vec_id, e.embedding, v.v1,
+       |         list_sum(list_transform(e.embedding,
+       |           (ex, j) -> CAST(ex AS DOUBLE) * v.v1[j])) AS t
+       |  FROM embeddings e, v),
+       |d AS (
+       |  SELECT vec_id, v1,
+       |         list_transform(embedding,
+       |           (ex, i) -> CAST(ex AS DOUBLE) - t * v1[i]) AS y
+       |  FROM d0),
+       |s2 AS (
+       |  SELECT vec_id, v1, y, list_sum(y) AS sy
+       |  FROM d),
+       |x2 AS (
+       |  SELECT i - 1 AS pos, v1[i] AS v1p,
+       |         CAST(round(sy * y[i] * 1048576.0) AS BIGINT) AS q
+       |  FROM s2, generate_series(1, $Dim) t(i)),
+       |a2 AS (
+       |  SELECT pos, count(*) AS n,
+       |         CAST(sum(q) AS DOUBLE) / 1048576.0 AS m,
+       |         max(v1p) AS v1p
+       |  FROM x2 GROUP BY 1),
+       |p2 AS (
+       |  SELECT max(n) AS n_vecs,
+       |       $mPivots2
+       |  FROM a2),
+       |p2n AS (
+       |  SELECT *, $norm2 AS anorm2 FROM p2)
+       |SELECT n_vecs, anorm2,
+       |       m0 / anorm2 AS v2_0,
+       |       m31 / anorm2 AS v2_31,
+       |       m63 / anorm2 AS v2_63,
+       |       $dot AS v1_dot_v2
+       |FROM p2n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ann_pq_topk: product-quantization ANN (encode + ADC scan)
   // ---------------------------------------------------------------------
 
@@ -1310,6 +1463,7 @@ object SimilarityQueries {
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_power_iteration", powerIteration _, powerIterationSql),
+    ("emb_pca2", pca2 _, pca2Sql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
     ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
     ("ann_pq_learned", pqLearnedTopK _, null),

@@ -246,6 +246,26 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("emb_pca2 deflated direction is orthogonal to v1 and subdominant") {
+    val r1 = SimilarityQueries.powerIteration(spark, dir).collect().head
+    val r2 = SimilarityQueries.pca2(spark, dir).collect()
+    assert(r2.length == 1)
+    val row = r2.head
+    assert(row.getAs[Long]("n_vecs") == r1.getAs[Long]("n_vecs"))
+    // deflation removed the v1 component: the audit dot is ~0 (the
+    // residual is one power step's float error, not a real component)
+    assert(math.abs(row.getAs[Double]("v1_dot_v2")) < 1e-6,
+      s"v1_dot_v2 = ${row.getAs[Double]("v1_dot_v2")}")
+    // the residual direction carries strictly less energy than v1
+    val a2 = row.getAs[Double]("anorm2")
+    assert(a2 > 0.0 && a2 < r1.getAs[Double]("anorm"),
+      s"anorm2 $a2 vs anorm ${r1.getAs[Double]("anorm")}")
+    Seq("v2_0", "v2_31", "v2_63").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(math.abs(v) <= 1.0 && !v.isNaN)
+    }
+  }
+
   test("txt_bigram_logprob scores every multi-token doc with non-positive logprob") {
     val rows = TextQueries.bigramLogprob(spark, dir).collect()
     val expected = graft.util.Tables.load(spark, dir, "documents")

@@ -191,6 +191,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("pca2: v1 joins back as a broadcast row, fixed-point accumulation") {
+    val p = plan("emb_pca2")
+    // the deflation pass must receive v1 via a broadcast of the ONE
+    // pivoted row — a shuffled join (or a collect) here would be wrong
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("pack sequences: prefix sum is range-distributed, not per-source serial") {
     val p = plan("txt_pack_sequences")
     // the source domain is FIXED, so a window partitioned by source
