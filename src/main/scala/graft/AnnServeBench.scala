@@ -35,16 +35,24 @@ object AnnServeBench {
     AnnIndexLayout.build(spark, sfDir, prefix)
     val buildSec = (System.nanoTime() - tb0) / 1e9
 
+    // the registered subset, via the one shared predicate — the bench
+    // must measure the same query set the specs pin byte-equal online
     val qs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .filter(col("vec_id") % 50 === 0)
+      .filter(graft.queries.SimilarityQueries.isQuery)
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().toSeq
-    val groups = qs.grouped(math.max(1, qs.size / batches)).toSeq
+    // ceil division: floor would yield MORE micro-batches than asked
+    // (85 queries / 4 -> groups of 21 -> 5 batches), skewing the
+    // per-batch latency stats across runs of different query counts
+    val groups = qs.grouped(math.max(1, (qs.size + batches - 1) / batches))
+      .toSeq
 
     var served = 0L
     val mem = MemoryStream[(Long, Array[Float])]
     val stream = mem.toDF().toDF("vec_id", "embedding")
-    val q = AnnIndexLayout.serveStream(spark, sfDir, prefix, stream) {
+    // corpus-member queries: self-exclusion on, like the online query
+    val q = AnnIndexLayout.serveStream(spark, sfDir, prefix, stream,
+      excludeSelf = true) {
       (res, _) => served += res.count()
     }
     val t0 = System.nanoTime()

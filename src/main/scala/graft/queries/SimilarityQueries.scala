@@ -44,8 +44,10 @@ object SimilarityQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** Query subset: every 50th vector. */
-  private val isQuery: Column = col("vec_id") % 50 === 0
+  /** Query subset: every 50th vector. Shared with AnnServeBench and
+    * the index specs so the benched/served subset cannot drift from
+    * the one the oracle checks. */
+  private[graft] val isQuery: Column = col("vec_id") % 50 === 0
 
   /** Codegen'd dot/norm (graft.functions.VectorExpressions) — bit-
     * identical to the HOF fold, native loop in whole-stage codegen. */
@@ -1305,17 +1307,32 @@ object SimilarityQueries {
     pqPipeline(raw, pqSeedCents(raw), Some(ivfCandidates(spark, dir)))
   }
 
-  /** Query-to-coarse-centroid cosines for any vector subset. */
-  private def coarseCosOf(spark: SparkSession, dir: String,
-      vecs: DataFrame): DataFrame = {
-    val coarse = withNorm(embs(spark, dir)).filter(isCentroid)
+  /** The coarse centroid frame (cent_id, cvec, cnrm) for the corpus
+    * under `pred` — the half of the IVF index GEOMETRY next to the PQ
+    * codebook. `sources.AnnIndexLayout.build` persists this frame so
+    * deltas and serving stay pinned to the build-time geometry even
+    * after the embeddings table grows (a centroid set re-derived from
+    * a grown table would silently mix geometries: old vectors filed
+    * under old cells, probes computed against new ones). */
+  private[graft] def coarseCentsOf(spark: SparkSession, dir: String,
+      pred: Column = lit(true)): DataFrame =
+    withNorm(embs(spark, dir).filter(pred)).filter(isCentroid)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
-    vecs.crossJoin(broadcast(coarse))
+
+  /** Query-to-coarse-centroid cosines against an EXPLICIT centroid
+    * frame. */
+  private def coarseCosWith(cents: DataFrame, vecs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (expr("graft_dot(embedding, cvec)") / (col("nrm") * col("cnrm")))
           .as("ccos"))
-  }
+
+  /** Query-to-coarse-centroid cosines for any vector subset, against
+    * the live table's own centroid set. */
+  private def coarseCosOf(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame =
+    coarseCosWith(coarseCentsOf(spark, dir), vecs)
 
   /** IVF index-build half: (n_id, cell) coarse assignment for every
     * corpus vector. Cell assignment WITHOUT a window: argmax as
@@ -1324,20 +1341,27 @@ object SimilarityQueries {
     * corpus x cents rows collapse map-side to one row per vec_id
     * before any shuffle. Exposed for `sources.AnnIndexLayout`. */
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    ivfAssignOf(spark, dir, lit(true))
+    ivfAssignUsing(spark, dir, coarseCentsOf(spark, dir), lit(true))
 
-  /** [[ivfAssign]] restricted to `pred` — the index-DELTA shape: the
-    * coarse centroid set still comes from the full table (delta
-    * encoding reuses the frozen index geometry; retraining is a
-    * rebuild, not an append), but only the matching vectors are
-    * scanned and assigned, so a `vec_id >= watermark` delta prunes at
-    * the parquet scan. */
-  private[graft] def ivfAssignOf(spark: SparkSession, dir: String,
-      pred: Column): DataFrame =
-    coarseCosOf(spark, dir, withNorm(embs(spark, dir).filter(pred)))
+  /** Coarse assignment of an explicit vector frame against an
+    * EXPLICIT centroid frame — the geometry-pinned form behind
+    * [[ivfAssign]] and `sources.AnnIndexLayout`'s build/delta. */
+  private[graft] def ivfAssignWith(cents: DataFrame,
+      vecs: DataFrame): DataFrame =
+    coarseCosWith(cents, vecs)
       .groupBy(col("vec_id").as("n_id"))
       .agg(max(struct(col("ccos"), (-col("cent_id")).as("neg"))).as("best"))
       .select(col("n_id"), (-col("best.neg")).as("cell"))
+
+  /** [[ivfAssignWith]] over the vectors of `dir` matching `pred` — the
+    * index-DELTA shape: `cents` is the PERSISTED build-time centroid
+    * set (delta encoding reuses the frozen geometry; retraining is a
+    * rebuild, never an append), and only the matching vectors are
+    * scanned, so a `vec_id >= watermark` delta prunes at the parquet
+    * scan. */
+  private[graft] def ivfAssignUsing(spark: SparkSession, dir: String,
+      cents: DataFrame, pred: Column): DataFrame =
+    ivfAssignWith(cents, withNorm(embs(spark, dir).filter(pred)))
 
   /** IVF query half: each registered query's [[NProbe]] nearest cells
     * — the window runs only over the tiny query subset. */
@@ -1345,16 +1369,23 @@ object SimilarityQueries {
     ivfProbesOf(spark, dir, withNorm(embs(spark, dir)).filter(isQuery))
 
   /** [[ivfProbes]] for an arbitrary (vec_id, embedding, nrm) query
-    * frame — the online-serving surface. */
-  private[graft] def ivfProbesOf(spark: SparkSession, dir: String,
+    * frame against an EXPLICIT centroid frame — the online-serving
+    * surface (probes must come from the SAME frozen geometry the
+    * index's cells were assigned under). */
+  private[graft] def ivfProbesWith(cents: DataFrame,
       queries: DataFrame): DataFrame = {
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    coarseCosOf(spark, dir, queries)
+    coarseCosWith(cents, queries)
       .withColumn("crn", row_number().over(pw))
       .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
   }
+
+  /** [[ivfProbesWith]] against the live table's own centroid set. */
+  private[graft] def ivfProbesOf(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame =
+    ivfProbesWith(coarseCentsOf(spark, dir), queries)
 
   /** IVF (q_id, n_id) candidate pairs: every query joined to the
     * members of its [[NProbe]] nearest coarse cells — the cell-pruning
@@ -1367,16 +1398,21 @@ object SimilarityQueries {
   /** The seed-codebook PQ codes for the whole corpus — the second
     * index-build product next to [[ivfAssign]]. */
   private[graft] def pqCorpusCodes(spark: SparkSession, dir: String): DataFrame =
-    pqCorpusCodesOf(spark, dir, lit(true))
+    pqCorpusCodesUsing(spark, dir, pqSeedCentsOf(spark, dir), lit(true))
 
-  /** [[pqCorpusCodes]] restricted to `pred` — like [[ivfAssignOf]],
-    * the codebook (seed centroids) comes from the FULL table while
-    * only the delta vectors are encoded. */
-  private[graft] def pqCorpusCodesOf(spark: SparkSession, dir: String,
-      pred: Column): DataFrame = {
-    val raw = embs(spark, dir)
-    pqEncode(raw.filter(pred), pqSeedCents(raw))
-  }
+  /** The seed PQ codebook for the corpus under `pred` — the second
+    * half of the persisted index geometry next to [[coarseCentsOf]]. */
+  private[graft] def pqSeedCentsOf(spark: SparkSession, dir: String,
+      pred: Column = lit(true)): DataFrame =
+    pqSeedCents(embs(spark, dir).filter(pred))
+
+  /** PQ codes for the vectors of `dir` matching `pred`, encoded
+    * against an EXPLICIT codebook — like [[ivfAssignUsing]], the
+    * codebook is the build-time (persisted) geometry while only the
+    * delta vectors are scanned and encoded. */
+  private[graft] def pqCorpusCodesUsing(spark: SparkSession, dir: String,
+      cents: DataFrame, pred: Column): DataFrame =
+    pqEncode(embs(spark, dir).filter(pred), cents)
 
   /** [[ivfpqTopK]] served from PERSISTED index frames: `assign`
     * (n_id, cell) and `codes` (n_id, s, code) come from storage
@@ -1387,20 +1423,36 @@ object SimilarityQueries {
   private[graft] def ivfpqServeFrom(spark: SparkSession, dir: String,
       assign: DataFrame, codes: DataFrame): DataFrame = {
     val raw = embs(spark, dir)
-    ivfpqServeQueriesFrom(spark, dir,
-      withNorm(raw).filter(isQuery), assign, codes)
+    // registered corpus-member queries: exclude the query's own row,
+    // exactly as the online ann_ivfpq_topk does
+    ivfpqServeQueriesWith(spark, dir, withNorm(raw).filter(isQuery),
+      coarseCentsOf(spark, dir), pqSeedCents(raw), assign, codes,
+      excludeSelf = true)
   }
+
+  /** The registered query subset as a serve-shaped frame — shared by
+    * `sources.AnnIndexLayout.query` and the index specs. */
+  private[graft] def registeredQueryFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    withNorm(embs(spark, dir)).filter(isQuery)
 
   /** [[ivfpqServeFrom]] for an ARBITRARY (vec_id, embedding, nrm)
     * query frame — what `sources.AnnIndexLayout.serve/serveStream`
-    * feed with external request sets / micro-batches. */
-  private[graft] def ivfpqServeQueriesFrom(spark: SparkSession, dir: String,
-      queries: DataFrame, assign: DataFrame, codes: DataFrame): DataFrame = {
-    val cand = ivfProbesOf(spark, dir, queries).join(assign, Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"))
-    val raw = embs(spark, dir)
-    pqServeQueries(raw, queries, pqSeedCents(raw), codes, Some(cand))
+    * feed with external request sets / micro-batches. Geometry
+    * (coarse centroids + PQ codebook) is EXPLICIT so serving stays
+    * pinned to the frozen build-time geometry the `assign`/`codes`
+    * frames were produced under. `excludeSelf` drops candidate pairs
+    * whose ids coincide — correct ONLY when the query ids ARE corpus
+    * ids (the registered subset); an external request set must keep
+    * it false or a corpus vector sharing a request's id silently
+    * vanishes from that request's top-K. */
+  private[graft] def ivfpqServeQueriesWith(spark: SparkSession, dir: String,
+      queries: DataFrame, cents: DataFrame, pqCents: DataFrame,
+      assign: DataFrame, codes: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val pairs = ivfProbesWith(cents, queries).join(assign, Seq("cell"))
+    val cand = (if (excludeSelf) pairs.filter(col("q_id") =!= col("n_id"))
+      else pairs).select(col("q_id"), col("n_id"))
+    pqServeQueries(embs(spark, dir), queries, pqCents, codes, Some(cand))
   }
 
   /** The full production ANN layout: IVF cell pruning + LEARNED PQ

@@ -12,9 +12,17 @@ import graft.queries.SimilarityQueries
   * The online query (`ann_ivfpq_topk`) re-derives the coarse cell
   * assignment and the PQ codes from raw embeddings on every run; both
   * are pure functions of the corpus, and at scale they are the two
-  * expensive linear scans. This layout writes them ONCE as bucketed
-  * managed tables:
+  * expensive linear scans. This layout writes them ONCE, together with
+  * the GEOMETRY they were computed under, as managed tables:
   *
+  *  - `<prefix>_coarse` (cent_id, cvec, cnrm) and `<prefix>_pqcb`
+  *    (cent_id, cvec) — the index geometry (coarse centroids + PQ
+  *    codebook), captured at build time. Deltas and serving read the
+  *    geometry from HERE, never from the live embeddings table: a
+  *    geometry re-derived from a grown corpus would file new vectors
+  *    under centroids the old cells were never assigned against
+  *    (mixed-geometry index, silent recall loss). Both tables are
+  *    broadcast-sized (they bound the codebook by construction).
   *  - `<prefix>_cells` (n_id, cell), bucketed + sorted by `cell` —
   *    the probe equi-join key, so "members of the probed cells" reads
   *    only the matching buckets with no shuffle of the index side;
@@ -25,11 +33,12 @@ import graft.queries.SimilarityQueries
   *    PQ representation, vs 256 bytes of raw floats.
   *
   * Serving reuses the SAME query-side plan as `ann_ivfpq_topk`
-  * ([[SimilarityQueries.ivfpqServeFrom]]): probe window over queries x
-  * cells, cell-member ADC join against the persisted codes, exact
-  * re-rank via point lookups into raw embeddings. Results are
-  * byte-identical to the online query (AnnIndexLayoutSpec asserts it)
-  * because build and serve share the exact encode/probe code paths.
+  * ([[SimilarityQueries.ivfpqServeQueriesWith]]): probe window over
+  * queries x cells, cell-member ADC join against the persisted codes,
+  * exact re-rank via point lookups into raw embeddings. For the
+  * registered query subset this is byte-identical to the online query
+  * (AnnIndexLayoutSpec asserts it) because build and serve share the
+  * exact encode/probe code paths.
   *
   * Reference point: the reference keeps its derived state hot the same
   * way — precomputed tables maintained ahead of queries
@@ -38,64 +47,104 @@ import graft.queries.SimilarityQueries
   */
 object AnnIndexLayout {
 
-  /** Build the index: one corpus scan for the coarse assignment, one
-    * for the PQ encode — each the partial-aggregable shape from the
-    * online query — persisted as bucketed tables under `prefix`. */
+  private def geometry(spark: SparkSession,
+      prefix: String): (DataFrame, DataFrame) =
+    (BucketedTables.read(spark, s"${prefix}_coarse"),
+      BucketedTables.read(spark, s"${prefix}_pqcb"))
+
+  /** Build the index over the vectors matching `where`: persist the
+    * geometry derived from that corpus, then one scan for the coarse
+    * assignment and one for the PQ encode — each the
+    * partial-aggregable shape from the online query — as bucketed
+    * tables under `prefix`. */
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true)): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    SimilarityQueries.coarseCentsOf(spark, dir, where)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_coarse")
+    SimilarityQueries.pqSeedCentsOf(spark, dir, where)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_pqcb")
+    val (cents, pqcb) = geometry(spark, prefix)
     BucketedTables.writeBucketed(
-      SimilarityQueries.ivfAssignOf(spark, dir, where), s"${prefix}_cells",
-      "cell", buckets)
+      SimilarityQueries.ivfAssignUsing(spark, dir, cents, where),
+      s"${prefix}_cells", "cell", buckets)
     BucketedTables.writeBucketed(
-      SimilarityQueries.pqCorpusCodesOf(spark, dir, where), s"${prefix}_codes",
-      "n_id", buckets)
+      SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where),
+      s"${prefix}_codes", "n_id", buckets)
   }
 
   /** Incremental maintenance — the operation a 100 TB deployment runs
     * DAILY while full rebuilds stay rare: encode ONLY the vectors
     * matching `where` (e.g. `vec_id >= ingestWatermark`, which prunes
     * at the parquet scan) against the index's FROZEN geometry — the
-    * coarse centroids and PQ codebook of the original build — and
+    * PERSISTED coarse centroids and PQ codebook of the original build,
+    * NOT a re-derivation from the (possibly grown) live table — and
     * append them into the bucketed tables. Because per-vector
     * assignment and encoding are independent of every other vector,
-    * build(A) + appendDelta(B) is bit-identical to build(A ∪ B)
-    * (AnnIndexLayoutSpec asserts it against the online query).
-    * Retraining the geometry is a rebuild, never an append. */
+    * the result equals encoding the union corpus under the build-time
+    * geometry (AnnIndexLayoutSpec asserts it). Retraining the geometry
+    * is a rebuild, never an append.
+    *
+    * Idempotent under retries: each table's delta is anti-joined
+    * against the n_ids already present in THAT table, so re-running
+    * after a partial failure (cells appended, codes append died) fills
+    * exactly the missing half instead of double-filing vectors —
+    * duplicated code rows would double d2q sums in the ADC shortlist
+    * and silently mis-rank. The codes-side anti join co-locates on the
+    * bucket key (no shuffle of the big side); the cells side pays one
+    * n_id-column shuffle of the index — the price of retry-safety on a
+    * plain-parquet layout (a transactional table format would make the
+    * append itself atomic instead). */
   def appendDelta(spark: SparkSession, dir: String, prefix: String,
       where: Column, buckets: Int = 8): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (cents, pqcb) = geometry(spark, prefix)
     BucketedTables.appendBucketed(
-      SimilarityQueries.ivfAssignOf(spark, dir, where), s"${prefix}_cells",
-      "cell", buckets)
+      SimilarityQueries.ivfAssignUsing(spark, dir, cents, where)
+        .join(BucketedTables.read(spark, s"${prefix}_cells")
+          .select(col("n_id")), Seq("n_id"), "left_anti"),
+      s"${prefix}_cells", "cell", buckets)
     BucketedTables.appendBucketed(
-      SimilarityQueries.pqCorpusCodesOf(spark, dir, where), s"${prefix}_codes",
-      "n_id", buckets)
+      SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where)
+        .join(BucketedTables.read(spark, s"${prefix}_codes")
+          .select(col("n_id")).distinct(), Seq("n_id"), "left_anti"),
+      s"${prefix}_codes", "n_id", buckets)
   }
 
   /** Serve the registered query set from the persisted index: must
     * equal `ann_ivfpq_topk` row-for-row without re-encoding the
-    * corpus. */
+    * corpus (self-exclusion on, as the online query's corpus-member
+    * queries imply). */
   def query(spark: SparkSession, dir: String, prefix: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    SimilarityQueries.ivfpqServeFrom(spark, dir,
+    val (cents, pqcb) = geometry(spark, prefix)
+    SimilarityQueries.ivfpqServeQueriesWith(spark, dir,
+      SimilarityQueries.registeredQueryFrame(spark, dir), cents, pqcb,
       BucketedTables.read(spark, s"${prefix}_cells"),
-      BucketedTables.read(spark, s"${prefix}_codes"))
+      BucketedTables.read(spark, s"${prefix}_codes"),
+      excludeSelf = true)
   }
 
   /** Serve an ARBITRARY query set — (vec_id BIGINT, embedding
     * ARRAY<FLOAT>) — from the persisted index: probe window over the
     * given queries, cell-member ADC join, exact re-rank. The request
     * side is request-sized end to end; the corpus appears only through
-    * the two index tables and point lookups into raw embeddings. */
+    * the index tables and point lookups into raw embeddings. Request
+    * ids live in their own id space, so a corpus vector whose n_id
+    * happens to equal a request's vec_id stays a legitimate neighbor;
+    * pass `excludeSelf = true` only when the requests ARE corpus
+    * members (re-querying the index for its own vectors). */
   def serve(spark: SparkSession, dir: String, prefix: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, excludeSelf: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val q = queries.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
-    SimilarityQueries.ivfpqServeQueriesFrom(spark, dir, q,
+    val (cents, pqcb) = geometry(spark, prefix)
+    SimilarityQueries.ivfpqServeQueriesWith(spark, dir, q, cents, pqcb,
       BucketedTables.read(spark, s"${prefix}_cells"),
-      BucketedTables.read(spark, s"${prefix}_codes"))
+      BucketedTables.read(spark, s"${prefix}_codes"), excludeSelf)
   }
 
   /** ONLINE serving: a stream of query vectors answered from the
@@ -107,11 +156,12 @@ object AnnIndexLayout {
     * decides where results land. Exactly-once is the sink's usual
     * foreachBatch contract (idempotent write keyed on batchId). */
   def serveStream(spark: SparkSession, dir: String, prefix: String,
-      queryStream: DataFrame)(sink: (DataFrame, Long) => Unit)
+      queryStream: DataFrame, excludeSelf: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(serve(spark, dir, prefix, batch), batchId)
+        sink(serve(spark, dir, prefix, batch, excludeSelf), batchId)
       }
       .start()
 }
