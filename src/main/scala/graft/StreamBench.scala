@@ -30,6 +30,10 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_STATE_STORE=rocksdb benches the large-state provider
+    // (graft.streaming.StateStores) on the same pipeline
+    val store = sys.env.getOrElse("GRAFT_STATE_STORE", "default")
+    if (store == "rocksdb") graft.streaming.StateStores.useRocksDb(spark)
 
     // driver events -> reference envelope (7-type domain) JSONL
     val ev = graft.util.Tables.load(spark, sfDir, "events")
@@ -83,7 +87,7 @@ object StreamBench {
       if (ds.isEmpty) (0.0, 0L)
       else (ds.sum.toDouble / ds.length, ds.max)
     val (mbAvg, mbMax) = stats(mbDurs)
-    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / bulkSec}%.0f,"unit":"events/sec","events":$nEvents,"wall_sec":$bulkSec%.2f,"bulk_batches":${bulkDurs.length},"micro_batches":${mbDurs.length},"micro_events_per_sec":${nEvents / mbSec}%.0f,"micro_batch_latency_avg_ms":$mbAvg%.0f,"micro_batch_latency_max_ms":$mbMax,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_events_per_sec","value":${nEvents / bulkSec}%.0f,"unit":"events/sec","events":$nEvents,"wall_sec":$bulkSec%.2f,"bulk_batches":${bulkDurs.length},"micro_batches":${mbDurs.length},"micro_events_per_sec":${nEvents / mbSec}%.0f,"micro_batch_latency_avg_ms":$mbAvg%.0f,"micro_batch_latency_max_ms":$mbMax,"state_store":"$store","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,16 +69,27 @@ object KMeans {
       // one pass: inertia + new centroids from the same assignment
       assigned.persist()
       inertia += assigned.agg(sum(col("d2"))).head.getDouble(0)
-      val next = assigned
+      val means = assigned
         .select(col("cent_id"), posexplode(col("x")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // fixed-point 2^27 component sums (the fitGrouped /
+        // labelCentroids idiom): double avg() depends on shuffle merge
+        // order, and a ULP of centroid drift can flip a near-tie
+        // assignment run-to-run
+        .agg((sum(round(col("col") * (1L << 27)).cast("long"))
+          .cast("double") / (1L << 27) / count(lit(1))).as("m"))
         // k x dim rows -> k rows: bounded collect, sorted for a
         // deterministic component order
         .groupBy(col("cent_id"))
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cvec"))
+          s => s.getField("m")).as("cvec2"))
+      // a cluster that went empty (duplicate seeds, d2 ties) keeps its
+      // previous centroid, so the k-centroid contract holds every
+      // round — the same carry-forward fitGrouped documents
+      val next = centroids.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("cvec2"), col("cvec")).as("cvec"))
         .localCheckpoint(true)
       assigned.unpersist()
       centroids = next

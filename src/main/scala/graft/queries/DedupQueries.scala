@@ -283,7 +283,7 @@ object DedupQueries {
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(col("df")).as("n_postings"),
-        count(when(col("df") > col("cap"), 1)).as("n_dropped_shingles"),
+        Tables.countIf(col("df") > col("cap")).as("n_dropped_shingles"),
         coalesce(sum(when(col("df") > col("cap"), col("df"))), lit(0L))
           .as("n_dropped_postings"))
       .withColumn("dropped_share",
@@ -453,9 +453,16 @@ object DedupQueries {
     val edges = dupEdges(spark, dir)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+    // convergence scalar: sum of labels, in DECIMAL(38,0) — labels only
+    // ever decrease under min-propagation, but an int64 sum of 60-bit
+    // doc_ids wraps silently somewhere past ~16 nodes at graph scale,
+    // and a wrapped comparison could read "equal" with labels still
+    // moving (falsely converged = silently wrong clusters)
+    val lblSum = sum(col("lbl").cast(DecimalType(38, 0)))
     // sum() is null on an empty pair graph — nothing to propagate then
-    val sum0 = labels.agg(sum(col("lbl"))).first()
-    var prevSum = if (sum0.isNullAt(0)) 0L else sum0.getLong(0)
+    val sum0 = labels.agg(lblSum).first()
+    var prevSum =
+      if (sum0.isNullAt(0)) BigDecimal(0) else BigDecimal(sum0.getDecimal(0))
     var converged = sum0.isNullAt(0)
     var rounds = 0
     // pointer jumping collapses diameter d in ~log2(d) rounds, so 64
@@ -479,7 +486,7 @@ object DedupQueries {
           Seq("lbl"), "left")
         .select(col("doc_id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("lbl"))).first().getLong(0)
+      val s = BigDecimal(next.agg(lblSum).first().getDecimal(0))
       prop.unpersist(false)
       labels = next
       converged = s == prevSum
@@ -818,8 +825,13 @@ object DedupQueries {
     // codegen'd dot/norm (graft.functions.VectorExpressions): identical
     // accumulation order to the HOF form, ~10x faster on the pair loop
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // zero-norm vectors have no direction: cosine would be 0/0 = NaN,
+    // and NaN compares GREATER than every threshold in both engines,
+    // so an unfiltered zero vector would read as a near-dup of its
+    // whole block. Exclude them from both pair sides.
     val e = embs(spark, dir).select(col("vec_id"), col("label"),
       col("embedding"), sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+      .filter(col("nrm") > 0.0)
     // the LOWER-ID (canonical/keeper) side draws from a bounded
     // deterministic md5 sample of ~MaxCosinePool per label once blocks
     // exceed the cap — below it (every test SF) ALL vectors pass and
@@ -855,7 +867,8 @@ object DedupQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |         sqrt(${norm2Sql("embedding")}) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${norm2Sql("embedding")} > 0),
        |$cosinePoolCtes
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
@@ -884,8 +897,8 @@ object DedupQueries {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        count(when(col("is_dup"), 1)).as("n_semantic_dups"),
-        count(when(col("is_dup").isNull, 1)).as("n_kept"),
+        Tables.countIf(col("is_dup")).as("n_semantic_dups"),
+        Tables.countIf(col("is_dup").isNull).as("n_kept"),
         coalesce(sum(when(col("is_dup").isNull, col("n_chars"))), lit(0L))
           .as("kept_chars"))
       .orderBy(col("source"))
@@ -895,7 +908,8 @@ object DedupQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,
        |         sqrt(${norm2Sql("embedding")}) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${norm2Sql("embedding")} > 0),
        |$cosinePoolCtes,
        |dups AS (
        |  SELECT DISTINCT b.vec_id AS doc_id
@@ -939,10 +953,10 @@ object DedupQueries {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        count(when(!col("is_qual"), 1)).as("n_low_quality"),
-        count(when(col("is_qual") && col("is_kept").isNull, 1))
+        Tables.countIf(!col("is_qual")).as("n_low_quality"),
+        Tables.countIf(col("is_qual") && col("is_kept").isNull)
           .as("n_dupes_removed"),
-        count(when(col("is_kept"), 1)).as("n_kept"),
+        Tables.countIf(col("is_kept")).as("n_kept"),
         coalesce(sum(when(col("is_kept"), col("n_tokens"))), lit(0L))
           .as("kept_tokens"))
       .orderBy(col("source"))

@@ -33,4 +33,26 @@ class KMeansSpec extends SparkSpec {
     assert(math.abs(inertia.head - stepInertia) <= 1e-6 * stepInertia,
       s"fit ${inertia.head} vs step $stepInertia")
   }
+
+  test("a cluster that goes empty keeps its centroid (k-row contract)") {
+    import spark.implicits._
+    // the two lowest vec_ids are IDENTICAL, so every point ties on d2
+    // and the (d2, cent_id) tie-break starves seed 1 from round one —
+    // the k-centroid contract must survive via carry-forward, exactly
+    // as fitGrouped documents
+    val emb = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array.fill(4)(1.0f)),
+      (2L, Array(1.1f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(0.9f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val (assigned, centroids, _) = KMeans.fit(emb, k = 2, iters = 2)
+    val cents = centroids.collect()
+    assert(cents.length == 2, cents.mkString(","))
+    assert(cents.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    // the starved seed keeps its ORIGINAL centroid vector
+    val kept = cents.find(_.getLong(0) == 1L).get.getSeq[Double](1)
+    assert(kept == Seq(1.0, 1.0, 1.0, 1.0))
+    // and the assignment still covers every vector
+    assert(assigned.count() == 4)
+  }
 }
