@@ -924,6 +924,65 @@ object DedupQueries {
        |ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_cosine_lsh: label-free embedding near-dup via hyperplane LSH
+  // ---------------------------------------------------------------------
+
+  private val CosineLshPlanes = 8
+
+  /** [[embeddingCosine]] without the label crutch: candidate blocks are
+    * the fixed random-hyperplane LSH buckets (`ann_lsh_topk`'s
+    * machinery, [[SimilarityQueries.bucketCode]]) instead of the label
+    * column, so near-dups are found ACROSS labels — cross-label
+    * duplicates are exactly what label blocking misses, and at corpus
+    * scale a curated label column doesn't exist anyway. Same bounded
+    * md5 pool on the canonical side (per bucket) and the same exact
+    * cosine >= 0.4 verify; the plane count is the capacity dial
+    * (per-bucket postings ~ corpus/2^planes, the ann_lsh scale story).
+    * A true near-dup pair lands in the same bucket unless one of the 8
+    * projections splits it — for cosine >= 0.4 neighbors each plane
+    * splits with prob = angle/pi <= 0.37, and CosineLshFixtureSpec
+    * pins the cross-label catch the label-blocked query provably
+    * cannot make. */
+  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = embs(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+      .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
+      .withColumn("bucket", SimilarityQueries.bucketCode(CosineLshPlanes))
+    val nb = e.groupBy(col("bucket")).agg(count(lit(1)).as("n_bucket"))
+    val pool = e.join(broadcast(nb), "bucket")
+      .filter(h60Pool(col("vec_id"), col("n_bucket"), MaxCosinePool))
+      .drop("n_bucket")
+    pool.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        (expr("graft_dot(a.embedding, b.embedding)") /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val cosineLshSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${norm2Sql("embedding")}) AS nrm,
+       |         ${SimilarityQueries.bucketCodeSql("embedding", CosineLshPlanes)} AS bucket
+       |  FROM embeddings
+       |  WHERE ${norm2Sql("embedding")} > 0),
+       |nb AS (SELECT bucket, count(*) AS n_bucket FROM e GROUP BY bucket),
+       |pool AS (
+       |  SELECT e.* FROM e JOIN nb USING (bucket)
+       |  WHERE ${h60PoolSql("vec_id", "n_bucket", MaxCosinePool)})
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM pool a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_corpus_clean: the end-to-end cleaning pipeline in one query
   // ---------------------------------------------------------------------
 
@@ -1091,6 +1150,7 @@ object DedupQueries {
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
+    ("dedup_cosine_lsh", cosineLsh _, cosineLshSql),
     ("dedup_clusters", clusters _, clustersSql),
     ("dedup_pagerank", pagerank _, pagerankSql),
     ("dedup_triangles", triangles _, trianglesSql),

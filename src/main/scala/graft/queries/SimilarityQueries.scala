@@ -116,11 +116,11 @@ object SimilarityQueries {
   }
 
   /** Bucket code from the projection signs — 2^nPlanes buckets. */
-  private def bucketCode(nPlanes: Int): Column =
+  private[graft] def bucketCode(nPlanes: Int): Column =
     (0 until nPlanes).map(p => when(proj(p) > 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  private def bucketCodeSql(e: String, nPlanes: Int): String =
+  private[graft] def bucketCodeSql(e: String, nPlanes: Int): String =
     (0 until nPlanes)
       .map(p => s"CASE WHEN ${projSql(p, e)} > 0.0 THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
