@@ -250,6 +250,41 @@ object EventsPipeline {
       .drop("rn", "batch_epoch", "updated_at")
   }
 
+  /** Batch backfill of the upsert sink for an hour range — the repair
+    * path every streaming deployment eventually needs: events that
+    * arrived too late for the 24 h watermark (the documented divergence
+    * from the reference, which accepts them forever), a bug fixed after
+    * the fact, or an outage gap. Recompute [from, to) from the raw
+    * input in BATCH (the semantic ground truth the stream is spec'd
+    * against) and append it with an epoch above every existing one, so
+    * [[readHourlyMetrics]]'s latest-epoch-wins view atomically prefers
+    * the repaired rows — the same supersede mechanism the streaming
+    * upserts use, no in-place rewrite, safe to run while readers are
+    * live (unlike [[compactHourlyMetrics]], nothing is moved or
+    * deleted; a later compaction collapses the superseded versions).
+    * Safe to run against a LIVE stream too: the stream's next flush
+    * takes epochs above the backfill's, and for hours inside the
+    * backfilled range that is exactly the stream's own
+    * newest-state-wins contract. */
+  def backfillHourlyMetrics(spark: SparkSession, inputDir: String,
+      outDir: String, fromHour: String, toHour: String): Long = {
+    val path = s"$outDir/hourly_business_metrics"
+    val from = lit(fromHour).cast(TimestampType)
+    val to = lit(toHour).cast(TimestampType)
+    val repaired = batchHourlyMetrics(spark, inputDir)
+      .filter(col("hour") >= from && col("hour") < to)
+    val maxEpoch = spark.read.parquet(path)
+      .agg(max(col("batch_epoch"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val epoch = maxEpoch + 1
+    repaired.withColumn("batch_epoch", lit(epoch))
+      .withColumn("updated_at", current_timestamp())
+      .write.mode("append").parquet(path)
+    epoch
+  }
+
   /** Compact the append-only upsert sink: collapse every hour to its
     * latest epoch and swap the table directory. Long-running streams
     * otherwise accumulate one superseded row-version per hour per
