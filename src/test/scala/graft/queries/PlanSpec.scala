@@ -328,6 +328,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Cartesian"), p)
   }
 
+  test("cosine lsh: bucket equi-join with the same pool cap, no corpus window") {
+    val p = plan("dedup_cosine_lsh")
+    // the per-bucket md5 pool cap must survive optimization (same
+    // rationale as the label-blocked variant), the pair join must stay
+    // an equi-join on the bucket code, and bucketing must be a
+    // map-side expression — no window/sort over the corpus
+    assert(p.contains("1048576"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("ivfpq: cell assignment and encoding aggregate, never window the corpus") {
     val p = plan("ann_ivfpq_topk")
     // coarse assignment is max(struct) — partial-aggregable, map-side
