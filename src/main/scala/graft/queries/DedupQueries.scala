@@ -927,60 +927,104 @@ object DedupQueries {
   // dedup_cosine_lsh: label-free embedding near-dup via hyperplane LSH
   // ---------------------------------------------------------------------
 
-  private val CosineLshPlanes = 8
+  private[graft] val CosineLshBands = 4
+  private[graft] val CosineLshBandPlanes = 6
 
   /** [[embeddingCosine]] without the label crutch: candidate blocks are
-    * the fixed random-hyperplane LSH buckets (`ann_lsh_topk`'s
-    * machinery, [[SimilarityQueries.bucketCode]]) instead of the label
-    * column, so near-dups are found ACROSS labels — cross-label
-    * duplicates are exactly what label blocking misses, and at corpus
-    * scale a curated label column doesn't exist anyway. Same bounded
-    * md5 pool on the canonical side (per bucket) and the same exact
-    * cosine >= 0.4 verify; the plane count is the capacity dial
-    * (per-bucket postings ~ corpus/2^planes, the ann_lsh scale story).
-    * A true near-dup pair lands in the same bucket unless one of the 8
-    * projections splits it — for cosine >= 0.4 neighbors each plane
-    * splits with prob = angle/pi <= 0.37, and CosineLshFixtureSpec
-    * pins the cross-label catch the label-blocked query provably
-    * cannot make. */
+    * fixed random-hyperplane LSH buckets instead of the label column,
+    * so near-dups are found ACROSS labels — cross-label duplicates are
+    * exactly what label blocking misses, and at corpus scale a curated
+    * label column doesn't exist anyway.
+    *
+    * OR-construction (banding), not a single AND table: a lone W-plane
+    * hash catches a pair only when ALL W projections agree — at the
+    * 0.4 verify floor each plane splits with p = theta/pi = 0.37, so a
+    * single 8-plane table finds only 0.63^8 = 2.5% of qualifying
+    * pairs, and even identical-direction-ish pairs at cosine 0.95 land
+    * together just 43% of the time. Banding is the same fix MinHash-LSH
+    * uses ([[minhashPairs]]): 4 independent bands of 6 planes each —
+    * a pair is a candidate when ANY band agrees on all 6 signs, the
+    * candidate union is deduped, then the exact cosine verify keeps
+    * only true pairs (no false positives ever; the bands only decide
+    * who gets VERIFIED). Catch probability 1-(1-(1-p)^6)^4: ~0.95 at
+    * cosine 0.95, ~0.86 at 0.90, falling to ~0.23 at the 0.4 verify
+    * floor — near-dup recall is concentrated where near-dups live, and
+    * CosineLshRecallSpec MEASURES recall per cosine tier against the
+    * exact all-pairs ground truth instead of trusting this formula.
+    *
+    * Scale shape: the banded index is 4 rows per vector (band, code);
+    * candidate generation is 4 per-band equi-joins in one join on
+    * (band, code) with the same bounded md5 pool per bucket
+    * ([[h60Pool]], canonical side only), so pair count past the cap is
+    * 4 x corpus x MaxCosinePool = linear. Band width W is the capacity
+    * dial (per-bucket postings ~ corpus/2^W); band count B buys recall
+    * at B x index cost, the standard LSH tradeoff. The verify joins
+    * the deduped candidate LIST (small) back to raw embeddings by id —
+    * two equi-joins that shuffle candidates, never the corpus. */
   def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("graft_norm2(embedding)")).as("nrm"))
       .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
-      .withColumn("bucket", SimilarityQueries.bucketCode(CosineLshPlanes))
-    val nb = e.groupBy(col("bucket")).agg(count(lit(1)).as("n_bucket"))
-    val pool = e.join(broadcast(nb), "bucket")
+    val codes = (0 until CosineLshBands).map(b =>
+      SimilarityQueries.bucketCodeFrom(b * CosineLshBandPlanes, CosineLshBandPlanes))
+    val bands = e.select(col("vec_id"),
+      posexplode(array(codes: _*)).as(Seq("band", "code")))
+    val nb = bands.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("n_bucket"))
+    val pool = bands.join(broadcast(nb), Seq("band", "code"))
       .filter(h60Pool(col("vec_id"), col("n_bucket"), MaxCosinePool))
       .drop("n_bucket")
-    pool.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    val cand = pool.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.bucket").as("bucket"),
-        (expr("graft_dot(a.embedding, b.embedding)") /
-          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (expr("graft_dot(emb_a, emb_b)") /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val cosineLshSql: String =
+  val cosineLshSql: String = {
+    val bandCtes = (0 until CosineLshBands).map { b =>
+      s"""SELECT vec_id, $b AS band,
+         |         ${SimilarityQueries.bucketCodeFromSql("embedding",
+        b * CosineLshBandPlanes, CosineLshBandPlanes)} AS code
+         |  FROM e""".stripMargin
+    }.mkString("\n  UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |         sqrt(${norm2Sql("embedding")}) AS nrm,
-       |         ${SimilarityQueries.bucketCodeSql("embedding", CosineLshPlanes)} AS bucket
+       |         sqrt(${norm2Sql("embedding")}) AS nrm
        |  FROM embeddings
        |  WHERE ${norm2Sql("embedding")} > 0),
-       |nb AS (SELECT bucket, count(*) AS n_bucket FROM e GROUP BY bucket),
+       |bands AS (
+       |  $bandCtes),
+       |nb AS (SELECT band, code, count(*) AS n_bucket
+       |       FROM bands GROUP BY band, code),
        |pool AS (
-       |  SELECT e.* FROM e JOIN nb USING (bucket)
-       |  WHERE ${h60PoolSql("vec_id", "n_bucket", MaxCosinePool)})
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       |       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-       |FROM pool a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+       |  SELECT bands.* FROM bands JOIN nb USING (band, code)
+       |  WHERE ${h60PoolSql("vec_id", "n_bucket", MaxCosinePool)}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM pool a
+       |  JOIN bands b ON a.band = b.band AND a.code = b.code
+       |              AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |       ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+       |FROM cand c
+       |JOIN e ea ON ea.vec_id = c.vec_a
+       |JOIN e eb ON eb.vec_id = c.vec_b
+       |WHERE ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // dedup_corpus_clean: the end-to-end cleaning pipeline in one query

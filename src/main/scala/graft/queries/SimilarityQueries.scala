@@ -115,15 +115,26 @@ object SimilarityQueries {
     s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($e[i] AS DOUBLE) * ($signs)[i]))"
   }
 
-  /** Bucket code from the projection signs — 2^nPlanes buckets. */
-  private[graft] def bucketCode(nPlanes: Int): Column =
-    (0 until nPlanes).map(p => when(proj(p) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+  /** Bucket code from the projection signs of planes
+    * [offset, offset+nPlanes) — 2^nPlanes buckets. The offset selects
+    * an independent plane set, which is what an OR-construction
+    * (banding) needs: band b hashes with planes b*W..b*W+W-1, so two
+    * bands never share a projection. */
+  private[graft] def bucketCodeFrom(offset: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map(j =>
+      when(proj(offset + j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  private[graft] def bucketCodeSql(e: String, nPlanes: Int): String =
+  private[graft] def bucketCode(nPlanes: Int): Column =
+    bucketCodeFrom(0, nPlanes)
+
+  private[graft] def bucketCodeFromSql(e: String, offset: Int, nPlanes: Int): String =
     (0 until nPlanes)
-      .map(p => s"CASE WHEN ${projSql(p, e)} > 0.0 THEN ${1L << p} ELSE 0 END")
+      .map(j => s"CASE WHEN ${projSql(offset + j, e)} > 0.0 THEN ${1L << j} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  private[graft] def bucketCodeSql(e: String, nPlanes: Int): String =
+    bucketCodeFromSql(e, 0, nPlanes)
 
   /** Scale note: for a FIXED plane count the bucket domain is fixed,
     * so bucket postings grow with corpus/2^planes and the candidate

@@ -237,15 +237,26 @@ object EventsPipeline {
       .option("path", s"$outDir/dead_letter")
       .start()
 
-  /** Latest-epoch-wins view over the upsert sink — what dashboards
+  /** Last-write-wins ordering over the upsert sink's row versions.
+    * `batch_epoch` alone is NOT total: a backfill allocates
+    * max(batch_epoch)+1, and a stream restarted from its checkpoint
+    * continues from the same batchId — a guaranteed tie. `updated_at`
+    * (stamped by every writer at flush time) breaks the tie toward the
+    * later write, which is exactly the sink's upsert contract: the most
+    * recently written state for an hour wins. */
+  private val latestVersion = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("hour"))
+    .orderBy(col("batch_epoch").desc, col("updated_at").desc)
+
+  /** Latest-version-wins view over the upsert sink — what dashboards
     * read (equivalent to the reference's hourly_business_metrics
     * table after its additive merges, modulo the documented
-    * true-distinct divergence). */
+    * true-distinct divergence). Ordered by (batch_epoch, updated_at)
+    * so concurrent epoch spaces (stream batchIds vs backfill repairs)
+    * resolve deterministically to the later write. */
   def readHourlyMetrics(spark: SparkSession, outDir: String): DataFrame = {
     val df = spark.read.parquet(s"$outDir/hourly_business_metrics")
-    val latest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("hour")).orderBy(col("batch_epoch").desc)
-    df.withColumn("rn", row_number().over(latest))
+    df.withColumn("rn", row_number().over(latestVersion))
       .filter(col("rn") === 1)
       .drop("rn", "batch_epoch", "updated_at")
   }
@@ -262,22 +273,36 @@ object EventsPipeline {
     * upserts use, no in-place rewrite, safe to run while readers are
     * live (unlike [[compactHourlyMetrics]], nothing is moved or
     * deleted; a later compaction collapses the superseded versions).
-    * Safe to run against a LIVE stream too: the stream's next flush
-    * takes epochs above the backfill's, and for hours inside the
-    * backfilled range that is exactly the stream's own
-    * newest-state-wins contract. */
+    * Safe to run against a LIVE stream too, with one caveat the epoch
+    * space forces: a stream restarted from its checkpoint continues
+    * from its own batchId, so the backfill's max(batch_epoch)+1 CAN
+    * collide with the stream's next flush. The ordering in
+    * [[readHourlyMetrics]]/[[compactHourlyMetrics]] is therefore total
+    * over (batch_epoch, updated_at): on an epoch tie the later WRITE
+    * wins, which for hours inside the backfilled range is exactly the
+    * stream's own newest-state-wins contract (the stream only
+    * re-flushes an hour when new events arrived for it).
+    *
+    * Bootstraps cleanly: a sink directory that has never been written
+    * (repairing an outage that predates any stream flush) starts the
+    * epoch space at 0 instead of failing the read. */
   def backfillHourlyMetrics(spark: SparkSession, inputDir: String,
       outDir: String, fromHour: String, toHour: String): Long = {
+    import org.apache.hadoop.fs.Path
     val path = s"$outDir/hourly_business_metrics"
     val from = lit(fromHour).cast(TimestampType)
     val to = lit(toHour).cast(TimestampType)
     val repaired = batchHourlyMetrics(spark, inputDir)
       .filter(col("hour") >= from && col("hour") < to)
-    val maxEpoch = spark.read.parquet(path)
-      .agg(max(col("batch_epoch"))).first() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    val sink = new Path(path)
+    val fs = sink.getFileSystem(spark.sessionState.newHadoopConf())
+    val maxEpoch =
+      if (!fs.exists(sink)) -1L
+      else spark.read.parquet(path)
+        .agg(max(col("batch_epoch"))).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
     val epoch = maxEpoch + 1
     repaired.withColumn("batch_epoch", lit(epoch))
       .withColumn("updated_at", current_timestamp())
@@ -307,10 +332,8 @@ object EventsPipeline {
   def compactHourlyMetrics(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val path = s"$outDir/hourly_business_metrics"
-    val latest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("hour")).orderBy(col("batch_epoch").desc)
     val compacted = spark.read.parquet(path)
-      .withColumn("rn", row_number().over(latest))
+      .withColumn("rn", row_number().over(latestVersion))
       .filter(col("rn") === 1)
       .drop("rn")
     val dst = new Path(path)
