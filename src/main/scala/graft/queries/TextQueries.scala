@@ -458,31 +458,61 @@ object TextQueries {
     * per-(query, doc) score is an exact int64 multiply-sum, order-free
     * and map-side combined; ranking ties break on doc_id. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val k = Bm25TopK
-    val perDoc = docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+    val perDoc = bm25TermGrain(docs(spark, dir)).persist()
     perDoc.count()
+    val (vocab, _) = bm25Vocab(perDoc)
+    val postings = bm25Postings(perDoc, vocab)
+    val qterms = perDoc.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("term"))
+    bm25Score(qterms, postings, excludeSelf = true)
+  }
+
+  /** The (doc_id, term, tf) grain — one tokenized pass, one shuffle.
+    * Shared by the online query and [[graft.sources.TextIndexLayout]]
+    * (both build and delta-append encode through here, so the persisted
+    * index can never drift from the online query's tokenization). */
+  private[graft] def bm25TermGrain(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** The index GEOMETRY derived from a term grain: the vocabulary with
+    * build-time df and micro-quantized idf per term (plus the avgdl
+    * scalar replicated onto every row so posting encoding needs no
+    * second scalar join), and the 1-row corpus stats. A persisted index
+    * FREEZES both — delta-appended documents are encoded under the
+    * build-time df/idf/avgdl, never a re-derivation from the grown
+    * corpus (the AnnIndexLayout frozen-geometry discipline). */
+  private[graft] def bm25Vocab(perDoc: DataFrame): (DataFrame, DataFrame) = {
     val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
         .as("avgdl"))
     val dft = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = dft.crossJoin(broadcast(stats)) // 1-row scalar
+    val vocab = dft.crossJoin(broadcast(stats)) // 1-row scalar
       .select(col("term"), col("df"), col("n_docs"), col("avgdl"),
         round(log(((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
           (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)) * 1e6)
           .cast(LongType).as("idf_micro"))
-    // contributions are attached to the CAPPED postings (≤ vocab × cap
-    // rows) before the query fan-out, so the q × postings candidate
-    // set — the only corpus-scale frame — flows straight into its one
-    // groupBy shuffle instead of also shuffling for a dl join
-    val postings = perDoc.join(dft.select(col("term"), col("df")), "term")
+    (vocab, stats)
+  }
+
+  /** Capped, contribution-enriched postings for the documents in
+    * `perDoc` under the given vocabulary: contributions are attached
+    * to the CAPPED postings (≤ vocab × cap rows) before any query
+    * fan-out, so the q × postings candidate set — the only
+    * corpus-scale frame — flows straight into its one groupBy shuffle
+    * instead of also shuffling for a dl join. Document length comes
+    * from `perDoc` itself (each doc's own tokens); df/idf/avgdl come
+    * from `vocab`, which for a delta append is the FROZEN build-time
+    * vocabulary — delta terms missing from it (OOV) drop out of the
+    * index until the next rebuild, standard retrieval practice. */
+  private[graft] def bm25Postings(perDoc: DataFrame, vocab: DataFrame): DataFrame = {
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    perDoc.join(vocab.select(col("term"), col("df")), "term")
       .filter(h60Pool(col("doc_id"), col("df"), Bm25MaxPosting))
       .join(dl, "doc_id")
-      .join(idf.select(col("term"), col("idf_micro"), col("avgdl")), "term")
+      .join(vocab.select(col("term"), col("idf_micro"), col("avgdl")), "term")
       .select(col("term"), col("doc_id"),
         (col("idf_micro") *
           round(col("tf").cast(DoubleType) * lit(2.2) /
@@ -490,18 +520,24 @@ object TextQueries {
               (lit(0.25) + lit(0.75) *
                 (col("dl").cast(DoubleType) / col("avgdl")))) * 1e6)
             .cast(LongType)).as("contrib"))
-    val qterms = perDoc.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("q_id"), col("term"))
+  }
+
+  /** Probe + score + rank: qterms (q_id, term — MUST be distinct per
+    * query) equi-join the postings on the vocabulary key, one groupBy
+    * sums the exact int64 contributions, ties break on doc_id. Shared
+    * verbatim by the online query and the persisted-index serve path —
+    * byte-equality between them is by construction. */
+  private[graft] def bm25Score(qterms: DataFrame, postings: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("score_pico").desc, col("doc_id"))
-    qterms
-      .join(postings, "term")
-      .filter(col("q_id") =!= col("doc_id"))
+    val cand = qterms.join(postings, "term")
+    (if (excludeSelf) cand.filter(col("q_id") =!= col("doc_id")) else cand)
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score_pico"))
       .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= Bm25TopK)
       .select(col("q_id"), col("doc_id"), col("score_pico"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, explode, lit}
+
+import graft.functions.TextFunctions.tokens
+import graft.queries.TextQueries
+import graft.util.Tables
+
+/** Build-once / query-many persistence for the BM25 inverted index —
+  * the [[AnnIndexLayout]] discipline applied to text retrieval.
+  *
+  * The online query (`txt_bm25_topk`) re-tokenizes the corpus and
+  * rebuilds postings/df/dl/idf on every invocation; all of it is a
+  * pure function of the corpus, and at scale the tokenize + two
+  * aggregations are the expensive linear passes. This layout writes
+  * the finished index ONCE, together with the GEOMETRY it was computed
+  * under, as managed tables:
+  *
+  *  - `<prefix>_vocab` (term, df, n_docs, avgdl, idf_micro) and
+  *    `<prefix>_stats` (n_docs, avgdl) — the index geometry, captured
+  *    at build time. Delta appends encode new documents under THIS
+  *    vocabulary — never a re-derivation from the grown corpus, which
+  *    would score old and new postings on different idf scales
+  *    (mixed-geometry index, silently incomparable scores). OOV terms
+  *    of delta documents drop out until the next rebuild — standard
+  *    retrieval practice (they have no df under the frozen geometry).
+  *  - `<prefix>_postings` (term, doc_id, contrib), bucketed + sorted
+  *    by `term` — the probe equi-join key, so a query's terms read
+  *    only the matching buckets with no shuffle of the index side.
+  *    `contrib` is the micro-quantized int64 BM25 contribution
+  *    (idf × tf-saturation), fully precomputed: serving is equi-join,
+  *    one sum, one top-k window — no per-query math beyond the sum.
+  *
+  * Serving reuses the online query's scoring code verbatim
+  * ([[TextQueries.bm25Score]]): for the registered query subset the
+  * result is byte-identical to `txt_bm25_topk`
+  * (TextIndexLayoutSpec asserts it) because build and serve share the
+  * exact tokenize/encode/score code paths.
+  *
+  * Reference point: the reference keeps derived state hot the same way
+  * — precomputed tables maintained ahead of queries
+  * (consumer/consumer.py:240-293, database/schema.sql:30-59) — rather
+  * than recomputing rollups per dashboard refresh.
+  */
+object TextIndexLayout {
+
+  private def docsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Distinct (q_id, term) probe sets from raw query text. Distinctness
+    * matters: the online query's probe grain is the (doc, term) tf
+    * grain — one row per term — and a duplicated probe term would sum
+    * its contribution twice. */
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("q_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+
+  /** Build the index over the documents matching `where`: persist the
+    * geometry (vocabulary + corpus stats) derived from that corpus,
+    * then the capped, contribution-enriched postings as a bucketed
+    * table under `prefix`. One tokenized pass feeds everything
+    * ([[TextQueries.bm25TermGrain]] persisted for the duration of the
+    * build). */
+  def build(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int = 8, where: Column = lit(true)): Unit = {
+    val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir).filter(where))
+      .persist()
+    perDoc.count()
+    try {
+      val (vocab, stats) = TextQueries.bm25Vocab(perDoc)
+      vocab.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${prefix}_vocab")
+      stats.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${prefix}_stats")
+      // re-read the PERSISTED vocabulary so the postings are provably a
+      // function of the frozen geometry (and the plan reuses one scan)
+      val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
+      BucketedTables.writeBucketed(
+        TextQueries.bm25Postings(perDoc, frozen),
+        s"${prefix}_postings", "term", buckets)
+    } finally perDoc.unpersist()
+  }
+
+  /** Incremental maintenance — encode ONLY the documents matching
+    * `where` (e.g. `doc_id >= ingestWatermark`, which prunes at the
+    * parquet scan) under the FROZEN vocabulary, and append them into
+    * the bucketed postings. Per-document term frequencies and document
+    * length are independent of every other document, so the appended
+    * postings equal what a build over the union corpus would produce
+    * UNDER THE BUILD-TIME GEOMETRY (TextIndexLayoutSpec asserts it);
+    * df/idf/avgdl drift and the posting cap re-tightening are rebuild
+    * concerns, never append concerns.
+    *
+    * Idempotent under retries: the delta is anti-joined against the
+    * doc_ids already present in the postings, so re-running after a
+    * partial failure fills exactly the missing documents instead of
+    * double-filing them — duplicated postings would double their
+    * contribution in every future score. The anti join pays one
+    * doc_id-column shuffle of the index — the price of retry-safety on
+    * a plain-parquet layout. */
+  def appendDelta(spark: SparkSession, dir: String, prefix: String,
+      where: Column, buckets: Int = 8): Unit = {
+    val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
+    val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir).filter(where))
+    BucketedTables.appendBucketed(
+      TextQueries.bm25Postings(perDoc, frozen)
+        .join(BucketedTables.read(spark, s"${prefix}_postings")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      s"${prefix}_postings", "term", buckets)
+  }
+
+  /** Serve the registered query set (every 50th document) from the
+    * persisted index: must equal `txt_bm25_topk` row-for-row without
+    * tokenizing anything but the query documents themselves —
+    * the corpus appears ONLY through the persisted postings. */
+  def query(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    serve(spark, prefix,
+      docsOf(spark, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"), col("text")),
+      excludeSelf = true)
+
+  /** Serve an ARBITRARY query set — (q_id BIGINT, text STRING) — from
+    * the persisted index: tokenize the request side (request-sized end
+    * to end), probe the bucketed postings on `term`, score with the
+    * online query's exact int64 sum + top-k. Pass `excludeSelf = true`
+    * only when the requests ARE corpus members (re-querying the index
+    * for its own documents). */
+  def serve(spark: SparkSession, prefix: String, queries: DataFrame,
+      excludeSelf: Boolean = false): DataFrame =
+    TextQueries.bm25Score(queryTerms(queries),
+      BucketedTables.read(spark, s"${prefix}_postings"), excludeSelf)
+
+  /** ONLINE serving: a stream of (q_id, text) queries answered from
+    * the persisted index, micro-batch at a time through [[serve]]
+    * inside `foreachBatch` — the same stream-to-batch serving bridge
+    * as [[AnnIndexLayout.serveStream]] (scoring needs the top-k window
+    * Structured Streaming forbids on unbounded input). Exactly-once is
+    * the sink's usual foreachBatch contract (idempotent write keyed on
+    * batchId). */
+  def serveStream(spark: SparkSession, prefix: String,
+      queryStream: DataFrame, excludeSelf: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(serve(spark, prefix, batch, excludeSelf), batchId)
+      }
+      .start()
+}
