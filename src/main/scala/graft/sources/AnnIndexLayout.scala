@@ -113,6 +113,19 @@ object AnnIndexLayout {
       s"${prefix}_codes", "n_id", buckets)
   }
 
+  /** Maintenance pass for a delta-accumulating index: every
+    * [[appendDelta]] adds one file set per bucket, so after N deltas
+    * each bucket holds N+1 files and the read-side sort-skip degrades.
+    * Rewrites cells and codes back to ONE file per bucket (rows and
+    * bucket spec unchanged — [[BucketedTables.compact]]'s write-aside
+    * + checked-rename swap). Serve results are byte-identical before
+    * and after (CompactIndexSpec), and further deltas keep working
+    * against the compacted table. Run with index writers stopped. */
+  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
+    BucketedTables.compact(spark, s"${prefix}_cells", "cell", buckets)
+    BucketedTables.compact(spark, s"${prefix}_codes", "n_id", buckets)
+  }
+
   /** Serve the registered query set from the persisted index: must
     * equal `ann_ivfpq_topk` row-for-row without re-encoding the
     * corpus (self-exclusion on, as the online query's corpus-member

@@ -27,7 +27,16 @@ object BucketedTables {
     * every upstream task emits its own file per bucket —
     * tasks x buckets small files, and Spark only trusts a bucket's
     * sortBy order (letting sort-merge join skip its per-task sort)
-    * when it reads a single file per bucket. */
+    * when it reads a single file per bucket.
+    *
+    * SIZE `buckets` FOR WRITE PARALLELISM, NOT JUST JOIN FAN-IN: this
+    * repartition funnels the entire write through `buckets` tasks, so
+    * a default-8 build of a 100 TB table would serialize onto 8
+    * writers no matter how wide the upstream ran. Rule of thumb at
+    * scale: buckets ≈ table_size / target_file_size (128-512 MB), so
+    * bucket count grows with the data and the write stays as wide as
+    * the cluster. The small default exists for the test SFs, where 8
+    * one-file buckets keep plans readable. */
   private def oneFilePerBucket(df: DataFrame, key: String,
       buckets: Int): DataFrame =
     df.repartition(buckets, col(key))
@@ -57,4 +66,57 @@ object BucketedTables {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compact a bucketed table back to ONE file per bucket. Each
+    * [[appendBucketed]] lands one file set per delta, so a long-lived
+    * index accumulates files per bucket and the read-side sort-skip
+    * degrades; this maintenance pass rewrites the rows (unchanged)
+    * into a fresh one-file-per-bucket layout with the SAME bucket
+    * spec, then swaps directories — the
+    * `EventsPipeline.compactHourlyMetrics` write-aside discipline.
+    *
+    * Crash-safe at every step: the compacted copy is a fully written
+    * managed table FIRST, then live -> aside, tmp -> live, aside
+    * deleted — a crash at any point leaves at least one complete
+    * directory on disk, and each rename result is checked (HDFS
+    * reports failure by returning false, not throwing). The tmp
+    * table's metadata is dropped only after its directory has been
+    * swapped into place (an empty placeholder dir keeps the catalog
+    * drop from ever touching live data). Run it with writers stopped:
+    * plain parquet has no commit protocol, so an append landing
+    * between the snapshot read and the swap would be lost. Readers
+    * see identical rows before and after (spec'd for both index
+    * layouts). */
+  def compact(spark: SparkSession, table: String, key: String,
+      buckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val catalog = spark.sessionState.catalog
+    def loc(t: String): Path = new Path(catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val tmpTable = s"${table}__compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // read the FILES, not the catalog table: a bucketed scan advertises
+    // the target hash distribution, so the aligning repartition inside
+    // writeBucketed would be elided as redundant and each scan task
+    // (one per file group, NOT one per bucket) would write its own
+    // bucket files — the exact many-files layout compaction removes.
+    // The plain path scan has no partitioning claim, so the
+    // repartition stands and each bucket lands as one file.
+    writeBucketed(spark.read.parquet(loc(table).toString),
+      tmpTable, key, buckets)
+    val live = loc(table)
+    val tmp = loc(tmpTable)
+    val aside = new Path(live.toString + ".compact.old")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(aside, true) // stale leftover from a previous crash
+    require(fs.rename(live, aside), s"compaction: could not move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(aside, live) // restore the original before failing
+      throw new IllegalStateException(s"compaction: could not swap in $tmp")
+    }
+    fs.mkdirs(tmp) // placeholder so dropping tmp metadata is harmless
+    spark.sql(s"DROP TABLE $tmpTable")
+    fs.delete(aside, true)
+    spark.catalog.refreshTable(table)
+  }
 }

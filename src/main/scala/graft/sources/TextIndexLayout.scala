@@ -110,6 +110,15 @@ object TextIndexLayout {
       s"${prefix}_postings", "term", buckets)
   }
 
+  /** Maintenance pass for a delta-accumulating index: every
+    * [[appendDelta]] adds one file set per bucket; rewrite the
+    * postings back to ONE file per bucket (rows and bucket spec
+    * unchanged — [[BucketedTables.compact]]'s write-aside +
+    * checked-rename swap). Serve results are byte-identical before
+    * and after (CompactIndexSpec). Run with index writers stopped. */
+  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit =
+    BucketedTables.compact(spark, s"${prefix}_postings", "term", buckets)
+
   /** Serve the registered query set (every 50th document) from the
     * persisted index: must equal `txt_bm25_topk` row-for-row without
     * tokenizing anything but the query documents themselves —
