@@ -20,7 +20,8 @@ object ScaleCurve {
         "dedup_clusters", "dedup_ngram_jaccard", "dedup_contamination",
         "dedup_triangles",
         "dedup_minhash_pairs", "dedup_simhash_pairs", "txt_bigram_logprob",
-        "ann_pq_topk", "ann_pq_learned", "ann_ivfpq_learned", "txt_tfidf",
+        "ann_pq_topk", "ann_pq_learned", "ann_ivfpq_learned",
+        "ann_ivfpq_residual", "txt_tfidf",
         "tpch_waiting_suppliers",
         "tpch_nation_trade", "tpch_market_share", "ann_int8_topk",
         "ann_knn_join", "dedup_embedding_cosine", "txt_pack_sequences",

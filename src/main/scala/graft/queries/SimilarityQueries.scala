@@ -1511,6 +1511,191 @@ object SimilarityQueries {
             "JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id " +
             "AND cd.q_id = lut.q_id")}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ann_ivfpq_residual: IVF-PQ over RESIDUALS — the FAISS IVFPQ layout
+  // ---------------------------------------------------------------------
+
+  /** Float-rounded elementwise difference a - b: both engines compute
+    * the subtraction in DOUBLE (exact for float inputs) and round once
+    * to FLOAT — IEEE round-to-nearest on both sides, so residual
+    * vectors are bit-identical cross-engine. */
+  private def residVec(a: Column, b: Column): Column =
+    zip_with(a, b, (x, c) =>
+      (x.cast(DoubleType) - c.cast(DoubleType)).cast(FloatType))
+
+  private def residVecSql(a: String, b: String): String =
+    s"list_transform(generate_series(1, $Dim), i -> " +
+      s"CAST(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) AS FLOAT))"
+
+  /** [[ivfpqTopK]] with RESIDUAL encoding — the standard production
+    * IVFPQ layout (FAISS): the PQ codebook quantizes x − centroid(cell)
+    * instead of the raw vector. Raw-vector PQ spends its code budget on
+    * the coarse position the cell id already captures: every member of
+    * a tight cluster quantizes to the SAME codes, ADC ties collapse to
+    * the id tie-break, and true neighbors past the shortlist bound are
+    * silently dropped (ResidualPqSpec plants exactly that geometry and
+    * shows raw recall < 1). Subtracting the cell centroid concentrates
+    * the code distribution on the within-cell offsets — the fine
+    * structure retrieval actually ranks by — lifting recall at the same
+    * 16-byte budget.
+    *
+    * Mechanics: corpus residuals are computed once (assign join +
+    * broadcast centroid lookup, one scan); the residual seed codebook
+    * uses the same bounded-id idiom as [[pqSeedCents]]; queries carry
+    * one residual PER PROBED CELL, so the LUT key extends to
+    * (query, cell) and the ADC join matches a candidate against the
+    * LUT of the cell it lives in. Shortlist + exact re-rank (on raw
+    * vectors) are unchanged. Fully deterministic — float-rounded
+    * residuals, micro-quantized int64 partials, exact-int tie-breaks —
+    * so unlike the learned variants the whole composite is
+    * SQL-expressible and hash-checked. Scale shape inherits
+    * [[ivfpqTopK]]'s: two one-scan index passes at rest, cell-pruned
+    * ADC join, NProbe extra LUT rows per query (tiny). */
+  def ivfpqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val raw = embs(spark, dir)
+    val cents = coarseCentsOf(spark, dir)
+    val cellVecs = cents.select(col("cent_id").as("cell"), col("cvec"))
+    val assign = ivfAssign(spark, dir)
+    // corpus residuals: x - centroid(cell(x))
+    val resid = raw.join(assign, col("vec_id") === col("n_id"))
+      .join(broadcast(cellVecs), "cell")
+      .select(col("vec_id"),
+        residVec(col("embedding"), col("cvec")).as("embedding"))
+    // residual codebook: the bounded-id seed idiom over the residuals
+    val rcents = resid
+      .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val codes = pqEncode(resid, rcents)
+    // per-(query, probed cell) residuals -> the cell-keyed LUT
+    val probes = ivfProbes(spark, dir)
+    val qres = raw
+      .join(probes, col("vec_id") === col("q_id"))
+      .join(broadcast(cellVecs), "cell")
+      .select(col("q_id"), col("cell"),
+        residVec(col("embedding"), col("cvec")).as("embedding"))
+    val lut = qres.crossJoin(broadcast(rcents))
+      .select(col("q_id").as("lq_id"), col("cell").as("lcell"),
+        col("cent_id"),
+        posexplode(expr(s"graft_pq_d2s(embedding, cvec, $PqM)")))
+      .select(col("lq_id"), col("lcell"), col("cent_id"),
+        col("pos").as("qs"),
+        round(col("col") * lit(1e6)).cast(LongType).as("d2q"))
+    // candidates keep the cell so the ADC join reads the right LUT
+    val cand = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("cell"), col("n_id"))
+    val sw = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2q_total"), col("n_id"))
+    val shortlist = cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut),
+        col("s") === col("qs") && col("code") === col("cent_id") &&
+          col("q_id") === col("lq_id") && col("cell") === col("lcell"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2q")).as("d2q_total"))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqR)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank on RAW vectors (the codes only pick the shortlist)
+    val qv = raw.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val nv = raw.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("n_id"))
+    shortlist
+      .join(broadcast(qv), Seq("q_id"))
+      .join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_norm2(qvec)") + expr("graft_norm2(nvec)") -
+          lit(2.0) * expr("graft_dot(qvec, nvec)")).as("d2"))
+      .withColumn("rank", row_number().over(rw).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val ivfpqResidualSql: String = {
+    val d = PqSubDim
+    def subNorm2(a: String) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST($a[s.s*$d+i] AS DOUBLE) * CAST($a[s.s*$d+i] AS DOUBLE)))"
+    def subDot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST($a[s.s*$d+i] AS DOUBLE) * CAST($b[s.s*$d+i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+       |  FROM e WHERE vec_id % 40 = 7),
+       |cscored AS (
+       |  SELECT vec_id, ccos, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |           ${dotSql("e.embedding", "cvec")} / (e.nrm * cnrm) AS ccos
+       |    FROM e, coarse)),
+       |assign AS (SELECT vec_id AS n_id, cent_id AS cell FROM cscored WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell
+       |  FROM cscored WHERE vec_id % 50 = 0 AND crn <= $NProbe),
+       |resid AS (
+       |  SELECT e.vec_id, ${residVecSql("e.embedding", "c.cvec")} AS rvec
+       |  FROM e JOIN assign a ON e.vec_id = a.n_id
+       |         JOIN coarse c ON a.cell = c.cent_id),
+       |rcents AS (
+       |  SELECT vec_id AS cent_id, rvec AS cvec
+       |  FROM resid WHERE vec_id < 500 AND vec_id % 16 = 7),
+       |rscored AS (
+       |  SELECT r.vec_id, c.cent_id, s.s,
+       |         CAST(round((${subNorm2("r.rvec")}
+       |           + ${subNorm2("c.cvec")}
+       |           - 2.0 * ${subDot("r.rvec", "c.cvec")}) * 1e6) AS BIGINT) AS d2q
+       |  FROM resid r, rcents c, generate_series(0, ${PqM - 1}) s(s)),
+       |codes AS (
+       |  SELECT vec_id AS n_id, s, cent_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                 ORDER BY d2q, cent_id) AS rn
+       |    FROM rscored) WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.q_id, p.cell, ${residVecSql("e.embedding", "c.cvec")} AS rvec
+       |  FROM probes p JOIN e ON e.vec_id = p.q_id
+       |       JOIN coarse c ON p.cell = c.cent_id),
+       |lut AS (
+       |  SELECT q.q_id, q.cell, c.cent_id, s.s,
+       |         CAST(round((${subNorm2("q.rvec")}
+       |           + ${subNorm2("c.cvec")}
+       |           - 2.0 * ${subDot("q.rvec", "c.cvec")}) * 1e6) AS BIGINT) AS d2q
+       |  FROM qres q, rcents c, generate_series(0, ${PqM - 1}) s(s)),
+       |cand AS (
+       |  SELECT p.q_id, p.cell, a.n_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell
+       |  WHERE p.q_id != a.n_id),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT cd.q_id AS q_id, codes.n_id AS n_id,
+       |           row_number() OVER (PARTITION BY cd.q_id
+       |             ORDER BY CAST(sum(lut.d2q) AS BIGINT), codes.n_id) AS srn
+       |    FROM cand cd JOIN codes ON cd.n_id = codes.n_id
+       |    JOIN lut ON lut.s = codes.s AND lut.cent_id = codes.code
+       |            AND lut.q_id = cd.q_id AND lut.cell = cd.cell
+       |    GROUP BY cd.q_id, codes.n_id) WHERE srn <= $PqR),
+       |rerank AS (
+       |  SELECT sl.q_id, sl.n_id,
+       |         ${norm2Sql("q.embedding")} + ${norm2Sql("n.embedding")}
+       |           - 2.0 * ${dotSql("q.embedding", "n.embedding")} AS d2
+       |  FROM shortlist sl
+       |  JOIN embeddings q ON sl.q_id = q.vec_id
+       |  JOIN embeddings n ON sl.n_id = n.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, d2,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d2, n_id) AS BIGINT) AS rank
+       |  FROM rerank)
+       |SELECT q_id, n_id, d2, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
@@ -1529,6 +1714,7 @@ object SimilarityQueries {
     ("emb_pca2", pca2 _, pca2Sql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
     ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
+    ("ann_ivfpq_residual", ivfpqResidualTopK _, ivfpqResidualSql),
     ("ann_pq_learned", pqLearnedTopK _, null),
     ("ann_ivfpq_learned", ivfpqLearnedTopK _, null))
 }

@@ -364,6 +364,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivfpq residual: aggregate-form index passes, broadcast geometry") {
+    val p = plan("ann_ivfpq_residual")
+    // coarse assignment stays the partial-aggregable argmax and the
+    // residual encode stays the partial-aggregable argmin — the same
+    // no-corpus-window contract as ann_ivfpq_topk; centroids, residual
+    // codebook, and the cell-keyed LUT all ride broadcasts
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pq learned: training sample bound reaches the embeddings scan") {
     // without the pushed vec_id bound the Lloyd's training pass would
     // scale with the corpus instead of staying <=2000 vectors
