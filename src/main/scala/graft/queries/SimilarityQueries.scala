@@ -61,6 +61,16 @@ object SimilarityQueries {
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
   }
 
+  /** (vec_id, embedding, nrm) projection of an ARBITRARY vector frame
+    * (no label column required) — the encode surface stream-fed index
+    * deltas use: a micro-batch of new embeddings goes through the same
+    * assignment/encode code paths as a directory read. */
+  private[graft] def normedVectors(vecs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(vecs.sparkSession)
+    vecs.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+  }
+
   // ---------------------------------------------------------------------
   // ann_cosine_topk: exact brute-force baseline
   // ---------------------------------------------------------------------

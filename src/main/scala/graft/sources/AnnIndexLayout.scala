@@ -98,19 +98,63 @@ object AnnIndexLayout {
     * plain-parquet layout (a transactional table format would make the
     * append itself atomic instead). */
   def appendDelta(spark: SparkSession, dir: String, prefix: String,
-      where: Column, buckets: Int = 8): Unit = {
+      where: Column, buckets: Int = 8): Unit =
+    appendDeltaVectors(spark, prefix,
+      graft.util.Tables.load(spark, dir, "embeddings").filter(where),
+      buckets)
+
+  /** [[appendDelta]] for an ARBITRARY (vec_id, embedding) frame — the
+    * encode surface a STREAM of new embeddings feeds micro-batch at a
+    * time ([[maintainStream]]). Same frozen geometry, same per-table
+    * anti-join idempotence: a replayed micro-batch (restart without a
+    * committed offset) re-encodes rows the index already holds and the
+    * anti-join drops them, so the stream-built index equals the
+    * batch-built one over the same data (StreamDeltaIndexSpec). */
+  def appendDeltaVectors(spark: SparkSession, prefix: String,
+      vecs: DataFrame, buckets: Int = 8): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val (cents, pqcb) = geometry(spark, prefix)
     BucketedTables.appendBucketed(
-      SimilarityQueries.ivfAssignUsing(spark, dir, cents, where)
+      SimilarityQueries.ivfAssignWith(cents,
+          SimilarityQueries.normedVectors(vecs))
         .join(BucketedTables.read(spark, s"${prefix}_cells")
           .select(col("n_id")), Seq("n_id"), "left_anti"),
       s"${prefix}_cells", "cell", buckets)
     BucketedTables.appendBucketed(
-      SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where)
+      SimilarityQueries.pqEncode(
+          vecs.select(col("vec_id"), col("embedding")), pqcb)
         .join(BucketedTables.read(spark, s"${prefix}_codes")
           .select(col("n_id")).distinct(), Seq("n_id"), "left_anti"),
       s"${prefix}_codes", "n_id", buckets)
+    // the write commits through the FRAME's session — inside
+    // foreachBatch that is the micro-batch CLONE, whose table refresh
+    // does not invalidate this (the serving) session's cached file
+    // listing; without this refresh the serve path would keep reading
+    // the pre-delta index until some unrelated refresh
+    spark.catalog.refreshTable(s"${prefix}_cells")
+    spark.catalog.refreshTable(s"${prefix}_codes")
+  }
+
+  /** CONTINUOUS index maintenance: a stream of (vec_id, embedding)
+    * rows flows into the persisted index, one idempotent
+    * [[appendDeltaVectors]] delta per micro-batch inside `foreachBatch`
+    * (encode needs the multi-join batch plans Structured Streaming
+    * forbids on unbounded input — the same stream-to-batch bridge as
+    * [[serveStream]]). Restart safety needs NO sink-side state: even
+    * if the checkpoint replays a batch, the n_id anti-joins file only
+    * the missing vectors, so exactly-once lands for free. Geometry
+    * stays the frozen build-time set — a stream NEVER retrains (that
+    * is a rebuild). */
+  def maintainStream(spark: SparkSession, prefix: String,
+      vectorStream: DataFrame, buckets: Int = 8,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vectorStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        appendDeltaVectors(spark, prefix, batch, buckets)
+      }
+      .start()
   }
 
   /** Maintenance pass for a delta-accumulating index: every

@@ -100,14 +100,46 @@ object TextIndexLayout {
     * doc_id-column shuffle of the index — the price of retry-safety on
     * a plain-parquet layout. */
   def appendDelta(spark: SparkSession, dir: String, prefix: String,
-      where: Column, buckets: Int = 8): Unit = {
+      where: Column, buckets: Int = 8): Unit =
+    appendDeltaDocs(spark, prefix, docsOf(spark, dir).filter(where), buckets)
+
+  /** [[appendDelta]] for an ARBITRARY (doc_id, text) frame — the
+    * encode surface a STREAM of new documents feeds micro-batch at a
+    * time ([[maintainStream]]). Same frozen vocabulary, same doc_id
+    * anti-join idempotence: a replayed micro-batch re-encodes rows the
+    * postings already hold and the anti-join drops them. */
+  def appendDeltaDocs(spark: SparkSession, prefix: String,
+      docs: DataFrame, buckets: Int = 8): Unit = {
     val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
-    val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir).filter(where))
+    val perDoc = TextQueries.bm25TermGrain(docs)
     BucketedTables.appendBucketed(
       TextQueries.bm25Postings(perDoc, frozen)
         .join(BucketedTables.read(spark, s"${prefix}_postings")
           .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
       s"${prefix}_postings", "term", buckets)
+    // see AnnIndexLayout.appendDeltaVectors: a foreachBatch clone's
+    // write does not invalidate the serving session's file listing
+    spark.catalog.refreshTable(s"${prefix}_postings")
+  }
+
+  /** CONTINUOUS index maintenance: a stream of (doc_id, text) rows
+    * flows into the persisted postings, one idempotent
+    * [[appendDeltaDocs]] delta per micro-batch inside `foreachBatch`
+    * — the same stream-to-batch bridge as [[serveStream]] and
+    * [[AnnIndexLayout.maintainStream]]. A replayed batch appends
+    * nothing (doc_id anti-join), so exactly-once needs no sink-side
+    * state; the vocabulary stays the frozen build-time set (OOV terms
+    * of streamed docs drop out until the next rebuild). */
+  def maintainStream(spark: SparkSession, prefix: String,
+      docStream: DataFrame, buckets: Int = 8,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
+        appendDeltaDocs(spark, prefix, batch, buckets)
+      }
+      .start()
   }
 
   /** Maintenance pass for a delta-accumulating index: every
