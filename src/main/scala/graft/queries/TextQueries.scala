@@ -286,11 +286,45 @@ object TextQueries {
     * 100 TB the per-round aggregates touch millions of rows while the
     * corpus is scanned exactly once to build the frequencies. */
   private def bpeWords(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    bpeWordTypes(docs(spark, dir))
+
+  /** Word-type grain of an ARBITRARY (doc_id, text) frame — shared by
+    * the online walk and `sources.BpeArtifact`'s replay encode. */
+  private[graft] def bpeWordTypes(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), wrapSyms(col("word")).as("s"))
+
+  /** The alphabet size of the corpus (distinct single-character
+    * symbols over word types) — the base of "vocab = alphabet +
+    * one new symbol per merge", which is what lets a vocab-size
+    * target translate into a merge budget. */
+  private[graft] def bpeBaseSymbols(spark: SparkSession, dir: String): Long =
+    bpeWords(spark, dir)
+      .select(explode(expr(symsOfS)).as("sym"))
+      .agg(countDistinct(col("sym"))).head().getLong(0)
+
+  /** (word, n_sub) lengths under a final symbolization. */
+  private[graft] def bpeLens(wFinal: DataFrame): DataFrame =
+    wFinal.select(col("word"),
+      size(expr(symsOfS)).cast(LongType).as("n_sub"))
+
+  /** Replay a learned merge list over a (word, ..., s) frame — how a
+    * shipped tokenizer artifact encodes NEW text: the merge table IS
+    * the tokenizer. Chained literal replaces, checkpointed every 16
+    * rounds so long merge lists don't grow an unbounded plan. */
+  private[graft] def bpeApplyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (df, ((pair, merged), i)) =>
+      val out = df.withColumn("s",
+        regexp_replace(
+          col("s"),
+          lit(java.util.regex.Pattern.quote(" " + pair.replace(" ", "  ") + " ")),
+          lit(java.util.regex.Matcher.quoteReplacement(" " + merged + " "))))
+      if ((i + 1) % 16 == 0) out.localCheckpoint() else out
+    }
 
   /** The merge walk: [[BpeRounds]] rounds of (find the most frequent
     * adjacent symbol pair, weighted by word frequency; merge it
@@ -304,11 +338,23 @@ object TextQueries {
     * partial-aggregable (count desc, pair asc) tie-breaking, exact
     * int counts, so both engines pick identical merges. */
   private def bpeLoop(spark: SparkSession, dir: String)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+      : (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeLoopRounds(spark, dir, BpeRounds)
+
+  /** [[bpeLoop]] with a caller-chosen merge budget — the trainer
+    * surface `sources.BpeArtifact` uses to hit a VOCAB-SIZE target:
+    * every round adds exactly one new symbol to the vocabulary, so
+    * "train to vocab V" is a budget of V - |base symbols| rounds, and
+    * the loop converges early (`exhausted`) when no adjacent pair is
+    * left to merge — the data-dependent round count real tokenizers
+    * train with. The registered queries stay on the fixed
+    * [[BpeRounds]] so the DuckDB oracle can keep unrolling the walk. */
+  private[graft] def bpeLoopRounds(spark: SparkSession, dir: String,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     var w = bpeWords(spark, dir).localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
-    for (r <- 1 to BpeRounds if !exhausted) {
+    for (r <- 1 to rounds if !exhausted) {
       val best = w
         .select(col("freq"), expr(symsOfS).as("syms"))
         .select(col("freq"), explode(expr(
@@ -357,9 +403,16 @@ object TextQueries {
     * number a training-data pipeline budgets sequences with. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val (_, wFinal) = bpeLoop(spark, dir)
-    val lens = wFinal.select(col("word"),
-      size(expr(symsOfS)).cast(LongType).as("n_sub"))
-    docs(spark, dir)
+    bpeEncodeWith(docs(spark, dir), bpeLens(wFinal))
+  }
+
+  /** The encode tail — per-doc token counts from a (word, n_sub)
+    * length table; shared by the online query (lengths derived in the
+    * same run) and `sources.BpeArtifact.encode` (lengths read from the
+    * persisted artifact). */
+  private[graft] def bpeEncodeWith(docsDf: DataFrame,
+      lens: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .join(lens, "word")
@@ -369,7 +422,6 @@ object TextQueries {
         (col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
           .as("bpe_per_word"))
       .orderBy(col("doc_id"))
-  }
 
   /** The walk's CTE prefix shared by both BPE oracles: w0 is the
     * word-type grain; each round r adds p{r} (pair counts), b{r} (the
