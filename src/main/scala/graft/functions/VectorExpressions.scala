@@ -248,6 +248,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(VectorExpressions.PqSubD2s.getClass.getName, "graft_pq_d2s"),
       (children: Seq[Expression]) =>
         VectorExpressions.PqSubD2s(children(0), children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_est"),
+      new ExpressionInfo(SketchExpressions.CmsEstimate.getClass.getName,
+        "graft_cms_est"),
+      SketchExpressions.builder _))
   }
 }
 

@@ -290,26 +290,29 @@ object ProfileQueries {
     * executor sketches its partition, buffers merge associatively —
     * exactly how you'd count 100 TB of token frequencies in fixed
     * memory); the driver holds only the fixed-size sketch bytes, never
-    * keys. The exact top-20 it is audited against is one groupBy +
-    * top-k. No DuckDB oracle (sketch internals aren't
+    * keys. The estimates are a MAP-SIDE expression
+    * ([[graft.functions.SketchExpressions.CmsEstimate]]): the sketch
+    * bytes ride the plan as a broadcast-style literal and each audited
+    * key pays one O(depth) probe inside codegen, so the audit list
+    * size is unbounded — the driver collects only the final top-k,
+    * never an estimate loop. No DuckDB oracle (sketch internals aren't
     * SQL-expressible); the driver records rows>0 and
-    * ExtensionOpsSpec asserts the CMS error bounds. */
+    * ExtensionOpsSpec asserts the CMS error bounds + the
+    * no-driver-estimate plan shape. */
   def userCms(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    graft.functions.SketchExpressions.ensureRegistered(spark)
     val ev = Tables.load(spark, dir, "events").select(col("user_id"))
     val skBytes = ev
       .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99),
         lit(42)).as("sk"))
       .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
-    val top = ev.groupBy(col("user_id"))
+    ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id"))
       .limit(20)
-      .as[(Long, Long)].collect()
-    top.map { case (uid, n) => (uid, n, cms.estimateCount(uid)) }
-      .toSeq.toDF("user_id", "exact_n", "cms_n")
+      .select(col("user_id"), col("exact_n"),
+        call_function("graft_cms_est", lit(skBytes), col("user_id"))
+          .as("cms_n"))
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 

@@ -361,6 +361,17 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(est - exact <= math.max(1L, (0.001 * n).toLong),
         s"overcount ${est - exact} beyond eps*N")
     }
+    // the estimates are computed by the MAP-SIDE expression, not a
+    // driver loop: the plan carries graft_cms_est (inside the final
+    // top-k project — the executed TakeOrderedAndProject elides its
+    // project list in toString, so pin the optimized logical plan)
+    // and the only driver-side artifact is the final collected top-k
+    val p = ProfileQueries.userCms(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("graft_cms_est"), p)
+    // a driver-computed estimate column would reach the plan as a
+    // LocalRelation of pre-built rows — it must not
+    assert(!p.contains("LocalRelation"), p)
   }
 
   test("util_skew_profile shares are consistent and ranked") {
