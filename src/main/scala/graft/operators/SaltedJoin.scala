@@ -19,10 +19,33 @@ import org.apache.spark.sql.functions._
   * salts or the join double-counts/drops rows under failure — the
   * classic correctness bug in naive salting at cluster scale.
   *
-  * (Spark's AQE skew-join handles sort-merge skew automatically at
-  * runtime; explicit salting remains the tool for skewed AGGREGATIONS
-  * feeding a join, for deterministic layout, and for engines/paths AQE
-  * does not cover. Both paths coexist here.)
+  * == Division of labor vs AQE skew-join (measured in AqeSkewJoinSpec
+  * on the util_skew_profile top-key distribution) ==
+  *
+  * For a plain shuffled equi-join, prefer AQE: it detects the
+  * oversized partition at runtime and splits it (no salting code, no
+  * replication factor to tune), and a broadcast join sidesteps skew
+  * entirely. This operator remains the ONLY lever in four measured
+  * situations:
+  *
+  *  1. Skewed AGGREGATIONS: a reduce must see every row of its key;
+  *     only pre-salting (two-phase aggregate) splits that work.
+  *  2. Stream-stream joins: Structured Streaming has no adaptive
+  *     re-planning mid-stream.
+  *  3. Aggregate-fed joins: AQE's OptimizeSkewedJoin pattern-matches
+  *     Sort DIRECTLY over a shuffle stage on both sides — a
+  *     distinct/groupBy whose final aggregate sits between the
+  *     shuffle and the join silently defeats the rule.
+  *  4. Single-mapper hot keys: AQE splits a skewed partition along
+  *     MAPPER boundaries, so a hot key emitted by one upstream task
+  *     is unsplittable ("number of skewed partitions: 0"); salting
+  *     re-keys the rows instead of re-reading map outputs, so it has
+  *     no such constraint.
+  *
+  * And one measurement caveat worth its own line: AQE's skew stats
+  * are COMPRESSED map-output bytes — low-entropy hot rows can lz4 far
+  * below every threshold and read as "not skewed" while still
+  * dominating a task's row count.
   */
 object SaltedJoin {
 
