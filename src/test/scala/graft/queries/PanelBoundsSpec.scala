@@ -95,7 +95,15 @@ class PanelBoundsSpec extends SparkSpec {
     // order-preserving), so the dashboard range lands in the parquet
     // scan where row-group stats can skip data — the property that
     // keeps a narrow dashboard window cheap on a 100 TB event log.
-    val p = EventsQueries.peakLoad(spark, dir, Some(f), Some(t))
+    // Asserted against a micros-layout fixture WRITTEN BY THIS TEST
+    // (Spark's default parquet timestamp type), not the shared
+    // testdata: older generator builds ship TIMESTAMP(NANOS) events,
+    // where the loader's rebuild legitimately blocks pushdown — the
+    // assertion must pin code behavior, not the generator's build.
+    val fixDir = tmpDir("graft-panel-push")
+    writeFixture(fixDir, "events",
+      graft.util.Tables.load(spark, dir, "events"))
+    val p = EventsQueries.peakLoad(spark, fixDir.toString, Some(f), Some(t))
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-05"), p)
     assert(p.contains("LessThan(ts,2024-01-12"), p)

@@ -85,4 +85,48 @@ class KafkaSourceSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("kafka_live").columns.sameElements(Array("value")))
   }
+
+  test("real broker round-trip: produce -> consume -> aggregate equals the file path (gated)") {
+    // the full S4/S5 closure for a broker-enabled CI: JSONL replays
+    // through the Kafka SINK, comes back through the Kafka SOURCE, and
+    // the hourly aggregate over the consumed lines must equal the
+    // batch aggregate over the original files. Needs topic
+    // auto-creation (or pre-create the per-run topic); zero new
+    // sandbox dependencies — without a broker the test cancels.
+    val broker = sys.env.get("GRAFT_KAFKA_BOOTSTRAP")
+    assume(broker.isDefined, "no broker in this environment")
+    val topic = s"graft-rt-${System.currentTimeMillis()}"
+    val in = tmpDir("graft-kafka-rt-in")
+    val ckp = tmpDir("graft-kafka-rt-ckp")
+    val lines = Seq(
+      validLine,
+      validLine.replace("12:00:00", "12:30:00"),
+      validLine.replace("T12", "T13").replace(""""session_id":7""",
+        """"session_id":8"""),
+      badLine)
+    java.nio.file.Files.write(in.resolve("events.jsonl"),
+      String.join("\n", lines: _*).getBytes(UTF_8))
+
+    val prod = EventSource.kafkaSink(
+        EventSource.fileStream(spark, in.toString), broker.get, topic)
+      .option("checkpointLocation", ckp.resolve("prod").toString)
+      .start()
+    try prod.processAllAvailable() finally prod.stop()
+
+    val cons = EventSource.kafkaStream(spark, broker.get, topic)
+      .writeStream.format("memory").queryName("kafka_rt")
+      .option("checkpointLocation", ckp.resolve("cons").toString)
+      .outputMode("append").start()
+    try cons.processAllAvailable() finally cons.stop()
+
+    val consumed = spark.table("kafka_rt")
+    assert(consumed.count() == lines.size)
+    val viaKafka = EventsPipeline.hourlyMetrics(EventsPipeline.rawEvents(
+        EventsPipeline.parseAndValidate(consumed)))
+      .orderBy(col("hour")).collect().toSeq
+    val viaFiles = EventsPipeline.batchHourlyMetrics(spark, in.toString)
+      .orderBy(col("hour")).collect().toSeq
+    assert(viaKafka == viaFiles)
+    assert(viaKafka.nonEmpty)
+  }
 }
