@@ -1,12 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
-import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** Map-side sketch probes.
   *
@@ -65,11 +65,93 @@ object SketchExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** graft_bloom_mc(sketch, key): membership probe against a Bloom
+    * filter — `false` is definite ("key was never inserted"), `true`
+    * means "maybe" at the build-time fpp. Same operand contract as
+    * [[CmsEstimate]]: the sketch must be a foldable binary literal so
+    * it deserializes once per executor, and each row pays one
+    * O(numHashes) probe inside whole-stage codegen.
+    *
+    * This is the map-side half of a semi-join runtime filter: build
+    * the bloom over the SMALL side's join keys, probe it in a Filter
+    * under the BIG side's scan, and the shuffle only carries rows that
+    * might match. Because false negatives are impossible, an exact
+    * join above the filter returns exactly the unfiltered result —
+    * the bloom is performance-transparent, so bloom-pruned queries
+    * keep their exact DuckDB oracle. */
+  case class BloomMightContain(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_mc"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType != BinaryType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a binary sketch, got ${left.dataType.simpleString}")
+      else if (!left.foldable)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable (literal) sketch argument")
+      else if (right.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a bigint key, got ${right.dataType.simpleString}")
+      else TypeCheckResult.TypeCheckSuccess
+
+    @transient private lazy val bloom: BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+        left.eval(null).asInstanceOf[Array[Byte]]))
+
+    override protected def nullSafeEval(sk: Any, k: Any): Any =
+      bloom.mightContainLong(k.asInstanceOf[java.lang.Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bloomRef = ctx.addReferenceObj("bloom", bloom,
+        classOf[BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, (_, k) =>
+        s"${ev.value} = $bloomRef.mightContainLong($k);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BloomMightContain =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Distributed Bloom build over a single LongType column: each
+    * partition fills its own filter (Dataset mapPartitions — one
+    * fixed-size sketch per task, no row shuffle), the driver ORs the
+    * per-partition bit arrays. Merge is associative/commutative, so
+    * the resulting bytes are partitioning-independent — deterministic
+    * for a given key set and (expectedItems, fpp). Insert/probe pair
+    * is putLong/mightContainLong (same key hashing on both sides by
+    * construction; BloomPruneSpec pins zero false negatives). */
+  def buildLongBloom(keys: DataFrame, column: String,
+      expectedItems: Long, fpp: Double): Array[Byte] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val parts = keys.select(column).as[Long].mapPartitions { it =>
+      val bf = BloomFilter.create(expectedItems, fpp)
+      it.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Iterator(bos.toByteArray)
+    }.collect()
+    val merged = BloomFilter.create(expectedItems, fpp)
+    parts.foreach { b =>
+      merged.mergeInPlace(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
+  }
+
   private[functions] def builder(children: Seq[Expression]): Expression =
     CmsEstimate(children(0), children(1))
 
-  /** Idempotently register graft_cms_est in the session's function
-    * registry (late-binding path next to
+  private[functions] def bloomBuilder(children: Seq[Expression]): Expression =
+    BloomMightContain(children(0), children(1))
+
+  /** Idempotently register graft_cms_est / graft_bloom_mc in the
+    * session's function registry (late-binding path next to
     * [[VectorFunctions.ensureRegistered]]). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -78,6 +160,12 @@ object SketchExpressions {
       registry.registerFunction(id,
         new ExpressionInfo(CmsEstimate.getClass.getName, "graft_cms_est"),
         builder _)
+    }
+    val bid = FunctionIdentifier("graft_bloom_mc")
+    if (!registry.functionExists(bid)) {
+      registry.registerFunction(bid,
+        new ExpressionInfo(BloomMightContain.getClass.getName, "graft_bloom_mc"),
+        bloomBuilder _)
     }
   }
 }

@@ -252,6 +252,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(SketchExpressions.CmsEstimate.getClass.getName,
         "graft_cms_est"),
       SketchExpressions.builder _))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_mc"),
+      new ExpressionInfo(SketchExpressions.BloomMightContain.getClass.getName,
+        "graft_bloom_mc"),
+      SketchExpressions.bloomBuilder _))
   }
 }
 

@@ -1109,7 +1109,38 @@ object DedupQueries {
     * eval side of the join is ~20% of the corpus. Tie-break on the
     * exact int64 (common DESC, train_doc ASC), never the derived
     * double. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationImpl(spark, dir, bloomPrune = false)
+
+  /** [[contamination]] with a Bloom runtime filter on the train side.
+    *
+    * The contamination join is asymmetric: the eval side is ~20% of
+    * the corpus but the TRAIN side is everything — at 100 TB the
+    * dominant cost is shuffling every train posting row to its shingle
+    * reducer, even though only train shingles that also occur in some
+    * eval document can ever produce a pair. This variant builds a
+    * Bloom filter over the eval side's shingle keys
+    * ([[graft.functions.SketchExpressions.buildLongBloom]] — one
+    * fixed-size sketch per partition, OR-merged on the driver) and
+    * probes it in a Filter UNDER the train side of the join
+    * (map-side, codegen'd), so the shuffle carries only might-match
+    * rows. Bloom false positives are harmless (the equi-join above is
+    * exact) and false negatives are impossible, so the output is
+    * bit-identical to [[contamination]] — same DuckDB oracle, and
+    * BloomPruneSpec asserts result equality, zero false negatives,
+    * and the filter-under-join plan shape.
+    *
+    * This is the hand-rolled twin of Spark's runtime row-level
+    * filtering (spark.sql.optimizer.runtime.bloomFilter.*), which
+    * only injects when a selective filter exists on the CREATION side
+    * and the join is large enough — here the "filter" is the split
+    * predicate, invisible to that heuristic, so we place the bloom
+    * deliberately. */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    contaminationImpl(spark, dir, bloomPrune = true)
+
+  private def contaminationImpl(spark: SparkSession, dir: String,
+      bloomPrune: Boolean): DataFrame = {
     import graft.functions.TextFunctions.h60
     val sh = shingles(spark, dir).persist()
     sh.count()
@@ -1135,9 +1166,24 @@ object DedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("eval_doc"))
       .orderBy(col("common").desc, col("train_doc"))
+    val trainSide = {
+      val base = postings.as("t").filter(col("t.split") === "train")
+      if (!bloomPrune) base
+      else {
+        import graft.functions.SketchExpressions
+        SketchExpressions.ensureRegistered(spark)
+        val evalKeys = postings.filter(col("split") =!= "train").select("s")
+        // size the sketch to the data: one cheap count over the cached
+        // postings, then ~7 bits/key at fpp 3%
+        val n = math.max(evalKeys.count(), 1024L)
+        val bloomBytes = SketchExpressions.buildLongBloom(
+          evalKeys, "s", n, 0.03)
+        base.filter(call_function("graft_bloom_mc",
+          lit(bloomBytes), col("t.s")))
+      }
+    }
     postings.as("e").filter(col("e.split") =!= "train")
-      .join(postings.as("t").filter(col("t.split") === "train"),
-        col("e.s") === col("t.s"))
+      .join(trainSide, col("e.s") === col("t.s"))
       .groupBy(col("e.split").as("split"), col("e.doc_id").as("eval_doc"),
         col("t.doc_id").as("train_doc"), col("e.n").as("n_eval"))
       .agg(count(lit(1)).as("common"))
@@ -1199,5 +1245,7 @@ object DedupQueries {
     ("dedup_pagerank", pagerank _, pagerankSql),
     ("dedup_triangles", triangles _, trianglesSql),
     ("dedup_corpus_clean", corpusClean _, corpusCleanSql),
-    ("dedup_contamination", contamination _, contaminationSql))
+    ("dedup_contamination", contamination _, contaminationSql),
+    // bloom prune is performance-transparent: same exact oracle
+    ("dedup_contamination_bloom", contaminationBloom _, contaminationSql))
 }
