@@ -1241,6 +1241,83 @@ object TextQueries {
        |ORDER BY n_occ DESC, first_doc, chunk_key""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_dup_spans: substring-level (alignment-free) duplicate spans
+  // ---------------------------------------------------------------------
+
+  /** Duplicated 16-token spans at ANY offset — the substring-level
+    * dedup signal ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): boilerplate, license headers, and
+    * templated passages repeat across documents at arbitrary
+    * alignments, so [[chunkDupes]]' fixed non-overlapping chunking
+    * misses every occurrence that straddles a chunk boundary. A
+    * stride-1 window hash is the fixed-length approximation of the
+    * paper's suffix-array scan: every length-16 window of every
+    * document is hashed, and a span is reported when it occurs in ≥2
+    * distinct documents.
+    *
+    * Scale shape: the span index has exactly one row per token
+    * position (same cardinality as the 3-shingle index that already
+    * powers the dedup family — stride-1 does NOT multiply rows, only
+    * the per-row hash cost is L tokens wide), one shuffle on the span
+    * hash, top-50 capped output. The first-occurrence lookup joins the
+    * span-grain table (small, post-HAVING) back to the index on
+    * (span, first_doc) — never a second corpus pass. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val L = 16
+    val sp = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= L)
+      // barrier: keep `toks` a materialized attribute or the window
+      // generator re-splits the text once per span (chunkDupes note)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - L),
+          i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("s"))
+      .persist()
+    sp.count()
+    val g = sp.groupBy(col("s"))
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2L)
+    val fp = sp.join(g.select(col("s"), col("first_doc")), Seq("s"))
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy(col("s"))
+      .agg(min(col("pos")).as("first_pos"))
+    g.join(fp, Seq("s"))
+      .select(col("s").as("span_key"), col("n_docs"), col("n_occ"),
+        col("first_doc"), col("first_pos"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_key"))
+      .limit(50)
+  }
+
+  val dupSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 15)) AS i
+       |  FROM d WHERE len(toks) >= 16),
+       |sp AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
+       |  FROM p),
+       |g AS (
+       |  SELECT s, count(DISTINCT doc_id) AS n_docs,
+       |         CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+       |  FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |fp AS (
+       |  SELECT sp.s, min(sp.pos) AS first_pos
+       |  FROM sp JOIN g ON sp.s = g.s AND sp.doc_id = g.first_doc
+       |  GROUP BY 1)
+       |SELECT g.s AS span_key, g.n_docs, g.n_occ, g.first_doc, fp.first_pos
+       |FROM g JOIN fp ON g.s = fp.s
+       |ORDER BY n_docs DESC, n_occ DESC, span_key
+       |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_bigram_logprob: corpus-LM document scoring
   // ---------------------------------------------------------------------
 
@@ -1403,6 +1480,7 @@ object TextQueries {
     ("txt_length_deciles", lengthDeciles _, lengthDecilesSql),
     ("txt_pack_sequences", packSequences _, packSequencesSql),
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
+    ("txt_dup_spans", dupSpans _, dupSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }
