@@ -1318,6 +1318,76 @@ object TextQueries {
        |LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_span_coverage: per-document duplicated-substring coverage
+  // ---------------------------------------------------------------------
+
+  /** Per-document fraction of token positions covered by some
+    * cross-document duplicated 16-token span — the actionable form of
+    * [[dupSpans]]: substring dedup does not drop whole documents, it
+    * prunes (or strips) documents whose text is mostly shared
+    * boilerplate, and THIS is the number that decision reads. Interval
+    * union, not occurrence count: overlapping duplicated windows cover
+    * a position once (a 17-token shared passage yields 2 windows but
+    * 17 covered positions, not 32).
+    *
+    * Scale shape: the span index is one row per token position; the
+    * duplicated-span set (post-HAVING, corpus-small) joins back on the
+    * span hash — the big side shuffles once and only dup occurrences
+    * fan out ×16 into the position-union count. Output is one row per
+    * document containing at least one duplicated span. */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val L = 16
+    val sp = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= L)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        posexplode(
+          transform(sequence(lit(0), size(col("toks")) - L),
+            i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
+      .toDF("doc_id", "n_tokens", "pos", "s")
+      .persist()
+    sp.count()
+    val dup = sp.groupBy(col("s"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .select(col("s"))
+    sp.join(dup, Seq("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("p"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count_distinct(col("p")).as("dup_positions"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
+        (col("dup_positions").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCoverageSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         unnest(generate_series(1, len(toks) - 15)) AS i
+       |  FROM d WHERE len(toks) >= 16),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
+       |  FROM p),
+       |dup AS (
+       |  SELECT s FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT sp.doc_id, sp.n_tokens,
+       |         unnest(generate_series(sp.pos, sp.pos + 15)) AS pp
+       |  FROM sp JOIN dup ON sp.s = dup.s)
+       |SELECT doc_id, n_tokens,
+       |       count(DISTINCT pp) AS dup_positions,
+       |       CAST(count(DISTINCT pp) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |         AS coverage
+       |FROM cov GROUP BY doc_id, n_tokens
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_bigram_logprob: corpus-LM document scoring
   // ---------------------------------------------------------------------
 
@@ -1481,6 +1551,7 @@ object TextQueries {
     ("txt_pack_sequences", packSequences _, packSequencesSql),
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
     ("txt_dup_spans", dupSpans _, dupSpansSql),
+    ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -47,6 +47,34 @@ class DupSpansSpec extends SparkSpec {
     assert(chunks.isEmpty, chunks.mkString("\n"))
   }
 
+  test("span coverage: planted passage covers exactly its 16 positions") {
+    val cov = TextQueries.spanCoverage(spark, dir.toString).collect()
+    assert(cov.length == 2) // doc 2 has no duplicated span → no row
+    val byDoc = cov.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(0L).getAs[Long]("dup_positions") == 16L)
+    assert(byDoc(1L).getAs[Long]("dup_positions") == 16L)
+    assert(byDoc(0L).getAs[Double]("coverage") == 16.0 / 64.0)
+  }
+
+  test("span coverage is an interval UNION: overlapping windows count once") {
+    // a 17-token shared passage yields two overlapping duplicated
+    // windows but must cover 17 positions, not 32
+    val d = tmpDir("graft-spancov")
+    val passage = (0 until 17).map(i => s"ovl$i").mkString(" ")
+    def filler(doc: Int, n: Int): String =
+      (0 until n).map(i => s"v${doc}w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${filler(0, 10)} $passage ${filler(0, 13) /* 40 toks */}"),
+      (1L, s"$passage ${filler(1, 23)}"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeFixture(d, "documents", docs)
+    val cov = TextQueries.spanCoverage(spark, d.toString).collect()
+    assert(cov.length == 2)
+    cov.foreach(r => assert(r.getAs[Long]("dup_positions") == 17L,
+      r.toString))
+  }
+
   test("no false spans on a duplicate-free corpus") {
     val d = tmpDir("graft-dupspans-neg")
     val docs = (0L until 4L).map { id =>
