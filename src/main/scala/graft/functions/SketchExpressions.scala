@@ -115,33 +115,53 @@ object SketchExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Upper bound on the sketch's sizing key count (~3.8 MB of bits at
+    * fpp 3%). Beyond this the filter keeps its budget and the
+    * EFFECTIVE fpp degrades gracefully (more rows survive the prune,
+    * all still exact after the join) instead of the sketch — which
+    * rides plans as a literal and is tree-merged across tasks —
+    * growing without bound with the corpus. */
+  val MaxBloomItems: Long = 1L << 22
+
   /** Distributed Bloom build over a single LongType column: each
     * partition fills its own filter (Dataset mapPartitions — one
-    * fixed-size sketch per task, no row shuffle), the driver ORs the
-    * per-partition bit arrays. Merge is associative/commutative, so
-    * the resulting bytes are partitioning-independent — deterministic
-    * for a given key set and (expectedItems, fpp). Insert/probe pair
-    * is putLong/mightContainLong (same key hashing on both sides by
-    * construction; BloomPruneSpec pins zero false negatives). */
+    * fixed-size sketch per task, no row shuffle), then the bit arrays
+    * are OR-merged in an executor-side TREE (treeReduce, not a star
+    * collect: at cluster scale `partitions x sketch bytes` to one
+    * driver is the bottleneck, the tree moves ~log fan-in per level).
+    * Merge is associative/commutative, so the resulting bytes are
+    * partitioning-independent — deterministic for a given key set and
+    * (expectedItems, fpp). Insert/probe pair is
+    * putLong/mightContainLong (same key hashing on both sides by
+    * construction; BloomPruneSpec pins zero false negatives).
+    * `expectedItems` is clamped to [[MaxBloomItems]]. */
   def buildLongBloom(keys: DataFrame, column: String,
       expectedItems: Long, fpp: Double): Array[Byte] = {
     val spark = keys.sparkSession
     import spark.implicits._
-    val parts = keys.select(column).as[Long].mapPartitions { it =>
-      val bf = BloomFilter.create(expectedItems, fpp)
-      it.foreach(bf.putLong)
+    val sized = math.min(math.max(expectedItems, 1L), MaxBloomItems)
+    def toBytes(bf: BloomFilter): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
-      Iterator(bos.toByteArray)
-    }.collect()
-    val merged = BloomFilter.create(expectedItems, fpp)
-    parts.foreach { b =>
-      merged.mergeInPlace(
-        BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      bos.toByteArray
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
-    bos.toByteArray
+    val parts = keys.select(column).as[Long].mapPartitions { it =>
+      val bf = BloomFilter.create(sized, fpp)
+      it.foreach(bf.putLong)
+      Iterator(toBytes(bf))
+    }
+    // RDD treeReduce (rare imperative escape): sketch merging is the
+    // textbook case — fixed-size opaque byte blobs, associative OR.
+    // Every partition emits a sketch (empty partitions an empty one),
+    // so the reduce is only degenerate on a zero-partition input.
+    val rdd = parts.rdd
+    if (rdd.getNumPartitions == 0) toBytes(BloomFilter.create(sized, fpp))
+    else rdd.treeReduce({ (a, b) =>
+      val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      bf.mergeInPlace(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      toBytes(bf)
+    }, depth = 2)
   }
 
   private[functions] def builder(children: Seq[Expression]): Expression =
