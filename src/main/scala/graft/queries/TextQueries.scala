@@ -1332,9 +1332,15 @@ object TextQueries {
     *
     * Scale shape: the span index is one row per token position; the
     * duplicated-span set (post-HAVING, corpus-small) joins back on the
-    * span hash — the big side shuffles once and only dup occurrences
-    * fan out ×16 into the position-union count. Output is one row per
-    * document containing at least one duplicated span. */
+    * span hash, and the union length is an interval SWEEP over each
+    * doc's dup occurrences — contribution = span end minus
+    * max(previous end, span start), floored at 0 — one window over
+    * the (doc, pos) grain, no per-position fan-out, no distinct
+    * (strictly less work than the explode(16)+count_distinct
+    * formulation it replaced). Per-position rows are unique per doc, so the sweep's
+    * ordering is total and the window partition never outgrows its
+    * document. Output is one row per document containing at least one
+    * duplicated span. */
   def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
     val L = 16
     val sp = docs(spark, dir)
@@ -1346,17 +1352,25 @@ object TextQueries {
           transform(sequence(lit(0), size(col("toks")) - L),
             i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
       .toDF("doc_id", "n_tokens", "pos", "s")
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast(LongType).as("pos"), col("s"))
       .persist()
     sp.count()
     val dup = sp.groupBy(col("s"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2L)
       .select(col("s"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     sp.join(dup, Seq("s"))
-      .select(col("doc_id"), col("n_tokens"),
-        explode(sequence(col("pos"), col("pos") + (L - 1))).as("p"))
+      .withColumn("prev_end", max(col("pos") + L).over(sweep))
+      .withColumn("contrib",
+        greatest(col("pos") + L - greatest(col("pos"),
+          coalesce(col("prev_end"), col("pos"))), lit(0L)))
       .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count_distinct(col("p")).as("dup_positions"))
+      .agg(sum(col("contrib")).as("dup_positions"))
       .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
         (col("dup_positions").cast(DoubleType) /
           col("n_tokens").cast(DoubleType)).as("coverage"))
@@ -1376,13 +1390,19 @@ object TextQueries {
        |  FROM p),
        |dup AS (
        |  SELECT s FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (
+       |  SELECT sp.doc_id, sp.n_tokens, sp.pos,
+       |         max(sp.pos + 16) OVER (PARTITION BY sp.doc_id ORDER BY sp.pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM sp JOIN dup ON sp.s = dup.s),
        |cov AS (
-       |  SELECT sp.doc_id, sp.n_tokens,
-       |         unnest(generate_series(sp.pos, sp.pos + 15)) AS pp
-       |  FROM sp JOIN dup ON sp.s = dup.s)
+       |  SELECT doc_id, n_tokens,
+       |         greatest(pos + 16 - greatest(pos, COALESCE(prev_end, pos)), 0)
+       |           AS contrib
+       |  FROM occ)
        |SELECT doc_id, n_tokens,
-       |       count(DISTINCT pp) AS dup_positions,
-       |       CAST(count(DISTINCT pp) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |       CAST(sum(contrib) AS BIGINT) AS dup_positions,
+       |       CAST(sum(contrib) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
        |         AS coverage
        |FROM cov GROUP BY doc_id, n_tokens
        |ORDER BY doc_id""".stripMargin
