@@ -1408,6 +1408,107 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_strip_spans: substring dedup as an ACTION (keep-first, strip rest)
+  // ---------------------------------------------------------------------
+
+  /** The act half of substring dedup (Lee et al. 2022 strip their
+    * duplicated spans from the corpus, they don't drop documents):
+    * every 16-token span that occurs ≥2 times ANYWHERE (cross-doc or
+    * within-doc boilerplate) keeps its globally-first occurrence —
+    * min (doc_id, pos) — and every other occurrence is marked for
+    * stripping; per document, the stripped token count is the
+    * interval UNION of its marked windows (the spanCoverage sweep)
+    * and kept_tokens is what a cleaned corpus would retain.
+    *
+    * Keeper selection is deliberately aggregate-shaped, NOT a
+    * row_number window over the span groups: a corpus-wide
+    * boilerplate span puts its whole occurrence list in one window
+    * partition, while min-doc-then-min-pos is two map-side-combinable
+    * aggregations that never materialize a span group — the skew-safe
+    * form at corpus scale. */
+  def stripSpans(spark: SparkSession, dir: String): DataFrame = {
+    val L = 16
+    val sp = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= L)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        posexplode(
+          transform(sequence(lit(0), size(col("toks")) - L),
+            i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
+      .toDF("doc_id", "n_tokens", "pos", "s")
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast(LongType).as("pos"), col("s"))
+      .persist()
+    sp.count()
+    val k1 = sp.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_occ") >= 2L)
+    val k2 = sp.join(k1.select(col("s"), col("keep_doc")), Seq("s"))
+      .filter(col("doc_id") === col("keep_doc"))
+      .groupBy(col("s"))
+      .agg(min(col("pos")).as("keep_pos"))
+    val strip = sp
+      .join(k1.select(col("s"), col("keep_doc")), Seq("s"))
+      .join(k2, Seq("s"))
+      .filter(!(col("doc_id") === col("keep_doc") &&
+        col("pos") === col("keep_pos")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    strip
+      .withColumn("prev_end", max(col("pos") + L).over(sweep))
+      .withColumn("contrib",
+        greatest(col("pos") + L - greatest(col("pos"),
+          coalesce(col("prev_end"), col("pos"))), lit(0L)))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("contrib")).as("stripped_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("stripped_tokens"),
+        (col("n_tokens") - col("stripped_tokens")).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stripSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         unnest(generate_series(1, len(toks) - 15)) AS i
+       |  FROM d WHERE len(toks) >= 16),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
+       |  FROM p),
+       |k1 AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS keep_doc
+       |  FROM sp GROUP BY 1 HAVING count(*) >= 2),
+       |k2 AS (
+       |  SELECT sp.s, min(sp.pos) AS keep_pos
+       |  FROM sp JOIN k1 ON sp.s = k1.s AND sp.doc_id = k1.keep_doc
+       |  GROUP BY 1),
+       |strip AS (
+       |  SELECT sp.doc_id, sp.n_tokens, sp.pos
+       |  FROM sp JOIN k1 ON sp.s = k1.s JOIN k2 ON sp.s = k2.s
+       |  WHERE NOT (sp.doc_id = k1.keep_doc AND sp.pos = k2.keep_pos)),
+       |occ AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |         max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM strip),
+       |cov AS (
+       |  SELECT doc_id, n_tokens,
+       |         greatest(pos + 16 - greatest(pos, COALESCE(prev_end, pos)), 0)
+       |           AS contrib
+       |  FROM occ)
+       |SELECT doc_id, n_tokens,
+       |       CAST(sum(contrib) AS BIGINT) AS stripped_tokens,
+       |       n_tokens - CAST(sum(contrib) AS BIGINT) AS kept_tokens
+       |FROM cov GROUP BY doc_id, n_tokens
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_bigram_logprob: corpus-LM document scoring
   // ---------------------------------------------------------------------
 
@@ -1572,6 +1673,7 @@ object TextQueries {
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
     ("txt_dup_spans", dupSpans _, dupSpansSql),
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
+    ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -75,6 +75,34 @@ class DupSpansSpec extends SparkSpec {
       r.toString))
   }
 
+  test("strip spans: globally-first occurrence kept, others stripped") {
+    val rows = TextQueries.stripSpans(spark, dir.toString).collect()
+    // doc 0 holds the first occurrence (min doc) → nothing stripped
+    // from it; doc 1 loses exactly the 16 planted tokens; doc 2 clean
+    assert(rows.length == 1, rows.mkString("\n"))
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 1L)
+    assert(r.getAs[Long]("stripped_tokens") == 16L)
+    assert(r.getAs[Long]("kept_tokens") == 64L - 16L)
+  }
+
+  test("strip spans: within-doc boilerplate is stripped too") {
+    // one doc repeats a 16-token passage twice with unique filler
+    // between — the second occurrence strips even with n_docs == 1
+    val d = tmpDir("graft-stripintra")
+    val passage = (0 until 16).map(i => s"rep$i").mkString(" ")
+    val mid = (0 until 20).map(i => s"m$i").mkString(" ")
+    val t = s"$passage $mid $passage"
+    val docs = Seq((0L, t), (1L, (0 until 30).map(i => s"z$i").mkString(" ")))
+      .map { case (id, x) => (id, x, "en", "src0", x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeFixture(d, "documents", docs)
+    val rows = TextQueries.stripSpans(spark, d.toString).collect()
+    assert(rows.length == 1, rows.mkString("\n"))
+    assert(rows.head.getAs[Long]("doc_id") == 0L)
+    assert(rows.head.getAs[Long]("stripped_tokens") == 16L)
+  }
+
   test("no false spans on a duplicate-free corpus") {
     val d = tmpDir("graft-dupspans-neg")
     val docs = (0L until 4L).map { id =>
