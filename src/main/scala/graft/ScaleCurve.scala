@@ -28,7 +28,8 @@ object ScaleCurve {
         "ev_sessionization", "ev_user_ranks", "ev_hourly_metrics",
         "ev_retention_cohorts", "emb_pca2", "dedup_cosine_lsh",
         "dedup_prefix_jaccard", "txt_bm25_topk",
-        "dedup_contamination_bloom", "txt_dup_spans", "txt_span_coverage")
+        "dedup_contamination_bloom", "txt_dup_spans", "txt_span_coverage",
+        "txt_strip_spans")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
