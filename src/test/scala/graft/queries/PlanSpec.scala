@@ -453,4 +453,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("WindowGroupLimit"), p) // top-k stays map-side
   }
+
+  test("dup spans: global top-50 is TakeOrdered, never a full sort") {
+    val p = plan("txt_dup_spans")
+    // orderBy+limit(50) must compile to TakeOrderedAndProject — a
+    // total sort of the span-grain table would be the corpus-sized
+    // stage at scale
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("strip spans: no window partitioned on the span hash") {
+    // keeper selection must stay aggregate-shaped: a Window over the
+    // span groups would put a corpus-wide boilerplate span's whole
+    // occurrence list in one partition. The only windows allowed are
+    // the per-document sweep.
+    val p = plan("txt_strip_spans")
+    assert(p.contains("windowspecdefinition(doc_id#"), p)
+    assert(!p.contains("windowspecdefinition(s#"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+  }
 }
