@@ -1340,7 +1340,14 @@ object TextQueries {
     * formulation it replaced). Per-position rows are unique per doc, so the sweep's
     * ordering is total and the window partition never outgrows its
     * document. Output is one row per document containing at least one
-    * duplicated span. */
+    * duplicated span.
+    *
+    * Deployment shape (whole span family — dupSpans/spanCoverage/
+    * stripSpans): unlike BM25/ANN serving (per-query fan-out against
+    * a persisted index — TextIndexLayout/AnnIndexLayout), substring
+    * dedup runs ONCE per corpus build as a batch pipeline stage;
+    * there is no query stream to amortize a persisted index for, so
+    * computing the span index inside the pass is the right shape. */
   def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
     val L = 16
     val sp = docs(spark, dir)
