@@ -119,7 +119,67 @@ object MultimodalQueries {
   //   can't take lateral column args in DuckDB 1.0) — both engines are
   //   unbounded, so no corpus shape can silently truncate the compare.
 
+  // ---------------------------------------------------------------------
+  // mm_media_dedup: content-addressed media dedup accounting
+  // ---------------------------------------------------------------------
+
+  /** Content-addressed (CAS) dedup accounting per media format: every
+    * blob hashes to its md5 digest, identical payloads within a
+    * modality collapse to one stored object, and the rollup reports
+    * how many copies and bytes the store saves — the asset-level
+    * dedup every multimodal training pipeline runs before feature
+    * extraction (decode once per unique blob, not per reference).
+    *
+    * Dedup is scoped per (format, digest): modality stores are
+    * physically separate, so identical bytes declared as image vs
+    * video are distinct stored objects (documented choice).
+    *
+    * Scale shape: the shuffle key is the 16-byte digest — the payload
+    * itself never shuffles (hashed at the scan, dropped before the
+    * exchange); two cascaded aggregations (per-digest, then
+    * per-format) are both map-side combinable. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast(BinaryType)
+    docs(spark, dir)
+      .select(
+        graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+          .as("media_format"),
+        md5(blob).as("digest"),
+        length(blob).cast(LongType).as("n_bytes"))
+      .groupBy(col("media_format"), col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        // identical bytes => identical length; min is exact
+        min(col("n_bytes")).as("blob_bytes"))
+      .groupBy(col("media_format"))
+      .agg(
+        sum(col("n_copies")).as("n_blobs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("n_copies")) - count(lit(1))).as("n_dupe_copies"),
+        sum(col("n_copies") * col("blob_bytes")).as("bytes_total"),
+        sum((col("n_copies") - 1L) * col("blob_bytes")).as("bytes_saved"))
+      .orderBy(col("media_format"))
+  }
+
+  val mediaDedupSql: String =
+    """WITH per_digest AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_format,
+      |         md5(text) AS digest,
+      |         CAST(count(*) AS BIGINT) AS n_copies,
+      |         CAST(min(length(text)) AS BIGINT) AS blob_bytes
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT media_format,
+      |       CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+      |       CAST(count(*) AS BIGINT) AS n_unique,
+      |       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupe_copies,
+      |       CAST(sum(n_copies * blob_bytes) AS BIGINT) AS bytes_total,
+      |       CAST(sum((n_copies - 1) * blob_bytes) AS BIGINT) AS bytes_saved
+      |FROM per_digest GROUP BY media_format
+      |ORDER BY media_format""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("mm_media_features", mediaFeatures _, mediaFeaturesSql),
-    ("mm_frame_sample", frameSample _, frameSampleSql))
+    ("mm_frame_sample", frameSample _, frameSampleSql),
+    ("mm_media_dedup", mediaDedup _, mediaDedupSql))
 }
