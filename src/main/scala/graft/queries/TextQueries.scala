@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.MisraGriesAgg
 import graft.functions.TextFunctions._
 import graft.util.Tables
 
@@ -1658,6 +1659,53 @@ object TextQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_heavy_hitters: Misra-Gries candidates + exact verify
+  // ---------------------------------------------------------------------
+
+  /** MG capacity: guarantees every token above a 1/(HhCap+1) = 1/30
+    * frequency share survives the bounded-state candidate pass. */
+  private[graft] val HhCap = 29
+
+  /** Exact frequent tokens (count > N/(HhCap+1)) via a two-pass
+    * Misra-Gries pipeline: pass 1 runs [[graft.functions.MisraGriesAgg]]
+    * — O(HhCap) state per task, zero false negatives, and NO shuffle of
+    * the token domain (the only exchange is HhCap-bounded partial
+    * buffers into a 1-row agg); pass 2 re-counts ONLY candidate tokens
+    * exactly (a broadcast semi-join cuts the group-by shuffle to
+    * candidate rows) and applies the threshold, which also discards
+    * MG's false positives. Output is therefore EXACT — the sketch only
+    * chooses which rows are worth shuffling.
+    *
+    * Scale (100 TB): a full `GROUP BY token` shuffles the entire token
+    * domain; this shape shuffles ≤ HhCap distinct keys' rows. The price
+    * is a second corpus scan — the canonical candidate/verify trade
+    * every production heavy-hitter job makes (same two-pass discipline
+    * as dedup_minhash_pairs' candidate+verify).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val mg = udaf(MisraGriesAgg(HhCap), org.apache.spark.sql.Encoders.STRING)
+    val cands = tok.agg(mg(col("token")).as("cands"))
+      .select(explode(col("cands")).as("token"))
+    val total = tok.agg(count(lit(1)).as("n_total")) // 1-row scalar
+    tok.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(HhCap + 1L) > col("n_total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+       |     tot AS (SELECT count(*) AS n_total FROM tok),
+       |     cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+       |SELECT token, n FROM cnt, tot
+       |WHERE n * ${HhCap + 1} > n_total
+       |ORDER BY n DESC, token""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
@@ -1682,5 +1730,6 @@ object TextQueries {
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
+    ("txt_heavy_hitters", heavyHitters _, heavyHittersSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -473,4 +473,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(s#"), p)
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
+
+  test("heavy hitters: candidate verify is a broadcast semi-join, no key-domain SMJ") {
+    val p = plan("txt_heavy_hitters")
+    // the exact second pass must only shuffle candidate rows: the
+    // MG candidate frame (<= HhCap keys) broadcasts into a LeftSemi
+    // probe of the token stream — a SortMergeJoin here would shuffle
+    // the whole token domain, exactly what the sketch pass avoids
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the MG pass itself partial-aggregates per task (bounded buffer)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
