@@ -1591,6 +1591,107 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_kneser_ney: interpolated Kneser-Ney document scoring
+  // ---------------------------------------------------------------------
+
+  /** Fixed absolute discount (Chen & Goodman's standard choice). */
+  private val KnDiscount = 0.75
+
+  /** Per-document fluency score under an interpolated Kneser-Ney
+    * bigram model estimated from the corpus itself — the smoothing
+    * actually used by KenLM-style filter models, upgrading
+    * [[bigramLogprob]]'s raw MLE:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *               + D·N1+(w1,·)/c(w1) · N1+(·,w2)/B
+    *
+    * where N1+(w1,·)/N1+(·,w2) are distinct continuation counts and B
+    * is the number of distinct bigram types. Unlike MLE, KN discounts
+    * frequent bigrams and backs off to how PROMISCUOUS a word's
+    * contexts are, not how frequent the word is — "of the" scores high
+    * under MLE but its continuation mass is low, which is exactly the
+    * boilerplate signal a corpus filter wants.
+    *
+    * Scale + determinism (the bigramLogprob discipline): one explode
+    * to the (doc, w1, w2) grain, persisted — it feeds the corpus
+    * counts AND the scoring join; all model tables are vocabulary²-
+    * bounded; B is a 1-row broadcast scalar. The only transcendental
+    * (ln) is quantized once per corpus bigram, after which per-doc
+    * aggregates are exact int64 multiply-sums. The double arithmetic
+    * inside the ln is a fixed parenthesization of IEEE +,*,/ on
+    * integer-valued inputs — bit-identical cross-engine. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    perDoc.count()
+    val c2 = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c2"))
+      .persist() // feeds c1, both continuation tables, B, and the lm join
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val btypes = c2.agg(count(lit(1)).as("b")) // 1-row scalar
+    val d = lit(KnDiscount)
+    val pkn =
+      (col("c2").cast(DoubleType) - d) / col("c1").cast(DoubleType) +
+        (d * col("n1f").cast(DoubleType) / col("c1").cast(DoubleType)) *
+          (col("n1p").cast(DoubleType) / col("b").cast(DoubleType))
+    val lm = c2.join(c1, "w1").join(cont, "w2")
+      .crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"),
+        round(log(pkn) * 1e6).cast(LongType).as("kn_micro"))
+    perDoc.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("kn_micro")).as("kn_score_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_score_micro"),
+        (col("kn_score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("kn_avg_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val kneserNeySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |    FROM d)),
+       |perdoc AS (
+       |  SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM perdoc GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |              CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY 1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM c2 GROUP BY 1),
+       |btypes AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+       |lm AS (
+       |  SELECT w1, w2,
+       |         CAST(round(ln(
+       |           (CAST(c2 AS DOUBLE) - $KnDiscount) / CAST(c1 AS DOUBLE)
+       |           + ($KnDiscount * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+       |             * (CAST(n1p AS DOUBLE) / CAST(b AS DOUBLE))
+       |         ) * 1e6) AS BIGINT) AS kn_micro
+       |  FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN btypes)
+       |SELECT doc_id,
+       |       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(n * kn_micro) AS BIGINT) AS kn_score_micro,
+       |       CAST(sum(n * kn_micro) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS kn_avg_micro
+       |FROM perdoc JOIN lm USING (w1, w2)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_quality_gate: multi-signal keep/drop gate with reason attribution
   // ---------------------------------------------------------------------
 
@@ -1731,5 +1832,6 @@ object TextQueries {
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
     ("txt_heavy_hitters", heavyHitters _, heavyHittersSql),
+    ("txt_kneser_ney", kneserNey _, kneserNeySql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -474,6 +474,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
+  test("kneser-ney: model tables broadcast into the scoring join; B is a 1-row scalar") {
+    val p = plan("txt_kneser_ney")
+    // the lm table is vocabulary²-bounded — it must broadcast into the
+    // corpus-grain scoring join rather than shuffling the (doc,w1,w2)
+    // frame a second time; the bigram-type count enters as a 1-row
+    // broadcast scalar, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc aggregation partial-combines map-side
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("heavy hitters: candidate verify is a broadcast semi-join, no key-domain SMJ") {
     val p = plan("txt_heavy_hitters")
     // the exact second pass must only shuffle candidate rows: the
