@@ -1591,6 +1591,141 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_quality_lr: trained quality classifier (distributed GD)
+  // ---------------------------------------------------------------------
+
+  private val LrEta = 4.0
+  private val LrRounds = 3
+
+  /** Quality classifier TRAINED on the cluster — full-batch gradient
+    * descent distilling [[qualityGate]]'s hard rule into a smooth
+    * scored model (the fastText-style "train a tiny classifier on weak
+    * labels" step of a real corpus pipeline; the smooth score ranks
+    * borderline documents the rule can only keep/drop).
+    *
+    * Features x = (1, min(n_tokens/64, 1), type-token-ratio,
+    * stopword-ratio); weak label y = the gate's keep verdict. Three GD
+    * rounds w ← w − η·mean((s−y)·x) with the Elliott "fast sigmoid"
+    * link s = ½(1 + z/(1+|z|)). The RATIONAL link is deliberate:
+    * exp() is not bit-identical across engines (libm vs JVM), while
+    * +,·,/,|·| are IEEE-exact — with per-row gradient contributions
+    * quantized to nano-units and summed in int64 (order-free), the
+    * trained weights are bit-identical on any cluster AND in the
+    * DuckDB oracle, which unrolls all three rounds as CTEs. Swap the
+    * true sigmoid at deployment if cross-engine hashing isn't a
+    * constraint — the plan shape is identical.
+    *
+    * Scale: the feature grain is persisted once (one tokenize pass);
+    * each round is ONE map-side-combined aggregate over it (gradient
+    * sums + count) crossed with the 1-row broadcast weight frame —
+    * never a collect (the emb_pca2 discipline); weights are
+    * localCheckpointed per round so lineage stays flat. Output: top-20
+    * scored docs with the trained micro-weights replicated, so the
+    * WEIGHTS are oracle-checked too. */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast(LongType)
+    val nUniq = size(array_distinct(toks)).cast(LongType)
+    val nStop = stopwordCount(toks)
+    val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
+    val stopR = nStop.cast(DoubleType) / nTok.cast(DoubleType)
+    val feat = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // projection barrier, as in stats()
+      .select(col("doc_id"),
+        least(nTok.cast(DoubleType) / lit(64.0), lit(1.0)).as("x1"),
+        ttr.as("x2"), stopR.as("x3"),
+        when(nTok >= 24 && ttr >= 0.34 && stopR <= 0.16, lit(1.0))
+          .otherwise(lit(0.0)).as("y"))
+      .persist()
+    feat.count()
+    // fixed parenthesization — must match the oracle byte-for-byte
+    def z: Column =
+      col("b0") + col("b1") * col("x1") + col("b2") * col("x2") +
+        col("b3") * col("x3")
+    def s: Column = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+    var w = spark.range(1).select(
+      lit(0.0).as("b0"), lit(0.0).as("b1"),
+      lit(0.0).as("b2"), lit(0.0).as("b3"))
+    for (_ <- 1 to LrRounds) {
+      val e = s - col("y")
+      val g = feat.crossJoin(broadcast(w)).agg(
+        sum(round(e * lit(1e9)).cast(LongType)).as("g0"),
+        sum(round(e * col("x1") * lit(1e9)).cast(LongType)).as("g1"),
+        sum(round(e * col("x2") * lit(1e9)).cast(LongType)).as("g2"),
+        sum(round(e * col("x3") * lit(1e9)).cast(LongType)).as("g3"),
+        count(lit(1)).as("n"))
+      def upd(b: String, gc: String): Column =
+        (col(b) - lit(LrEta) * (col(gc).cast(DoubleType) / lit(1e9)) /
+          col("n").cast(DoubleType)).as(b)
+      w = g.crossJoin(broadcast(w))
+        .select(upd("b0", "g0"), upd("b1", "g1"), upd("b2", "g2"),
+          upd("b3", "g3"))
+        .localCheckpoint(true)
+    }
+    feat.crossJoin(broadcast(w))
+      .select(col("doc_id"), col("y").cast(LongType).as("label"),
+        round(s * lit(1e6)).cast(LongType).as("lr_micro"),
+        round(col("b0") * lit(1e6)).cast(LongType).as("b0_micro"),
+        round(col("b1") * lit(1e6)).cast(LongType).as("b1_micro"),
+        round(col("b2") * lit(1e6)).cast(LongType).as("b2_micro"),
+        round(col("b3") * lit(1e6)).cast(LongType).as("b3_micro"))
+      .orderBy(col("lr_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qualityLrSql: String = {
+    val featSql =
+      s"""SELECT doc_id,
+         |       least(CAST(n_tokens AS DOUBLE)/64.0, 1.0) AS x1,
+         |       CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS x2,
+         |       CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS x3,
+         |       CASE WHEN n_tokens >= 24
+         |                 AND CAST(n_uniq AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 0.34
+         |                 AND CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= 0.16
+         |            THEN 1.0 ELSE 0.0 END AS y
+         |FROM (SELECT doc_id,
+         |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+         |             ${stopwordCountSql("string_split(text,' ')")} AS n_stop
+         |      FROM documents)""".stripMargin
+    def zSql(wt: String) =
+      s"($wt.b0 + $wt.b1*x1 + $wt.b2*x2 + $wt.b3*x3)"
+    def sSql(wt: String) =
+      s"0.5*(1.0 + ${zSql(wt)}/(1.0 + abs(${zSql(wt)})))"
+    def gSql(prev: String) =
+      s"""SELECT CAST(sum(round((${sSql(prev)} - y)*1e9)) AS BIGINT) AS g0,
+         |       CAST(sum(round((${sSql(prev)} - y)*x1*1e9)) AS BIGINT) AS g1,
+         |       CAST(sum(round((${sSql(prev)} - y)*x2*1e9)) AS BIGINT) AS g2,
+         |       CAST(sum(round((${sSql(prev)} - y)*x3*1e9)) AS BIGINT) AS g3,
+         |       count(*) AS n
+         |FROM feat, $prev""".stripMargin
+    def wSql(prev: String, g: String) =
+      s"""SELECT $prev.b0 - $LrEta*(CAST($g.g0 AS DOUBLE)/1e9)/CAST($g.n AS DOUBLE) AS b0,
+         |       $prev.b1 - $LrEta*(CAST($g.g1 AS DOUBLE)/1e9)/CAST($g.n AS DOUBLE) AS b1,
+         |       $prev.b2 - $LrEta*(CAST($g.g2 AS DOUBLE)/1e9)/CAST($g.n AS DOUBLE) AS b2,
+         |       $prev.b3 - $LrEta*(CAST($g.g3 AS DOUBLE)/1e9)/CAST($g.n AS DOUBLE) AS b3
+         |FROM $g, $prev""".stripMargin
+    s"""WITH feat AS ($featSql),
+       |wt0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+       |gr1 AS (${gSql("wt0")}),
+       |wt1 AS (${wSql("wt0", "gr1")}),
+       |gr2 AS (${gSql("wt1")}),
+       |wt2 AS (${wSql("wt1", "gr2")}),
+       |gr3 AS (${gSql("wt2")}),
+       |wt3 AS (${wSql("wt2", "gr3")})
+       |SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |       CAST(round(${sSql("wt3")}*1e6) AS BIGINT) AS lr_micro,
+       |       CAST(round(wt3.b0*1e6) AS BIGINT) AS b0_micro,
+       |       CAST(round(wt3.b1*1e6) AS BIGINT) AS b1_micro,
+       |       CAST(round(wt3.b2*1e6) AS BIGINT) AS b2_micro,
+       |       CAST(round(wt3.b3*1e6) AS BIGINT) AS b3_micro
+       |FROM feat, wt3
+       |ORDER BY lr_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // txt_kneser_ney: interpolated Kneser-Ney document scoring
   // ---------------------------------------------------------------------
 
@@ -1833,5 +1968,6 @@ object TextQueries {
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
     ("txt_heavy_hitters", heavyHitters _, heavyHittersSql),
     ("txt_kneser_ney", kneserNey _, kneserNeySql),
+    ("txt_quality_lr", qualityLr _, qualityLrSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql))
 }

@@ -474,6 +474,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
+  test("quality-lr: weights ride as 1-row broadcasts; top-20 is TakeOrdered") {
+    val p = plan("txt_quality_lr")
+    // the training rounds run eagerly (localCheckpointed weight
+    // frames), so this is the SERVING plan: the trained weights must
+    // enter as a 1-row broadcast (BNLJ Cross against the persisted
+    // feature grain), and the output cut is a TakeOrdered — never a
+    // shuffle against the 1-row table or a full sort of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("kneser-ney: model tables broadcast into the scoring join; B is a 1-row scalar") {
     val p = plan("txt_kneser_ney")
     // the lm table is vocabulary²-bounded — it must broadcast into the
