@@ -1622,33 +1622,50 @@ object TextQueries {
     * localCheckpointed per round so lineage stays flat. Output: top-20
     * scored docs with the trained micro-weights replicated, so the
     * WEIGHTS are oracle-checked too. */
-  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+  /** Feature + weak-label grain for the quality classifier. */
+  private[graft] def lrFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // projection barrier, as in stats()
+      .transform(lrFeatureExprs)
+
+  /** [[lrFeatures]] without the repartition barrier — for streaming
+    * frames (no shuffle per micro-batch) where the single projection
+    * is evaluated once anyway. */
+  private[graft] def lrFeaturesNoShuffle(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .transform(lrFeatureExprs)
+
+  private def lrFeatureExprs(withToks: DataFrame): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(LongType)
     val nUniq = size(array_distinct(toks)).cast(LongType)
     val nStop = stopwordCount(toks)
     val ttr = nUniq.cast(DoubleType) / nTok.cast(DoubleType)
     val stopR = nStop.cast(DoubleType) / nTok.cast(DoubleType)
-    val feat = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id")) // projection barrier, as in stats()
-      .select(col("doc_id"),
-        least(nTok.cast(DoubleType) / lit(64.0), lit(1.0)).as("x1"),
-        ttr.as("x2"), stopR.as("x3"),
-        when(nTok >= 24 && ttr >= 0.34 && stopR <= 0.16, lit(1.0))
-          .otherwise(lit(0.0)).as("y"))
-      .persist()
-    feat.count()
-    // fixed parenthesization — must match the oracle byte-for-byte
-    def z: Column =
-      col("b0") + col("b1") * col("x1") + col("b2") * col("x2") +
-        col("b3") * col("x3")
-    def s: Column = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+    withToks.select(col("doc_id"),
+      least(nTok.cast(DoubleType) / lit(64.0), lit(1.0)).as("x1"),
+      ttr.as("x2"), stopR.as("x3"),
+      when(nTok >= 24 && ttr >= 0.34 && stopR <= 0.16, lit(1.0))
+        .otherwise(lit(0.0)).as("y"))
+  }
+
+  // fixed parenthesization — must match the oracle byte-for-byte
+  private def lrZ: Column =
+    col("b0") + col("b1") * col("x1") + col("b2") * col("x2") +
+      col("b3") * col("x3")
+  private[graft] def lrS: Column =
+    lit(0.5) * (lit(1.0) + lrZ / (lit(1.0) + abs(lrZ)))
+
+  /** Full-batch GD over a (persisted) feature grain; returns the
+    * 1-row trained weight frame (b0..b3). */
+  private[graft] def lrTrain(spark: SparkSession, feat: DataFrame): DataFrame = {
     var w = spark.range(1).select(
       lit(0.0).as("b0"), lit(0.0).as("b1"),
       lit(0.0).as("b2"), lit(0.0).as("b3"))
     for (_ <- 1 to LrRounds) {
-      val e = s - col("y")
+      val e = lrS - col("y")
       val g = feat.crossJoin(broadcast(w)).agg(
         sum(round(e * lit(1e9)).cast(LongType)).as("g0"),
         sum(round(e * col("x1") * lit(1e9)).cast(LongType)).as("g1"),
@@ -1663,13 +1680,32 @@ object TextQueries {
           upd("b3", "g3"))
         .localCheckpoint(true)
     }
-    feat.crossJoin(broadcast(w))
+    w
+  }
+
+  /** Score a feature grain under a 1-row weight frame — shared by the
+    * registered query and the persisted-artifact serving paths
+    * (sources.LrArtifact), so served scores are byte-equal to the
+    * query's by construction. */
+  private[graft] def lrScore(feat: DataFrame, w: DataFrame): DataFrame =
+    lrScore(feat.crossJoin(broadcast(w)))
+
+  /** Scoring tail over a frame that already carries b0..b3 columns
+    * (1-row broadcast or inlined literals — the streaming path). */
+  private[graft] def lrScore(featWithW: DataFrame): DataFrame =
+    featWithW
       .select(col("doc_id"), col("y").cast(LongType).as("label"),
-        round(s * lit(1e6)).cast(LongType).as("lr_micro"),
+        round(lrS * lit(1e6)).cast(LongType).as("lr_micro"),
         round(col("b0") * lit(1e6)).cast(LongType).as("b0_micro"),
         round(col("b1") * lit(1e6)).cast(LongType).as("b1_micro"),
         round(col("b2") * lit(1e6)).cast(LongType).as("b2_micro"),
         round(col("b3") * lit(1e6)).cast(LongType).as("b3_micro"))
+
+  def qualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val feat = lrFeatures(docs(spark, dir)).persist()
+    feat.count()
+    val w = lrTrain(spark, feat)
+    lrScore(feat, w)
       .orderBy(col("lr_micro").desc, col("doc_id"))
       .limit(20)
   }
