@@ -275,6 +275,69 @@ object SimilarityQueries {
   val lshMultiProbeSql: String = lshMultiProbeSqlPlanes(NPlanes)
 
   // ---------------------------------------------------------------------
+  // ann_recall_audit: recall@k of the LSH paths vs the exact baseline
+  // ---------------------------------------------------------------------
+
+  /** Recall measurement AS AN OPERATOR: per-query recall@10 of the
+    * single-probe and multi-probe LSH paths against the exact
+    * brute-force baseline, computed entirely on the cluster. Every
+    * production ANN deployment runs exactly this audit on a sampled
+    * query set before trusting an index configuration — here it is a
+    * first-class, ORACLE-CHECKED query rather than a test-only number
+    * (the ScalaTest recall specs assert thresholds; this publishes the
+    * per-query numbers those thresholds summarize).
+    *
+    * Scale: the exact side is the documented Θ(|Q|·|N|) baseline — an
+    * audit runs it over a SAMPLED query set (here the shared every-50th
+    * subset), never the full corpus; the intersection joins are on
+    * (q_id, n_id) pairs, k-bounded per query. recall_bp is exact
+    * integer arithmetic (n_hit·10000 is always divisible by n_exact). */
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteTopK(spark, dir).select(col("q_id"), col("n_id"))
+      .persist() // feeds the base counts and both intersections
+    val single = lshTopK(spark, dir).select(col("q_id"), col("n_id"))
+    val multi = lshMultiProbe(spark, dir).select(col("q_id"), col("n_id"))
+    def hits(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    base
+      .join(hits(single, "h1"), Seq("q_id"), "left_outer")
+      .join(hits(multi, "hm"), Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("h1"), lit(0L)).as("n_hit_single"),
+        coalesce(col("hm"), lit(0L)).as("n_hit_multi"),
+        (coalesce(col("h1"), lit(0L)) * lit(10000L) / col("n_exact"))
+          .cast(LongType).as("recall_single_bp"),
+        (coalesce(col("hm"), lit(0L)) * lit(10000L) / col("n_exact"))
+          .cast(LongType).as("recall_multi_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val recallAuditSql: String =
+    s"""WITH exact AS ($bruteTopKSql),
+       |approx1 AS ($lshTopKSql),
+       |approxm AS ($lshMultiProbeSql),
+       |h1 AS (
+       |  SELECT x.q_id, count(*) AS h1 FROM exact x
+       |  JOIN approx1 a ON x.q_id = a.q_id AND x.n_id = a.n_id
+       |  GROUP BY x.q_id),
+       |hm AS (
+       |  SELECT x.q_id, count(*) AS hm FROM exact x
+       |  JOIN approxm a ON x.q_id = a.q_id AND x.n_id = a.n_id
+       |  GROUP BY x.q_id),
+       |base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id)
+       |SELECT b.q_id, b.n_exact,
+       |       COALESCE(h1.h1, 0) AS n_hit_single,
+       |       COALESCE(hm.hm, 0) AS n_hit_multi,
+       |       CAST(COALESCE(h1.h1, 0) * 10000 / b.n_exact AS BIGINT) AS recall_single_bp,
+       |       CAST(COALESCE(hm.hm, 0) * 10000 / b.n_exact AS BIGINT) AS recall_multi_bp
+       |FROM base b
+       |LEFT JOIN h1 ON b.q_id = h1.q_id
+       |LEFT JOIN hm ON b.q_id = hm.q_id
+       |ORDER BY b.q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ann_ivf_topk: inverted-file (IVF) bucketed ANN
   // ---------------------------------------------------------------------
 
@@ -1713,6 +1776,7 @@ object SimilarityQueries {
       (s: SparkSession, d: String) => lshTopKPlanes(s, d, 12),
       lshTopKSqlPlanes(12)),
     ("ann_lsh_multiprobe", lshMultiProbe _, lshMultiProbeSql),
+    ("ann_recall_audit", recallAudit _, recallAuditSql),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
