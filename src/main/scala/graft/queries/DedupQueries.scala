@@ -969,8 +969,15 @@ object DedupQueries {
       .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
     val codes = (0 until CosineLshBands).map(b =>
       SimilarityQueries.bucketCodeFrom(b * CosineLshBandPlanes, CosineLshBandPlanes))
+    // the banded index feeds THREE consumers (bucket sizing, the pool
+    // side, the candidate side) — size it once instead of recomputing
+    // the 24 plane projections per consumer (the prefix-jaccard
+    // shared-index discipline; r9 bench showed the recompute tripling
+    // the query's cost after the OR-construction rewrite)
     val bands = e.select(col("vec_id"),
       posexplode(array(codes: _*)).as(Seq("band", "code")))
+      .persist()
+    bands.count()
     val nb = bands.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("n_bucket"))
     val pool = bands.join(broadcast(nb), Seq("band", "code"))

@@ -111,13 +111,19 @@ object SimilarityQueries {
   // ann_lsh_topk: random-hyperplane bucketed scale path
   // ---------------------------------------------------------------------
 
-  /** Signed projection of the embedding onto fixed plane p. */
+  /** Signed projection of the embedding onto fixed plane p — the
+    * codegen'd native dot against the sign vector as a float-array
+    * literal. Bit-identical to the previous HOF fold (and to the
+    * DuckDB twin): x.toFloat * ±1.0f is exact, DotFF accumulates
+    * left-to-right in double exactly as the fold did, but the hot loop
+    * is a native while-loop instead of an interpreted lambda per
+    * element — with B×W plane projections per vector this is the LSH
+    * index build's dominant term (r9: 24 projections for the banded
+    * dedup). Callers all pass through withNorm/ensureRegistered, so
+    * graft_dot is registered before resolution. */
   private def proj(p: Int): Column =
-    aggregate(
-      zip_with(col("embedding"),
-        array(planeSigns(p, Dim).map(lit): _*),
-        (x, s) => x.cast(DoubleType) * s),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", col("embedding"),
+      typedlit(planeSigns(p, Dim).map(_.toFloat)))
 
   private def projSql(p: Int, e: String): String = {
     val signs = planeSigns(p, Dim).map(s => if (s > 0) "1.0" else "-1.0")
