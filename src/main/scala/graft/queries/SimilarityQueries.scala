@@ -954,7 +954,13 @@ object SimilarityQueries {
     * y are sequential in-array folds (bit-identical cross-engine),
     * feeding the same fixed-point per-position accumulation. Two
     * linear scans total, no global windows, no driver-side data. */
-  def pca2(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared construction for [[pca2]] and [[whiten2]]: the 1-row v1
+    * frame (v1 array, anorm1 = the pre-normalization energy) and the
+    * 1-row stage-B aggregate (n_vecs, second-component accumulations
+    * m0..m63, v1 pivots v0..v63). All arithmetic is bit-identical to
+    * the original inline pca2 — the factoring only ADDS the anorm1
+    * column, which pca2's tail never reads. */
+  private def pca2Frames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val Scale = 1048576.0 // 2^20, as in powerIteration
     val sv = aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))
@@ -975,7 +981,8 @@ object SimilarityQueries {
     val norm1 =
       sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
     val v1 = accum.agg(pivots1.head, pivots1.tail: _*)
-      .select(array((0 until Dim).map(i => col(s"m$i") / norm1): _*).as("v1"))
+      .select(array((0 until Dim).map(i => col(s"m$i") / norm1): _*).as("v1"),
+        norm1.as("anorm1"))
 
     val t = aggregate(
       zip_with(col("embedding"), col("v1"), (x, v) => x.cast(DoubleType) * v),
@@ -1002,21 +1009,32 @@ object SimilarityQueries {
       max(when(col("pos") === i, col("m"))).as(s"m$i")) ++
       (0 until Dim).map(i =>
         max(when(col("pos") === i, col("v1p"))).as(s"v$i"))
-    val norm2c =
-      sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
+    (v1, accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*))
+  }
+
+  /** ‖(m0..m63)‖ over the stage-B pivot columns. */
+  private def pca2Norm2c: Column =
+    sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
+
+  def pca2(spark: SparkSession, dir: String): DataFrame = {
+    val (_, p2) = pca2Frames(spark, dir)
+    val norm2c = pca2Norm2c
     // 64-term dot folded in syntactic (index) order — both engines
     // build the same left-associated + chain, so the double hashes
     val dot = (0 until Dim).map(i => col(s"v$i") * (col(s"m$i") / norm2c))
       .reduce(_ + _)
-    accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*)
-      .select(col("n_vecs"), norm2c.as("anorm2"),
-        (col("m0") / norm2c).as("v2_0"),
-        (col("m31") / norm2c).as("v2_31"),
-        (col("m63") / norm2c).as("v2_63"),
-        dot.as("v1_dot_v2"))
+    p2.select(col("n_vecs"), norm2c.as("anorm2"),
+      (col("m0") / norm2c).as("v2_0"),
+      (col("m31") / norm2c).as("v2_31"),
+      (col("m63") / norm2c).as("v2_63"),
+      dot.as("v1_dot_v2"))
   }
 
-  val pca2Sql: String = {
+  /** Shared CTE prefix for [[pca2Sql]] and [[whiten2Sql]] — the full
+    * two-stage power-iteration construction up to p2n (stage-B pivots
+    * + anorm2), with the v CTE also carrying anorm1 for the whitening
+    * eigenvalue (pca2's tail never reads it). */
+  private val pca2CtePrefix: String = {
     val mPivots1 = (0 until Dim)
       .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
       .mkString(",\n       ")
@@ -1034,7 +1052,6 @@ object SimilarityQueries {
       .mkString(",\n       ")
     val norm2 = "sqrt(" +
       (0 until Dim).map(i => s"m$i * m$i").mkString(" + ") + ")"
-    val dot = (0 until Dim).map(i => s"v$i * (m$i / anorm2)").mkString(" + ")
     s"""WITH s AS (
        |  SELECT vec_id, embedding,
        |         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sv
@@ -1052,7 +1069,7 @@ object SimilarityQueries {
        |pn AS (
        |  SELECT *, $norm1 AS nrm1 FROM p),
        |v AS (
-       |  SELECT $v1List AS v1 FROM pn),
+       |  SELECT $v1List AS v1, nrm1 AS anorm1 FROM pn),
        |d0 AS (
        |  SELECT e.vec_id, e.embedding, v.v1,
        |         list_sum(list_transform(e.embedding,
@@ -1080,13 +1097,101 @@ object SimilarityQueries {
        |       $mPivots2
        |  FROM a2),
        |p2n AS (
-       |  SELECT *, $norm2 AS anorm2 FROM p2)
+       |  SELECT *, $norm2 AS anorm2 FROM p2)""".stripMargin
+  }
+
+  val pca2Sql: String = {
+    val dot = (0 until Dim).map(i => s"v$i * (m$i / anorm2)").mkString(" + ")
+    s"""$pca2CtePrefix
        |SELECT n_vecs, anorm2,
        |       m0 / anorm2 AS v2_0,
        |       m31 / anorm2 AS v2_31,
        |       m63 / anorm2 AS v2_63,
        |       $dot AS v1_dot_v2
        |FROM p2n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // emb_whiten: per-vector 2-component whitening under the pca2 basis
+  // ---------------------------------------------------------------------
+
+  /** PCA-whitened 2-D coordinates for EVERY vector — the embedding
+    * normalization step a PQ/OPQ pipeline runs so the quantizer's
+    * budget isn't spent on the dominant directions' scale: w_j =
+    * (x·v_j)/std_n(x·v_j), where (v_1, v_2) is the oracle-checked
+    * [[pca2]] basis and the scale is the OBSERVED per-direction energy
+    * (empirical whitening — exactly what production whitening does,
+    * and exact-by-construction: E_n[w_j²] = 1 up to quantization, the
+    * property WhitenSpec asserts on a planted anisotropic fixture; the
+    * analytic-eigenvalue variant is only equivalent when the basis is
+    * an exact fixed point, which a one-step power estimate is not).
+    * The full k-component operator generalization lives in
+    * [[graft.operators.PCA]].
+    *
+    * Scale: the basis is the same two fixed-point corpus passes as
+    * emb_pca2 (broadcast-pivoted 1-row frames, never a collect); the
+    * whitening adds one persisted projection pass, one int64-quantized
+    * energy aggregate (order-free sums — the labelCentroids idiom) and
+    * one narrow scale pass under a 1-row broadcast. Output is
+    * micro-quantized after the last division, so the per-vector frame
+    * hash-matches cross-engine at every SF. */
+  def whiten2(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1048576.0 // 2^20, as in the pca2 accumulations
+    val (v1f, p2) = pca2Frames(spark, dir)
+    val norm2c = pca2Norm2c
+    // stage B's pivot columns include a scalar named v1 — alias the
+    // basis arrays clear of the pivot namespace
+    val wb = p2.crossJoin(broadcast(v1f.select(col("v1").as("v1a"))))
+      .select(col("v1a"),
+        array((0 until Dim).map(i => col(s"m$i") / norm2c): _*).as("v2a"))
+    def projOn(v: String): Column =
+      aggregate(
+        zip_with(col("embedding"), col(v), (x, c) => x.cast(DoubleType) * c),
+        lit(0.0), (acc, x) => acc + x)
+    val proj = embs(spark, dir).crossJoin(broadcast(wb))
+      .select(col("vec_id"), projOn("v1a").as("t1"), projOn("v2a").as("t2"))
+      .repartition(col("vec_id")) // barrier: t1/t2 feed two consumers
+      .persist()
+    proj.count()
+    val scales = proj.agg(
+      sum(round(col("t1") * col("t1") * lit(Scale)).cast(LongType)).as("q1"),
+      sum(round(col("t2") * col("t2") * lit(Scale)).cast(LongType)).as("q2"),
+      count(lit(1)).as("n"))
+      .select(
+        sqrt((col("q1").cast(DoubleType) / lit(Scale)) /
+          col("n").cast(DoubleType)).as("s1"),
+        sqrt((col("q2").cast(DoubleType) / lit(Scale)) /
+          col("n").cast(DoubleType)).as("s2"))
+    proj.crossJoin(broadcast(scales))
+      .select(col("vec_id"),
+        round(col("t1") / col("s1") * lit(1e6)).cast(LongType).as("w1_micro"),
+        round(col("t2") / col("s2") * lit(1e6)).cast(LongType).as("w2_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  val whiten2Sql: String = {
+    val v2List = "[" +
+      (0 until Dim).map(i => s"m$i / anorm2").mkString(", ") + "]"
+    def projSql(v: String) =
+      s"list_sum(list_transform(e.embedding, (ex, j) -> CAST(ex AS DOUBLE) * wb.$v[j]))"
+    s"""$pca2CtePrefix,
+       |wb AS (
+       |  SELECT v.v1 AS v1a, $v2List AS v2a
+       |  FROM p2n, v),
+       |proj AS (
+       |  SELECT e.vec_id,
+       |         ${projSql("v1a")} AS t1,
+       |         ${projSql("v2a")} AS t2
+       |  FROM embeddings e, wb),
+       |sc AS (
+       |  SELECT sqrt((CAST(sum(CAST(round(t1 * t1 * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / CAST(count(*) AS DOUBLE)) AS s1,
+       |         sqrt((CAST(sum(CAST(round(t2 * t2 * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / CAST(count(*) AS DOUBLE)) AS s2
+       |  FROM proj)
+       |SELECT proj.vec_id,
+       |       CAST(round(t1 / s1 * 1e6) AS BIGINT) AS w1_micro,
+       |       CAST(round(t2 / s2 * 1e6) AS BIGINT) AS w2_micro
+       |FROM proj, sc
+       |ORDER BY vec_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1792,6 +1897,7 @@ object SimilarityQueries {
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_power_iteration", powerIteration _, powerIterationSql),
     ("emb_pca2", pca2 _, pca2Sql),
+    ("emb_whiten", whiten2 _, whiten2Sql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
     ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
     ("ann_ivfpq_residual", ivfpqResidualTopK _, ivfpqResidualSql),

@@ -474,6 +474,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
+  test("whiten: basis and scales are 1-row broadcasts; no corpus-vs-corpus join") {
+    val p = plan("emb_whiten")
+    // the basis (wb) and the energy scales both enter the per-vector
+    // passes as 1-row broadcast cross joins over the persisted
+    // projection grain; nothing may shuffle the corpus against itself
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("quality-lr: weights ride as 1-row broadcasts; top-20 is TakeOrdered") {
     val p = plan("txt_quality_lr")
     // the training rounds run eagerly (localCheckpointed weight

@@ -16,9 +16,13 @@ class LrArtifactSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  private def drop(prefix: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_weights")
+
   test("persisted weights match the online query; serve is byte-equal to lrScore") {
-    spark.sql("DROP TABLE IF EXISTS lrart_weights")
+    drop("lrart")
     LrArtifact.train(spark, dir, "lrart")
+    try {
 
     // weights equal the online query's trained weights (as published
     // in the query's micro columns)
@@ -39,11 +43,13 @@ class LrArtifactSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     feat.unpersist()
     assert(served == online)
+    } finally drop("lrart") // same-session drop removes the location
   }
 
   test("frozen weights score NEW documents the training corpus never saw") {
-    spark.sql("DROP TABLE IF EXISTS lrart2_weights")
+    drop("lrart2")
     LrArtifact.train(spark, dir, "lrart2")
+    try {
     val fresh = Seq(
       (9001L, (0 until 40).map(i => s"new$i").mkString(" ")),
       (9002L, "tiny doc"))
@@ -54,11 +60,13 @@ class LrArtifactSpec extends SparkSpec {
     // long diverse doc outranks the 2-token one under any sane model
     assert(got(0).getLong(2) > got(1).getLong(2))
     assert(got(0).getLong(1) == 1L && got(1).getLong(1) == 0L)
+    } finally drop("lrart2")
   }
 
   test("streaming serve emits the same scored rows as the batch serve") {
-    spark.sql("DROP TABLE IF EXISTS lrart3_weights")
+    drop("lrart3")
     LrArtifact.train(spark, dir, "lrart3")
+    try {
     val rows = Seq(
       (1L, (0 until 40).map(i => s"a$i").mkString(" ")),
       (2L, "the the the a a data data short"),
@@ -80,5 +88,6 @@ class LrArtifactSpec extends SparkSpec {
         rows.toDF("doc_id", "text"))
       .orderBy(col("doc_id")).collect().toSeq
     assert(streamed == batch)
+    } finally drop("lrart3")
   }
 }
