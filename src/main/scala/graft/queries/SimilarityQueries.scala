@@ -960,8 +960,10 @@ object SimilarityQueries {
     * m0..m63, v1 pivots v0..v63). All arithmetic is bit-identical to
     * the original inline pca2 — the factoring only ADDS the anorm1
     * column, which pca2's tail never reads. */
-  private def pca2Frames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val Scale = 1048576.0 // 2^20, as in powerIteration
+  private val Pca2Scale = 1048576.0 // 2^20, as in powerIteration
+
+  /** Stage A: the 1-row v1 frame (v1 array + anorm1). */
+  private def pca2StageA(spark: SparkSession, dir: String): DataFrame = {
     val sv = aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))
     val accum = embs(spark, dir)
@@ -971,27 +973,41 @@ object SimilarityQueries {
       .repartition(col("vec_id"))
       .select(col("s"), posexplode(col("embedding")))
       .select(col("pos"),
-        round(col("s") * col("col").cast(DoubleType) * lit(Scale))
+        round(col("s") * col("col").cast(DoubleType) * lit(Pca2Scale))
           .cast(LongType).as("q"))
       .groupBy(col("pos"))
       .agg(sum(col("q")).as("sq"))
-      .select(col("pos"), (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
+      .select(col("pos"), (col("sq").cast(DoubleType) / lit(Pca2Scale)).as("m"))
     val pivots1 = (0 until Dim).map(i =>
       max(when(col("pos") === i, col("m"))).as(s"m$i"))
     val norm1 =
       sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
-    val v1 = accum.agg(pivots1.head, pivots1.tail: _*)
+    accum.agg(pivots1.head, pivots1.tail: _*)
       .select(array((0 until Dim).map(i => col(s"m$i") / norm1): _*).as("v1"),
         norm1.as("anorm1"))
+  }
 
+  /** The per-row deflation x → y = x − (x·v1)v1 under a 1-row v1
+    * frame. With keepExtras the frame also carries the raw embedding
+    * and the stage-computed projection t = x·v1 (identical expression
+    * both ways — the extras only widen the row). */
+  private def pca2Deflated(spark: SparkSession, dir: String, v1f: DataFrame,
+      keepExtras: Boolean): DataFrame = {
     val t = aggregate(
       zip_with(col("embedding"), col("v1"), (x, v) => x.cast(DoubleType) * v),
       lit(0.0), (acc, x) => acc + x)
-    val deflated = embs(spark, dir).crossJoin(broadcast(v1))
+    val base = embs(spark, dir).crossJoin(broadcast(v1f))
       .select(col("vec_id"), col("v1"), col("embedding"), t.as("t"))
-      .select(col("vec_id"), col("v1"),
-        zip_with(col("embedding"), col("v1"),
-          (x, v) => x.cast(DoubleType) - col("t") * v).as("y"))
+    val y = zip_with(col("embedding"), col("v1"),
+      (x, v) => x.cast(DoubleType) - col("t") * v).as("y")
+    if (keepExtras)
+      base.select(col("vec_id"), col("v1"), col("embedding"), col("t"), y)
+    else base.select(col("vec_id"), col("v1"), y)
+  }
+
+  /** Stage B: the 1-row pivot aggregate (n_vecs, m0..m63 second-pass
+    * accumulations, v0..v63 = v1's components) from a deflated frame. */
+  private def pca2StageB(deflated: DataFrame): DataFrame = {
     val s2 = aggregate(col("y"), lit(0.0), (acc, x) => acc + x)
     val accum2 = deflated
       .select(col("vec_id"), col("v1"), col("y"), s2.as("s2"))
@@ -999,17 +1015,22 @@ object SimilarityQueries {
       .select(col("s2"), col("v1"), posexplode(col("y")))
       .select(col("pos"),
         element_at(col("v1"), col("pos") + 1).as("v1p"),
-        round(col("s2") * col("col") * lit(Scale)).cast(LongType).as("q"))
+        round(col("s2") * col("col") * lit(Pca2Scale)).cast(LongType).as("q"))
       .groupBy(col("pos"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"),
         max(col("v1p")).as("v1p"))
       .select(col("pos"), col("n"), col("v1p"),
-        (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
+        (col("sq").cast(DoubleType) / lit(Pca2Scale)).as("m"))
     val pivots2 = (0 until Dim).map(i =>
       max(when(col("pos") === i, col("m"))).as(s"m$i")) ++
       (0 until Dim).map(i =>
         max(when(col("pos") === i, col("v1p"))).as(s"v$i"))
-    (v1, accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*))
+    accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*)
+  }
+
+  private def pca2Frames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v1f = pca2StageA(spark, dir)
+    (v1f, pca2StageB(pca2Deflated(spark, dir, v1f, keepExtras = false)))
   }
 
   /** ‖(m0..m63)‖ over the stage-B pivot columns. */
@@ -1136,31 +1157,38 @@ object SimilarityQueries {
     * micro-quantized after the last division, so the per-vector frame
     * hash-matches cross-engine at every SF. */
   def whiten2(spark: SparkSession, dir: String): DataFrame = {
-    val Scale = 1048576.0 // 2^20, as in the pca2 accumulations
-    val (v1f, p2) = pca2Frames(spark, dir)
-    val norm2c = pca2Norm2c
-    // stage B's pivot columns include a scalar named v1 — alias the
-    // basis arrays clear of the pivot namespace
-    val wb = p2.crossJoin(broadcast(v1f.select(col("v1").as("v1a"))))
-      .select(col("v1a"),
-        array((0 until Dim).map(i => col(s"m$i") / norm2c): _*).as("v2a"))
-    def projOn(v: String): Column =
-      aggregate(
-        zip_with(col("embedding"), col(v), (x, c) => x.cast(DoubleType) * c),
-        lit(0.0), (acc, x) => acc + x)
-    val proj = embs(spark, dir).crossJoin(broadcast(wb))
-      .select(col("vec_id"), projOn("v1a").as("t1"), projOn("v2a").as("t2"))
-      .repartition(col("vec_id")) // barrier: t1/t2 feed two consumers
+    // TWO corpus scans total: stage A, then ONE deflation pass whose
+    // frame (with the raw embedding and the stage-computed t = x·v1)
+    // persists and feeds stage B, the v2 projection, and the scale
+    // pass — t1 is stage B's own t, never recomputed, exactly as the
+    // SQL twin reads it from the shared d0 CTE
+    val v1f = pca2StageA(spark, dir)
+    val defl = pca2Deflated(spark, dir, v1f, keepExtras = true).persist()
+    defl.count()
+    val p2 = pca2StageB(defl)
+    // hoist the 64-term norm chain into its own projection (the SQL
+    // twin's p2n CTE): inlining it into all 64 v2 elements builds a
+    // ~4k-node expression tree that costs more to compile than to run
+    val wb = p2
+      .select((0 until Dim).map(i => col(s"m$i")) :+
+        pca2Norm2c.as("anorm2c"): _*)
+      .select(
+        array((0 until Dim).map(i => col(s"m$i") / col("anorm2c")): _*).as("v2a"))
+    val proj = defl.crossJoin(broadcast(wb))
+      .select(col("vec_id"), col("t").as("t1"),
+        aggregate(
+          zip_with(col("embedding"), col("v2a"), (x, c) => x.cast(DoubleType) * c),
+          lit(0.0), (acc, x) => acc + x).as("t2"))
       .persist()
     proj.count()
     val scales = proj.agg(
-      sum(round(col("t1") * col("t1") * lit(Scale)).cast(LongType)).as("q1"),
-      sum(round(col("t2") * col("t2") * lit(Scale)).cast(LongType)).as("q2"),
+      sum(round(col("t1") * col("t1") * lit(Pca2Scale)).cast(LongType)).as("q1"),
+      sum(round(col("t2") * col("t2") * lit(Pca2Scale)).cast(LongType)).as("q2"),
       count(lit(1)).as("n"))
       .select(
-        sqrt((col("q1").cast(DoubleType) / lit(Scale)) /
+        sqrt((col("q1").cast(DoubleType) / lit(Pca2Scale)) /
           col("n").cast(DoubleType)).as("s1"),
-        sqrt((col("q2").cast(DoubleType) / lit(Scale)) /
+        sqrt((col("q2").cast(DoubleType) / lit(Pca2Scale)) /
           col("n").cast(DoubleType)).as("s2"))
     proj.crossJoin(broadcast(scales))
       .select(col("vec_id"),
@@ -1172,17 +1200,15 @@ object SimilarityQueries {
   val whiten2Sql: String = {
     val v2List = "[" +
       (0 until Dim).map(i => s"m$i / anorm2").mkString(", ") + "]"
-    def projSql(v: String) =
-      s"list_sum(list_transform(e.embedding, (ex, j) -> CAST(ex AS DOUBLE) * wb.$v[j]))"
     s"""$pca2CtePrefix,
        |wb AS (
-       |  SELECT v.v1 AS v1a, $v2List AS v2a
-       |  FROM p2n, v),
+       |  SELECT $v2List AS v2a
+       |  FROM p2n),
        |proj AS (
-       |  SELECT e.vec_id,
-       |         ${projSql("v1a")} AS t1,
-       |         ${projSql("v2a")} AS t2
-       |  FROM embeddings e, wb),
+       |  SELECT d0.vec_id,
+       |         d0.t AS t1,
+       |         list_sum(list_transform(d0.embedding, (ex, j) -> CAST(ex AS DOUBLE) * wb.v2a[j])) AS t2
+       |  FROM d0, wb),
        |sc AS (
        |  SELECT sqrt((CAST(sum(CAST(round(t1 * t1 * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / CAST(count(*) AS DOUBLE)) AS s1,
        |         sqrt((CAST(sum(CAST(round(t2 * t2 * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / CAST(count(*) AS DOUBLE)) AS s2
