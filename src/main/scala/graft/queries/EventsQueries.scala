@@ -1203,6 +1203,62 @@ object EventsQueries {
        |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_anomaly_mad: robust (median/MAD) outlier detection
+  // ---------------------------------------------------------------------
+
+  /** Robust global outlier detection over the hourly value series —
+    * the median/MAD counterpart of [[hourlyAnomalies]]'s trailing-mean
+    * detector: means and trailing baselines are themselves dragged by
+    * the outliers they are supposed to flag, while the median and the
+    * median absolute deviation have a 50% breakdown point (the
+    * standard robust-statistics choice for exactly this monitoring
+    * job). An hour is anomalous when |x − median| > 3·MAD.
+    *
+    * Determinism + scale: the hourly grain is exact micro-int sums
+    * (one map-side-combined pass over events); median and MAD use the
+    * exact `percentile` whose interpolation is bit-identical to
+    * DuckDB's quantile_cont (the lenQuantiles precedent), each a
+    * 1-row broadcast over the ≤ hours-per-corpus grain (never raw
+    * events); at the 100 TB tier the exact percentile swaps for the
+    * GK sketch with the same plan shape. score = dev/MAD is a single
+    * IEEE division, NULL when MAD = 0 (constant series). */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(Money)) * lit(1000000))
+        .cast(LongType).as("x_micro"))
+      .persist() // ≤ hours-per-corpus rows; feeds med, MAD and output
+    h.count()
+    val med = h.agg(percentile(col("x_micro"), lit(0.5)).as("med"))
+    val dev = h.crossJoin(broadcast(med))
+      .select(epochUs(col("hour")).as("hour_us"), col("x_micro"), col("med"),
+        abs(col("x_micro").cast(DoubleType) - col("med")).as("dev"))
+    val mad = dev.agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("hour_us"), col("x_micro"), col("med"), col("mad"),
+        when(col("mad") > 0.0, col("dev") / col("mad")).as("score"),
+        (col("dev") > lit(3.0) * col("mad")).cast(LongType).as("is_anomaly"))
+      .orderBy(col("hour_us"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS x_micro
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT quantile_cont(CAST(x_micro AS DOUBLE), 0.5) AS med FROM h),
+      |dev AS (
+      |  SELECT epoch_us(hour) AS hour_us, x_micro, med,
+      |         abs(CAST(x_micro AS DOUBLE) - med) AS dev
+      |  FROM h, med),
+      |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+      |SELECT hour_us, x_micro, med, mad,
+      |       CASE WHEN mad > 0.0 THEN dev / mad END AS score,
+      |       CAST(dev > 3.0 * mad AS BIGINT) AS is_anomaly
+      |FROM dev, mad
+      |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_purchase_error_days: FULL OUTER day alignment
   // ---------------------------------------------------------------------
 
@@ -1512,6 +1568,7 @@ object EventsQueries {
     ("ev_daily_type_pivot", dailyTypePivot _, dailyTypePivotSql),
     ("ev_retention_cohorts", retentionCohorts _, retentionCohortsSql),
     ("ev_hourly_anomalies", hourlyAnomalies _, hourlyAnomaliesSql),
+    ("ev_anomaly_mad", anomalyMad _, anomalyMadSql),
     ("ev_purchase_error_days", purchaseErrorDays _, purchaseErrorDaysSql),
     ("ev_user_overlap", userOverlap _, userOverlapSql),
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
