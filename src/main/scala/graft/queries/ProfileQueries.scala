@@ -528,6 +528,158 @@ object ProfileQueries {
       |SELECT c_custkey, nseg, nbal, 100, 99999999 FROM j WHERE NOT ins AND NOT del AND NOT chg
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // util_k_anonymity: generalization-ladder k-anonymity audit
+  // ---------------------------------------------------------------------
+
+  private val AnonK = 5
+
+  /** K-anonymity with a generalization hierarchy — the privacy audit a
+    * training-data pipeline runs before shipping user-adjacent tables:
+    * every row must share its quasi-identifier tuple with ≥ k−1 others
+    * or be GENERALIZED until it does. Quasi-identifiers here are
+    * (market segment, nation); the ladder is nation → region → full
+    * suppression: each customer is assigned the FINEST level whose
+    * equivalence class reaches k, and the output is the anonymized
+    * class accounting (level, segment, geo, class size) — every class
+    * in it has n ≥ k except the terminal suppressed bucket, which
+    * absorbs whatever even (*, *) could not protect.
+    *
+    * Scale: one customer scan; nation/region are broadcast dims; the
+    * two class-size frames are |segments × nations|-bounded and
+    * broadcast back; the final rollup groups on coarse keys. No
+    * corpus-vs-corpus join anywhere ([[pseudonymize]] is the
+    * column-level complement — this is the row-level re-identification
+    * audit). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"),
+        col("n_regionkey"))
+    val r = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name").as("region"))
+    val base = c
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("seg"), col("nation"), col("region"))
+    val l0 = base.groupBy(col("seg"), col("nation"))
+      .agg(count(lit(1)).as("n0"))
+    val withN0 = base.join(broadcast(l0), Seq("seg", "nation"))
+    // the level-1 census runs over the level-0 FAILERS only: a
+    // published level-1 class contains just the rows generalized into
+    // it, so counting all (seg, region) rows would certify classes
+    // whose published size is below k (KAnonymitySpec caught exactly
+    // this on the real data — the standard local-recoding subtlety)
+    val l1 = withN0.filter(col("n0") < AnonK)
+      .groupBy(col("seg"), col("region"))
+      .agg(count(lit(1)).as("n1"))
+    val leveled = withN0
+      .join(broadcast(l1), Seq("seg", "region"), "left_outer")
+      .select(col("seg"), col("nation"), col("region"),
+        when(col("n0") >= AnonK, lit(0L))
+          .when(col("n1") >= AnonK, lit(1L))
+          .otherwise(lit(2L)).as("level"))
+    leveled
+      .select(col("level"),
+        when(col("level") === 2L, lit("*")).otherwise(col("seg")).as("seg_out"),
+        when(col("level") === 0L, col("nation"))
+          .when(col("level") === 1L, col("region"))
+          .otherwise(lit("*")).as("geo_out"))
+      .groupBy(col("level"), col("seg_out"), col("geo_out"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("level"), col("seg_out"), col("geo_out"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey, c_mktsegment AS seg, n_name AS nation, r_name AS region
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |l0 AS (SELECT seg, nation, count(*) AS n0 FROM base GROUP BY 1, 2),
+       |b0 AS (
+       |  SELECT base.seg, base.nation, base.region, n0
+       |  FROM base JOIN l0 ON base.seg = l0.seg AND base.nation = l0.nation),
+       |l1 AS (
+       |  SELECT seg, region, count(*) AS n1
+       |  FROM b0 WHERE n0 < $AnonK GROUP BY 1, 2),
+       |leveled AS (
+       |  SELECT b0.seg, b0.nation, b0.region,
+       |         CASE WHEN n0 >= $AnonK THEN 0
+       |              WHEN n1 >= $AnonK THEN 1
+       |              ELSE 2 END AS level
+       |  FROM b0
+       |  LEFT JOIN l1 ON b0.seg = l1.seg AND b0.region = l1.region)
+       |SELECT CAST(level AS BIGINT) AS level,
+       |       CASE WHEN level = 2 THEN '*' ELSE seg END AS seg_out,
+       |       CASE WHEN level = 0 THEN nation
+       |            WHEN level = 1 THEN region
+       |            ELSE '*' END AS geo_out,
+       |       count(*) AS n_rows
+       |FROM leveled
+       |GROUP BY 1, 2, 3
+       |ORDER BY level, seg_out, geo_out""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // util_mix_kl: divergence of the corpus mix from the sampling target
+  // ---------------------------------------------------------------------
+
+  /** KL(p‖q) between the OBSERVED token mix p and the τ=0.5
+    * temperature target q that [[temperatureMix]] publishes — the
+    * drift monitor a mixing pipeline runs each ingest epoch: when the
+    * divergence grows, the corpus composition has moved and the
+    * sampling weights need re-fitting. Per-source contributions
+    * p·ln(p/q) are emitted so the drifting sources are attributable;
+    * the ln is quantized once per source (the bigramLogprob
+    * discipline) and everything else is exact integer/IEEE division.
+    *
+    * Scale: the same one corpus pass as temperatureMix, then
+    * |sources|-grain arithmetic under two 1-row broadcast scalars. */
+  def mixKl(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("w_q"))
+      .persist() // |sources| rows; feeds both totals and the output
+    bySource.count()
+    val tot = bySource.agg(
+      sum(col("n_tokens")).as("t_tot"), sum(col("w_q")).as("w_tot"))
+    val p = col("n_tokens").cast(DoubleType) / col("t_tot").cast(DoubleType)
+    val q = col("w_q").cast(DoubleType) / col("w_tot").cast(DoubleType)
+    bySource.crossJoin(broadcast(tot)) // 1-row scalars
+      .select(col("source"), col("n_tokens"),
+        p.as("p_obs"), q.as("q_target"),
+        (p * (round(log(p / q) * lit(1e6)).cast(LongType)
+          .cast(DoubleType) / lit(1e6))).as("kl_contrib"))
+      .orderBy(col("source"))
+  }
+
+  val mixKlSql: String =
+    """WITH by_source AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+      |  FROM by_source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tot,
+      |               CAST(sum(w_q) AS BIGINT) AS w_tot FROM w)
+      |SELECT source, n_tokens,
+      |       CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE) AS p_obs,
+      |       CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS q_target,
+      |       (CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE)) *
+      |         (CAST(CAST(round(ln((CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE)) /
+      |           (CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE))) * 1e6) AS BIGINT) AS DOUBLE) / 1e6)
+      |         AS kl_contrib
+      |FROM w, tot
+      |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
@@ -537,5 +689,7 @@ object ProfileQueries {
     ("util_temperature_mix", temperatureMix _, temperatureMixSql),
     ("util_weighted_sample", weightedSample _, weightedSampleSql),
     ("util_scd2_merge", scd2Merge _, scd2MergeSql),
+    ("util_k_anonymity", kAnonymity _, kAnonymitySql),
+    ("util_mix_kl", mixKl _, mixKlSql),
     ("ev_user_cms", userCms _, null))
 }
