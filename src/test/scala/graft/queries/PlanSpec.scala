@@ -474,6 +474,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
+  test("anomaly-mad: percentiles run over the cached hourly grain, never raw events") {
+    val p = plan("ev_anomaly_mad")
+    // median/MAD enter as 1-row broadcasts over the persisted hourly
+    // grain (the event FileScan appears only inside the cache's build
+    // plan, pruned to the two referenced columns)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,value:double>") ||
+      p.contains("ReadSchema: struct<ts:timestamp,value:double>"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("k-anonymity: dims and class frames broadcast; no corpus-sized shuffle join") {
+    val p = plan("util_k_anonymity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the final rollup partial-aggregates map-side
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("mix-kl: one corpus pass; totals enter as a 1-row broadcast") {
+    val p = plan("util_mix_kl")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("whiten: basis and scales are 1-row broadcasts; no corpus-vs-corpus join") {
     val p = plan("emb_whiten")
     // the basis (wb) and the energy scales both enter the per-vector
