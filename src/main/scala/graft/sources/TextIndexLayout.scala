@@ -188,4 +188,49 @@ object TextIndexLayout {
         sink(serve(spark, prefix, batch, excludeSelf), batchId)
       }
       .start()
+
+  /** STALENESS audit: how far has the live corpus at `dir` drifted
+    * from the index's frozen build-time geometry? Delta appends keep
+    * postings complete but score them under the build-time df/idf and
+    * avgdl — correct and internally consistent, yet increasingly
+    * mis-weighted as the corpus composition moves. This is the
+    * operational answer to "when do we pay the rebuild": per-term df
+    * drift |ln((df_now+1)/(df_frozen+1))| (new terms enter with
+    * df_frozen = 0 — exactly the OOV mass delta documents currently
+    * drop), topped with the global n_docs / avgdl shifts replicated on
+    * every row. Rebuild when the headline terms' drift or the avgdl
+    * ratio crosses the deployment's tolerance (a 10% avgdl shift
+    * already moves every length-normalized score).
+    *
+    * Scale: one tokenized pass over the live corpus to the term grain
+    * (the build's own pass), a vocabulary-sized full-outer join (the
+    * frozen vocab broadcasts), two 1-row broadcast stat frames, and a
+    * TakeOrdered top-k. */
+  def driftAudit(spark: SparkSession, dir: String, prefix: String,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir)).persist()
+    perDoc.count()
+    val (vocabNow, statsNow) = TextQueries.bm25Vocab(perDoc)
+    val terms = spark.table(s"${prefix}_vocab")
+      .select(col("term"), col("df").as("df_frozen"))
+      .join(vocabNow.select(col("term"), col("df").as("df_now")),
+        Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_frozen", "df_now"))
+    val frozenS = spark.table(s"${prefix}_stats")
+      .select(col("n_docs").as("n_docs_frozen"),
+        col("avgdl").as("avgdl_frozen"))
+    val nowS = statsNow
+      .select(col("n_docs").as("n_docs_now"), col("avgdl").as("avgdl_now"))
+    terms
+      .select(col("term"), col("df_frozen"), col("df_now"),
+        abs(round(log((col("df_now").cast("double") + 1.0) /
+          (col("df_frozen").cast("double") + 1.0)) * 1e6))
+          .cast(LongType).as("drift_micro"))
+      .crossJoin(broadcast(frozenS))
+      .crossJoin(broadcast(nowS))
+      .orderBy(col("drift_micro").desc, col("term"))
+      .limit(topK)
+  }
 }
