@@ -1259,6 +1259,70 @@ object EventsQueries {
       |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_gap_fill: time-spine densification + last-observation fill
+  // ---------------------------------------------------------------------
+
+  /** Gap-filled hourly error series — the densification pass every
+    * time-series consumer needs before windowed math: an hour with no
+    * error events simply has NO row in the rollup, and a rolling
+    * average or LAG over the sparse grain silently treats the gap as
+    * adjacency. The spine is generated from the observed [min, max]
+    * hour bounds (sequence + explode — no calendar table needed),
+    * LEFT-joined to the observed grain; counts zero-fill, the value
+    * carries the last observation forward (`last(..., ignoreNulls)`
+    * over the hour order — the LOCF convention), and `is_gap` keeps
+    * the imputation auditable. The spine starts at the first OBSERVED
+    * hour, so every gap has something to carry by construction.
+    *
+    * Scale: the spine is hours-sized, generated from a 1-row bounds
+    * aggregate; the join and the LOCF window run on the hourly grain
+    * (≤ hours-per-corpus rows), never raw events — the reference's own
+    * rollup-first discipline. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val errs = events(spark, dir).filter(col("event_type") === "error")
+    val h = errs
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(Money)) * lit(1000000))
+          .cast(LongType).as("x_micro"))
+    val bounds = errs.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = bounds.select(explode(
+      sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(h, Seq("hour"), "left_outer")
+      .select(col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("x_micro"),
+        last(col("x_micro"), ignoreNulls = true).over(w).as("x_locf"),
+        col("n_events").isNull.cast(LongType).as("is_gap"))
+      .select(epochUs(col("hour")).as("hour_us"), col("n_events"),
+        col("x_micro"), col("x_locf"), col("is_gap"))
+      .orderBy(col("hour_us"))
+  }
+
+  val gapFillSql: String =
+    """WITH e AS (SELECT ts, value FROM events WHERE event_type = 'error'),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS x_micro
+      |  FROM e GROUP BY 1),
+      |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |             date_trunc('hour', max(ts)) AS h1 FROM e),
+      |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+      |SELECT epoch_us(spine.hour) AS hour_us,
+      |       COALESCE(n_events, 0) AS n_events,
+      |       x_micro,
+      |       last_value(x_micro IGNORE NULLS) OVER (
+      |         ORDER BY spine.hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_locf,
+      |       CAST(n_events IS NULL AS BIGINT) AS is_gap
+      |FROM spine LEFT JOIN h ON spine.hour = h.hour
+      |ORDER BY hour_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_purchase_error_days: FULL OUTER day alignment
   // ---------------------------------------------------------------------
 
@@ -1569,6 +1633,7 @@ object EventsQueries {
     ("ev_retention_cohorts", retentionCohorts _, retentionCohortsSql),
     ("ev_hourly_anomalies", hourlyAnomalies _, hourlyAnomaliesSql),
     ("ev_anomaly_mad", anomalyMad _, anomalyMadSql),
+    ("ev_gap_fill", gapFill _, gapFillSql),
     ("ev_purchase_error_days", purchaseErrorDays _, purchaseErrorDaysSql),
     ("ev_user_overlap", userOverlap _, userOverlapSql),
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
