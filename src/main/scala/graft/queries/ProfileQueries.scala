@@ -623,6 +623,87 @@ object ProfileQueries {
        |ORDER BY level, seg_out, geo_out""".stripMargin
 
   // ---------------------------------------------------------------------
+  // util_table_diff: keyed row-level reconciliation of two versions
+  // ---------------------------------------------------------------------
+
+  /** Data-diff between two versions of a keyed table — the
+    * reconciliation pass a pipeline migration runs to prove the new
+    * path reproduces the old one (and, when it doesn't, WHAT moved):
+    * FULL OUTER join on the key, row-content hash comparison, and a
+    * per-status accounting of added / removed / changed / unchanged
+    * keys with their key ranges. Version B is derived in-query from
+    * customer with a deterministic synthetic mutation set (every 97th
+    * key's balance bumped, every 101st dropped, every 103rd re-keyed
+    * as an insert) so both engines diff identical inputs; in
+    * deployment the two sides are two table snapshots.
+    *
+    * Determinism: the content hash is md5 over pipe-joined NORMALIZED
+    * fields — the balance enters as exact cents (round(x·100) int64),
+    * never a float's string form, which differs across engines.
+    *
+    * Scale: one shuffle per side on the key (the join), counters
+    * aggregate map-side; nothing is collected. Sample keys are
+    * min/max per status — bounded output regardless of diff size. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast(LongType).as("cents"))
+    val a = base
+    val b = base
+      .filter(col("c_custkey") % 101 =!= 0) // removed in B
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        when(col("c_custkey") % 97 === 0, col("cents") + 1000L)
+          .otherwise(col("cents")).as("cents")) // changed in B
+      .unionByName(
+        base.filter(col("c_custkey") % 103 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_name"), col("c_mktsegment"), col("cents"))) // added in B
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(col("c_custkey"),
+        md5(concat_ws("|", col("c_name"), col("c_mktsegment"),
+          col("cents"))).as(h))
+    val status = hashed(a, "ha")
+      .join(hashed(b, "hb"), Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("status"))
+    status.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  val tableDiffSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |         CASE WHEN c_custkey % 97 = 0 THEN cents + 1000 ELSE cents END AS cents
+      |  FROM base WHERE c_custkey % 101 != 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_mktsegment, cents
+      |  FROM base WHERE c_custkey % 103 = 0),
+      |ha AS (SELECT c_custkey, md5(concat_ws('|', c_name, c_mktsegment, cents)) AS ha FROM base),
+      |hb AS (SELECT c_custkey, md5(concat_ws('|', c_name, c_mktsegment, cents)) AS hb FROM b),
+      |st AS (
+      |  SELECT COALESCE(ha.c_custkey, hb.c_custkey) AS c_custkey,
+      |         CASE WHEN ha.ha IS NULL THEN 'added'
+      |              WHEN hb.hb IS NULL THEN 'removed'
+      |              WHEN ha.ha = hb.hb THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM ha FULL OUTER JOIN hb ON ha.c_custkey = hb.c_custkey)
+      |SELECT status, count(*) AS n,
+      |       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      |FROM st
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------------
   // util_mix_kl: divergence of the corpus mix from the sampling target
   // ---------------------------------------------------------------------
 
@@ -691,5 +772,6 @@ object ProfileQueries {
     ("util_scd2_merge", scd2Merge _, scd2MergeSql),
     ("util_k_anonymity", kAnonymity _, kAnonymitySql),
     ("util_mix_kl", mixKl _, mixKlSql),
+    ("util_table_diff", tableDiff _, tableDiffSql),
     ("ev_user_cms", userCms _, null))
 }
