@@ -492,7 +492,7 @@ object TextQueries {
 
   /** Result-list depth per query; interpolated into BOTH engines so the
     * Spark plan and the DuckDB oracle can never drift (MaxBlock idiom). */
-  private val Bm25TopK = 10
+  private[graft] val Bm25TopK = 10
 
   /** Okapi BM25 top-10 retrieval: every 50th document is a query; its
     * distinct terms probe the inverted (term, doc, tf) index and

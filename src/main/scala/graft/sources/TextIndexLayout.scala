@@ -189,6 +189,78 @@ object TextIndexLayout {
       }
       .start()
 
+  /** Pseudo-relevance-feedback serving (RM3-style two-pass retrieval)
+    * from the persisted index: run [[serve]], take each query's top
+    * `kFb` documents as implicit relevance feedback, harvest their
+    * strongest `nExp` terms the query did NOT already use (by summed
+    * BM25 contribution across the feedback docs — the contribution is
+    * idf-weighted, so stopwords don't surface), add them to the query
+    * term set, and score a second pass. The classic win is SYNONYMY:
+    * a relevant document sharing no literal term with the query is
+    * reachable once the feedback docs' vocabulary bridges it (spec'd
+    * on a planted fixture).
+    *
+    * This is a SERVING-time technique, which is why it lives on the
+    * layout rather than in the registry: a PRF pass per query against
+    * a rebuilt-from-scratch index would pay two corpus builds per
+    * request; against the persisted postings both passes are
+    * request-sized probes. Both passes score with the oracle-checked
+    * [[TextQueries.bm25Score]] verbatim.
+    *
+    * Scale: pass 1 is [[serve]]; the feedback join reads the postings
+    * once ON THE DOC SIDE (queries × kFb doc ids — at heavy QPS keep a
+    * doc-bucketed forward grain next to the term-bucketed postings,
+    * the standard dual layout); expansion sets are (queries × nExp)
+    * rows; pass 2 is another term-keyed probe. */
+  def servePrf(spark: SparkSession, prefix: String, queries: DataFrame,
+      kFb: Int = 3, nExp: Int = 5,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val postings = BucketedTables.read(spark, s"${prefix}_postings")
+    val qt = queryTerms(queries).persist()
+    qt.count()
+    val fb = TextQueries.bm25Score(qt, postings, excludeSelf)
+      .filter(col("rank") <= kFb)
+      .select(col("q_id"), col("doc_id"))
+    // strongest non-query terms of the feedback docs, by summed
+    // idf-weighted contribution
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("fb_weight").desc, col("term"))
+    val expansion = fb.join(postings, "doc_id")
+      .groupBy(col("q_id"), col("term"))
+      .agg(sum(col("contrib")).as("fb_weight"),
+        count(lit(1)).as("fb_docs"))
+      // minimum feedback support: a term must appear in >= 2 feedback
+      // docs. Without it a single doc's rare private vocabulary (idf
+      // maximal by definition) outbids the topical terms and the
+      // expansion just re-retrieves that one document.
+      .filter(col("fb_docs") >= 2)
+      .join(qt.withColumn("is_q", lit(1)), Seq("q_id", "term"), "left_anti")
+      .withColumn("ern", row_number().over(w))
+      .filter(col("ern") <= nExp)
+      .select(col("q_id"), col("term"))
+    // RM3's interpolation, integerized: original terms score at weight
+    // 2, expansion terms at 1 (α = 2/3). Without it the expansion
+    // vocabulary can outvote the query and drift the topic — the
+    // spec's "already covered" case demotes its own top hit.
+    val weighted = qt.select(col("q_id"), col("term"), lit(2L).as("qw"))
+      .unionByName(expansion.select(col("q_id"), col("term"),
+        lit(1L).as("qw")))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_pico").desc, col("doc_id"))
+    val cand = weighted.join(postings, "term")
+    (if (excludeSelf) cand.filter(col("q_id") =!= col("doc_id")) else cand)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib") * col("qw")).as("score_pico"))
+      .withColumn("rank", row_number().over(rw).cast(
+        org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= TextQueries.Bm25TopK)
+      .select(col("q_id"), col("doc_id"), col("score_pico"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** STALENESS audit: how far has the live corpus at `dir` drifted
     * from the index's frozen build-time geometry? Delta appends keep
     * postings complete but score them under the build-time df/idf and
