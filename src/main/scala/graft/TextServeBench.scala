@@ -64,7 +64,18 @@ object TextServeBench {
     require(served > 0, "no results served")
 
     val qps = qs.size / wall
-    println(f"""{"metric":"txt_serve_queries_per_sec","value":$qps%.1f,"unit":"queries/sec","queries":${qs.size},"result_rows":$served,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_avg":${batchSecs.sum / batchSecs.size}%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"sf":${util.Json.quote(sfDir)}}""")
+
+    // PRF serving: the two-pass RM3 path over the same index + query
+    // set — the per-query price of the second probe pass relative to
+    // single-pass serving (batch mode; the stream bridge is identical)
+    val qdf = qs.toDF("q_id", "text")
+    val tp0 = System.nanoTime()
+    val prfRows = TextIndexLayout.servePrf(spark, prefix, qdf,
+      excludeSelf = true).count()
+    val prfWall = (System.nanoTime() - tp0) / 1e9
+    val prfQps = qs.size / prfWall
+
+    println(f"""{"metric":"txt_serve_queries_per_sec","value":$qps%.1f,"unit":"queries/sec","queries":${qs.size},"result_rows":$served,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_avg":${batchSecs.sum / batchSecs.size}%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"prf_queries_per_sec":$prfQps%.1f,"prf_result_rows":$prfRows,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
   }
 }
