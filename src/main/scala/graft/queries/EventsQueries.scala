@@ -1259,6 +1259,69 @@ object EventsQueries {
       |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_trend_theil_sen: robust trend slope over the hourly series
+  // ---------------------------------------------------------------------
+
+  /** Theil–Sen trend estimate of the hourly value series — the robust
+    * completion of [[anomalyMad]]: the slope is the MEDIAN of all
+    * pairwise slopes, so up to ~29% contaminated hours cannot bend the
+    * trend (an OLS fit moves with every outlier its own residual
+    * can't vote down). Output is one row: slope per hour, the median
+    * intercept under that slope, and the pair count.
+    *
+    * Scale: the pair enumeration is a self-join of the HOURLY grain —
+    * O(hours²) pairs, bounded by the calendar, never by the data
+    * (720 hours → 259k pairs at any corpus size); the median is the
+    * bit-identical exact percentile. Slopes divide exact micro-int
+    * deltas by exact hour deltas, so every pair's double is
+    * reproducible cross-engine. */
+  def trendTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(Money)) * lit(1000000))
+        .cast(LongType).as("x_micro"))
+      .select((epochUs(col("hour")) / lit(3600000000L)).cast(LongType)
+        .as("t_h"), col("x_micro"))
+      .persist()
+    h.count()
+    val slopes = h.as("a").join(h.as("b"), col("a.t_h") < col("b.t_h"))
+      .select(
+        ((col("b.x_micro") - col("a.x_micro")).cast(DoubleType) /
+          (col("b.t_h") - col("a.t_h")).cast(DoubleType)).as("slope"))
+    val sl = slopes.agg(
+      percentile(col("slope"), lit(0.5)).as("slope_micro_per_h"),
+      count(lit(1)).as("n_pairs"))
+    h.crossJoin(broadcast(sl))
+      .select(col("n_pairs"), col("slope_micro_per_h"),
+        (col("x_micro").cast(DoubleType) -
+          col("slope_micro_per_h") * col("t_h").cast(DoubleType))
+          .as("resid"))
+      .groupBy(col("n_pairs"), col("slope_micro_per_h"))
+      .agg(percentile(col("resid"), lit(0.5)).as("intercept_micro"))
+      .select(col("slope_micro_per_h"), col("intercept_micro"),
+        col("n_pairs"))
+  }
+
+  val trendTheilSenSql: String =
+    """WITH h AS (
+      |  SELECT CAST(epoch_us(date_trunc('hour', ts)) / 3600000000 AS BIGINT) AS t_h,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS x_micro
+      |  FROM events GROUP BY date_trunc('hour', ts)),
+      |slopes AS (
+      |  SELECT CAST(b.x_micro - a.x_micro AS DOUBLE) /
+      |         CAST(b.t_h - a.t_h AS DOUBLE) AS slope
+      |  FROM h a JOIN h b ON a.t_h < b.t_h),
+      |sl AS (
+      |  SELECT quantile_cont(slope, 0.5) AS slope_micro_per_h,
+      |         count(*) AS n_pairs
+      |  FROM slopes)
+      |SELECT slope_micro_per_h,
+      |       quantile_cont(CAST(x_micro AS DOUBLE) - slope_micro_per_h * CAST(t_h AS DOUBLE), 0.5) AS intercept_micro,
+      |       n_pairs
+      |FROM h, sl
+      |GROUP BY n_pairs, slope_micro_per_h""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_gap_fill: time-spine densification + last-observation fill
   // ---------------------------------------------------------------------
 
@@ -1634,6 +1697,7 @@ object EventsQueries {
     ("ev_hourly_anomalies", hourlyAnomalies _, hourlyAnomaliesSql),
     ("ev_anomaly_mad", anomalyMad _, anomalyMadSql),
     ("ev_gap_fill", gapFill _, gapFillSql),
+    ("ev_trend_theil_sen", trendTheilSen _, trendTheilSenSql),
     ("ev_purchase_error_days", purchaseErrorDays _, purchaseErrorDaysSql),
     ("ev_user_overlap", userOverlap _, userOverlapSql),
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
