@@ -1222,12 +1222,18 @@ object EventsQueries {
     * events); at the 100 TB tier the exact percentile swaps for the
     * GK sketch with the same plan shape. score = dev/MAD is a single
     * IEEE division, NULL when MAD = 0 (constant series). */
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val h = events(spark, dir)
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    madTail(events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"))
       .agg((sum(col("value").cast(Money)) * lit(1000000))
-        .cast(LongType).as("x_micro"))
-      .persist() // ≤ hours-per-corpus rows; feeds med, MAD and output
+        .cast(LongType).as("x_micro")))
+
+  /** The detector itself over an arbitrary (hour, x_micro) grain —
+    * shared by the registered query and the streaming sink audit
+    * (streaming.EventsPipeline.madAuditHourly), so the sink is
+    * monitored by the same oracle-checked math. */
+  private[graft] def madTail(hourly: DataFrame): DataFrame = {
+    val h = hourly.persist() // ≤ hours-per-corpus rows
     h.count()
     val med = h.agg(percentile(col("x_micro"), lit(0.5)).as("med"))
     val dev = h.crossJoin(broadcast(med))
