@@ -409,6 +409,56 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_recall_audit: the banding S-curve against exact ground truth
+  // ---------------------------------------------------------------------
+
+  /** Recall of the MinHash banding against the EXACT prefix-filtered
+    * join, per jaccard band — the dedup counterpart of
+    * ann_recall_audit, publishing the LSH S-curve the banding formula
+    * only predicts: [[prefixJaccard]] is zero-false-negative at
+    * τ = 0.7 (proven in PrefixJaccardSpec), so its pairs are ground
+    * truth; each is checked against the banded+verified
+    * [[minhashPairs]] set and recall is rolled up per 0.1-wide
+    * jaccard band. At 100 TB this is the audit that decides band
+    * geometry before a corpus-wide dedup run — on a SAMPLE, exactly
+    * like the ANN audit (the exact side is the expensive one; both
+    * sides here are the already-bounded pair queries).
+    *
+    * recall_bp is integer-truncated — deterministic cross-engine. */
+  def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = prefixJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val caught = minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact.join(caught, Seq("doc_a", "doc_b"), "left_outer")
+      .select(
+        least(floor(col("jaccard") * 10), lit(9.0)).cast(LongType).as("band"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_caught"))
+      .select(col("band"), col("n_exact"), col("n_caught"),
+        (col("n_caught") * lit(10000L) / col("n_exact"))
+          .cast(LongType).as("recall_bp"))
+      .orderBy(col("band"))
+  }
+
+  val dedupRecallAuditSql: String =
+    s"""WITH exact AS ($prefixJaccardSql),
+       |caught AS ($minhashPairsSql),
+       |j AS (
+       |  SELECT e.jaccard,
+       |         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact e
+       |  LEFT JOIN caught c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+       |SELECT CAST(least(floor(jaccard * 10), 9.0) AS BIGINT) AS band,
+       |       count(*) AS n_exact,
+       |       CAST(sum(hit) AS BIGINT) AS n_caught,
+       |       CAST(sum(hit) * 10000 / count(*) AS BIGINT) AS recall_bp
+       |FROM j
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_clusters: connected components over the near-dup pair graph
   // ---------------------------------------------------------------------
 
@@ -1243,6 +1293,7 @@ object DedupQueries {
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
+    ("dedup_recall_audit", dedupRecallAudit _, dedupRecallAuditSql),
     ("dedup_simhash", simhash _, simhashSql),
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
