@@ -424,7 +424,9 @@ object DedupQueries {
     * like the ANN audit (the exact side is the expensive one; both
     * sides here are the already-bounded pair queries).
     *
-    * recall_bp is integer-truncated — deterministic cross-engine. */
+    * recall_bp floors the ratio EXPLICITLY on both engines: a bare
+    * long cast truncates in Spark but DuckDB's CAST rounds, so a band
+    * at e.g. 2/3 recall would hash-mismatch without the floor. */
   def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     val exact = prefixJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -437,7 +439,7 @@ object DedupQueries {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_caught"))
       .select(col("band"), col("n_exact"), col("n_caught"),
-        (col("n_caught") * lit(10000L) / col("n_exact"))
+        floor(col("n_caught") * lit(10000L) / col("n_exact"))
           .cast(LongType).as("recall_bp"))
       .orderBy(col("band"))
   }
@@ -453,7 +455,7 @@ object DedupQueries {
        |SELECT CAST(least(floor(jaccard * 10), 9.0) AS BIGINT) AS band,
        |       count(*) AS n_exact,
        |       CAST(sum(hit) AS BIGINT) AS n_caught,
-       |       CAST(sum(hit) * 10000 / count(*) AS BIGINT) AS recall_bp
+       |       CAST(floor(sum(hit) * 10000 / count(*)) AS BIGINT) AS recall_bp
        |FROM j
        |GROUP BY 1
        |ORDER BY band""".stripMargin

@@ -313,9 +313,9 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_exact"),
         coalesce(col("h1"), lit(0L)).as("n_hit_single"),
         coalesce(col("hm"), lit(0L)).as("n_hit_multi"),
-        (coalesce(col("h1"), lit(0L)) * lit(10000L) / col("n_exact"))
+        floor(coalesce(col("h1"), lit(0L)) * lit(10000L) / col("n_exact"))
           .cast(LongType).as("recall_single_bp"),
-        (coalesce(col("hm"), lit(0L)) * lit(10000L) / col("n_exact"))
+        floor(coalesce(col("hm"), lit(0L)) * lit(10000L) / col("n_exact"))
           .cast(LongType).as("recall_multi_bp"))
       .orderBy(col("q_id"))
   }
@@ -336,8 +336,8 @@ object SimilarityQueries {
        |SELECT b.q_id, b.n_exact,
        |       COALESCE(h1.h1, 0) AS n_hit_single,
        |       COALESCE(hm.hm, 0) AS n_hit_multi,
-       |       CAST(COALESCE(h1.h1, 0) * 10000 / b.n_exact AS BIGINT) AS recall_single_bp,
-       |       CAST(COALESCE(hm.hm, 0) * 10000 / b.n_exact AS BIGINT) AS recall_multi_bp
+       |       CAST(floor(COALESCE(h1.h1, 0) * 10000 / b.n_exact) AS BIGINT) AS recall_single_bp,
+       |       CAST(floor(COALESCE(hm.hm, 0) * 10000 / b.n_exact) AS BIGINT) AS recall_multi_bp
        |FROM base b
        |LEFT JOIN h1 ON b.q_id = h1.q_id
        |LEFT JOIN hm ON b.q_id = hm.q_id

@@ -1959,9 +1959,13 @@ object TextQueries {
     val tok = docs(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
     val mg = udaf(MisraGriesAgg(HhCap), org.apache.spark.sql.Encoders.STRING)
-    val cands = tok.agg(mg(col("token")).as("cands"))
-      .select(explode(col("cands")).as("token"))
-    val total = tok.agg(count(lit(1)).as("n_total")) // 1-row scalar
+    // the total count rides the candidate pass (same aggregate), so
+    // the query is exactly its documented two scans: one bounded-state
+    // MG pass, one candidate-row recount
+    val pass1 = tok.agg(mg(col("token")).as("cands"),
+      count(lit(1)).as("n_total"))
+    val cands = pass1.select(explode(col("cands")).as("token"))
+    val total = pass1.select(col("n_total")) // 1-row scalar
     tok.join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

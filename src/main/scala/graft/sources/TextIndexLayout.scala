@@ -217,8 +217,9 @@ object TextIndexLayout {
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val postings = BucketedTables.read(spark, s"${prefix}_postings")
-    val qt = queryTerms(queries).persist()
-    qt.count()
+    // qt is request-sized: recomputing the tokenize per consumer is
+    // cheaper than owning cached blocks on a long-lived serving session
+    val qt = queryTerms(queries)
     val fb = TextQueries.bm25Score(qt, postings, excludeSelf)
       .filter(col("rank") <= kFb)
       .select(col("q_id"), col("doc_id"))
@@ -236,7 +237,7 @@ object TextIndexLayout {
       // maximal by definition) outbids the topical terms and the
       // expansion just re-retrieves that one document.
       .filter(col("fb_docs") >= 2)
-      .join(qt.withColumn("is_q", lit(1)), Seq("q_id", "term"), "left_anti")
+      .join(qt, Seq("q_id", "term"), "left_anti")
       .withColumn("ern", row_number().over(w))
       .filter(col("ern") <= nExp)
       .select(col("q_id"), col("term"))
@@ -282,9 +283,16 @@ object TextIndexLayout {
       topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
+    // the corpus term grain persists only for the duration of the two
+    // vocabulary-sized derivations; the returned plan reads the small
+    // checkpointed frames, so a scheduled audit leaks no cached blocks
     val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir)).persist()
     perDoc.count()
-    val (vocabNow, statsNow) = TextQueries.bm25Vocab(perDoc)
+    val (vocabNow, statsNow) =
+      try {
+        val (v0, s0) = TextQueries.bm25Vocab(perDoc)
+        (v0.localCheckpoint(true), s0.localCheckpoint(true))
+      } finally perDoc.unpersist()
     val terms = spark.table(s"${prefix}_vocab")
       .select(col("term"), col("df").as("df_frozen"))
       .join(vocabNow.select(col("term"), col("df").as("df_now")),

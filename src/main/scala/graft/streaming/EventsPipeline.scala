@@ -310,6 +310,21 @@ object EventsPipeline {
     epoch
   }
 
+  /** Robust anomaly audit OVER THE STREAMING SINK: the oracle-checked
+    * median/MAD detector (graft.queries.EventsQueries.madTail, the
+    * exact math behind ev_anomaly_mad) applied to the upsert sink's
+    * latest-epoch payment series. This is the monitoring composition a
+    * deployment runs after each trigger or on a schedule: the stream
+    * maintains the hourly table, the audit reads it — hours-sized,
+    * never raw events — and flags |x − median| > 3·MAD hours. The
+    * payment column is DECIMAL(12,2), so x_micro is exact. */
+  def madAuditHourly(spark: SparkSession, outDir: String): DataFrame =
+    graft.queries.EventsQueries.madTail(
+      readHourlyMetrics(spark, outDir)
+        .select(col("hour"),
+          (col("total_payments") * lit(1000000))
+            .cast(org.apache.spark.sql.types.LongType).as("x_micro")))
+
   /** Compact the append-only upsert sink: collapse every hour to its
     * latest epoch and swap the table directory. Long-running streams
     * otherwise accumulate one superseded row-version per hour per
@@ -329,21 +344,6 @@ object EventsPipeline {
     * result is checked (HDFS reports failure by returning false, not
     * throwing). [[readHourlyMetrics]] results are identical before and
     * after (CheckpointResumeSpec asserts this). */
-  /** Robust anomaly audit OVER THE STREAMING SINK: the oracle-checked
-    * median/MAD detector (graft.queries.EventsQueries.madTail, the
-    * exact math behind ev_anomaly_mad) applied to the upsert sink's
-    * latest-epoch payment series. This is the monitoring composition a
-    * deployment runs after each trigger or on a schedule: the stream
-    * maintains the hourly table, the audit reads it — hours-sized,
-    * never raw events — and flags |x − median| > 3·MAD hours. The
-    * payment column is DECIMAL(12,2), so x_micro is exact. */
-  def madAuditHourly(spark: SparkSession, outDir: String): DataFrame =
-    graft.queries.EventsQueries.madTail(
-      readHourlyMetrics(spark, outDir)
-        .select(col("hour"),
-          (col("total_payments") * lit(1000000))
-            .cast(org.apache.spark.sql.types.LongType).as("x_micro")))
-
   def compactHourlyMetrics(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val path = s"$outDir/hourly_business_metrics"
