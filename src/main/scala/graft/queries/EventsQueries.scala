@@ -1265,6 +1265,57 @@ object EventsQueries {
       |ORDER BY hour_us""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_benford_audit: first-digit distribution vs Benford's law
+  // ---------------------------------------------------------------------
+
+  /** First-significant-digit audit of the value column against
+    * Benford's law — the classic fabricated-data screen (audit
+    * practice since Nigrini): organically-generated positive amounts
+    * follow P(d) = log10(1 + 1/d), while invented or systematically
+    * manipulated figures don't. Output per digit: observed count and
+    * share, the Benford expectation, and the χ² contribution
+    * n·(p−p̂)²/p̂ — the audit flags when the summed contributions
+    * blow past the 15.5 critical value (8 df, α=0.05).
+    *
+    * Determinism: the digit comes from the decimal STRING of exact
+    * int64 cents (never a float's engine-specific rendering); the
+    * only transcendental (the Benford log) is quantized once per
+    * digit. One scan, nine-row output, map-side combined. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = events(spark, dir)
+      .filter(col("value") > 0.0)
+      .select(substring(round(col("value") * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total")) // 1-row scalar
+    val pObs = col("n").cast(DoubleType) / col("n_total").cast(DoubleType)
+    val pBen = round(log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) /
+      log(lit(10.0)) * 1e6).cast(LongType).cast(DoubleType) / lit(1e6)
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        pObs.as("p_obs"), pBen.as("p_benford"),
+        (col("n_total").cast(DoubleType) * (pObs - pBen) * (pObs - pBen) /
+          pBen).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM events WHERE value > 0.0),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+      |SELECT digit, n,
+      |       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_obs,
+      |       CAST(CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS p_benford,
+      |       CAST(n_total AS DOUBLE)
+      |         * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) - CAST(CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT) AS DOUBLE) / 1e6)
+      |         * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) - CAST(CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT) AS DOUBLE) / 1e6)
+      |         / (CAST(CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6) AS BIGINT) AS DOUBLE) / 1e6) AS chi2_term
+      |FROM g, tot
+      |ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_trend_theil_sen: robust trend slope over the hourly series
   // ---------------------------------------------------------------------
 
@@ -1704,6 +1755,7 @@ object EventsQueries {
     ("ev_anomaly_mad", anomalyMad _, anomalyMadSql),
     ("ev_gap_fill", gapFill _, gapFillSql),
     ("ev_trend_theil_sen", trendTheilSen _, trendTheilSenSql),
+    ("ev_benford_audit", benfordAudit _, benfordAuditSql),
     ("ev_purchase_error_days", purchaseErrorDays _, purchaseErrorDaysSql),
     ("ev_user_overlap", userOverlap _, userOverlapSql),
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
