@@ -1180,7 +1180,9 @@ object DedupQueries {
     * eval document can ever produce a pair. This variant builds a
     * Bloom filter over the eval side's shingle keys
     * ([[graft.functions.SketchExpressions.buildLongBloom]] — one
-    * fixed-size sketch per partition, OR-merged on the driver) and
+    * fixed-size sketch per partition, OR-merged by an executor-side
+    * treeReduce; the first build's driver star-collect measured +1.0s
+    * at sf1.0 and was removed, see BENCH_SF1.md) and
     * probes it in a Filter UNDER the train side of the join
     * (map-side, codegen'd), so the shuffle carries only might-match
     * rows. Bloom false positives are harmless (the equi-join above is
@@ -1232,9 +1234,16 @@ object DedupQueries {
         import graft.functions.SketchExpressions
         SketchExpressions.ensureRegistered(spark)
         val evalKeys = postings.filter(col("split") =!= "train").select("s")
-        // size the sketch to the data: one cheap count over the cached
-        // postings, then ~7 bits/key at fpp 3%
-        val n = math.max(evalKeys.count(), 1024L)
+        // size the sketch by the DISTINCT-key estimate, not the posting
+        // row count: rows overcount shared shingles (oversizing the
+        // plan-embedded literal every task deserializes) and the exact
+        // count was a dedicated job. approx_count_distinct over the
+        // cached postings is one cheap pass; fpp only degrades
+        // gracefully if the estimate is low, and false negatives stay
+        // impossible regardless.
+        val n = math.max(evalKeys
+          .agg(approx_count_distinct(col("s")).as("nd"))
+          .head().getLong(0), 1024L)
         val bloomBytes = SketchExpressions.buildLongBloom(
           evalKeys, "s", n, 0.03)
         base.filter(call_function("graft_bloom_mc",

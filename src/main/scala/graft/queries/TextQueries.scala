@@ -513,8 +513,9 @@ object TextQueries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = bm25TermGrain(docs(spark, dir)).persist()
     perDoc.count()
-    val (vocab, _) = bm25Vocab(perDoc)
-    val postings = bm25Postings(perDoc, vocab)
+    val dl = bm25DocLens(perDoc)
+    val (vocab, _) = bm25Vocab(perDoc, dl)
+    val postings = bm25Postings(perDoc, vocab, dl)
     val qterms = perDoc.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("q_id"), col("term"))
     bm25Score(qterms, postings, excludeSelf = true)
@@ -535,8 +536,16 @@ object TextQueries {
     * FREEZES both — delta-appended documents are encoded under the
     * build-time df/idf/avgdl, never a re-derivation from the grown
     * corpus (the AnnIndexLayout frozen-geometry discipline). */
-  private[graft] def bm25Vocab(perDoc: DataFrame): (DataFrame, DataFrame) = {
-    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  /** Per-document lengths — computed ONCE per run and threaded into
+    * both [[bm25Vocab]] and [[bm25Postings]] (each used to derive it
+    * privately, paying the corpus-grain aggregate twice). A delta
+    * append passes its own delta-derived lengths: dl is a per-document
+    * property, so it is append-safe, unlike df/avgdl. */
+  private[graft] def bm25DocLens(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  private[graft] def bm25Vocab(perDoc: DataFrame,
+      dl: DataFrame): (DataFrame, DataFrame) = {
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
@@ -560,8 +569,8 @@ object TextQueries {
     * from `vocab`, which for a delta append is the FROZEN build-time
     * vocabulary — delta terms missing from it (OOV) drop out of the
     * index until the next rebuild, standard retrieval practice. */
-  private[graft] def bm25Postings(perDoc: DataFrame, vocab: DataFrame): DataFrame = {
-    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  private[graft] def bm25Postings(perDoc: DataFrame, vocab: DataFrame,
+      dl: DataFrame): DataFrame = {
     perDoc.join(vocab.select(col("term"), col("df")), "term")
       .filter(h60Pool(col("doc_id"), col("df"), Bm25MaxPosting))
       .join(dl, "doc_id")
@@ -1425,8 +1434,13 @@ object TextQueries {
     * within-doc boilerplate) keeps its globally-first occurrence —
     * min (doc_id, pos) — and every other occurrence is marked for
     * stripping; per document, the stripped token count is the
-    * interval UNION of its marked windows (the spanCoverage sweep)
-    * and kept_tokens is what a cleaned corpus would retain.
+    * interval UNION of its marked windows (the spanCoverage sweep).
+    * Semantics note: when a stripped window overlaps a KEPT keeper
+    * occurrence in the same document, the shared positions count as
+    * stripped — the "remove every duplicated substring occurrence"
+    * convention, under which kept_tokens is exact; a cleaner that
+    * instead protects keeper spans end-to-end would retain those
+    * shared positions, for which this kept_tokens is a lower bound.
     *
     * Keeper selection is deliberately aggregate-shaped, NOT a
     * row_number window over the span groups: a corpus-wide

@@ -68,7 +68,8 @@ object TextIndexLayout {
       .persist()
     perDoc.count()
     try {
-      val (vocab, stats) = TextQueries.bm25Vocab(perDoc)
+      val dl = TextQueries.bm25DocLens(perDoc)
+      val (vocab, stats) = TextQueries.bm25Vocab(perDoc, dl)
       vocab.write.mode("overwrite").format("parquet")
         .saveAsTable(s"${prefix}_vocab")
       stats.write.mode("overwrite").format("parquet")
@@ -77,7 +78,7 @@ object TextIndexLayout {
       // function of the frozen geometry (and the plan reuses one scan)
       val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
       BucketedTables.writeBucketed(
-        TextQueries.bm25Postings(perDoc, frozen),
+        TextQueries.bm25Postings(perDoc, frozen, dl),
         s"${prefix}_postings", "term", buckets)
     } finally perDoc.unpersist()
   }
@@ -113,7 +114,7 @@ object TextIndexLayout {
     val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
     val perDoc = TextQueries.bm25TermGrain(docs)
     BucketedTables.appendBucketed(
-      TextQueries.bm25Postings(perDoc, frozen)
+      TextQueries.bm25Postings(perDoc, frozen, TextQueries.bm25DocLens(perDoc))
         .join(BucketedTables.read(spark, s"${prefix}_postings")
           .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
       s"${prefix}_postings", "term", buckets)
@@ -290,7 +291,8 @@ object TextIndexLayout {
     perDoc.count()
     val (vocabNow, statsNow) =
       try {
-        val (v0, s0) = TextQueries.bm25Vocab(perDoc)
+        val (v0, s0) =
+          TextQueries.bm25Vocab(perDoc, TextQueries.bm25DocLens(perDoc))
         (v0.localCheckpoint(true), s0.localCheckpoint(true))
       } finally perDoc.unpersist()
     val terms = spark.table(s"${prefix}_vocab")

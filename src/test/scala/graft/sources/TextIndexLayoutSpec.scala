@@ -60,21 +60,23 @@ class TextIndexLayoutSpec extends SparkSpec {
       // the persisted vocabulary is the BUILD-TIME one, not re-derived
       val docsA = TextQueries.bm25TermGrain(
         graft.util.Tables.load(spark, dir, "documents").filter(predA))
-      val (vocabA, _) = TextQueries.bm25Vocab(docsA)
+      val (vocabA, _) =
+        TextQueries.bm25Vocab(docsA, TextQueries.bm25DocLens(docsA))
       val persisted = spark.table("txt_idx_delta_vocab").collect().toSet
       assert(persisted == vocabA.collect().toSet)
-      val (vocabFull, _) = TextQueries.bm25Vocab(TextQueries.bm25TermGrain(
-        graft.util.Tables.load(spark, dir, "documents")))
+      val fullGrain = TextQueries.bm25TermGrain(
+        graft.util.Tables.load(spark, dir, "documents"))
+      val (vocabFull, _) =
+        TextQueries.bm25Vocab(fullGrain, TextQueries.bm25DocLens(fullGrain))
       assert(persisted != vocabFull.collect().toSet,
         "fixture too small to distinguish frozen from re-derived vocab")
 
       // postings == the whole corpus encoded under vocab(A), exactly
       // once per (term, doc) — delta encoding is per-document, so the
       // union must equal a one-shot encode under the frozen geometry
-      val expected = TextQueries.bm25Postings(
-        TextQueries.bm25TermGrain(
-          graft.util.Tables.load(spark, dir, "documents")),
-        spark.table("txt_idx_delta_vocab")).collect().toSet
+      val expected = TextQueries.bm25Postings(fullGrain,
+        spark.table("txt_idx_delta_vocab"),
+        TextQueries.bm25DocLens(fullGrain)).collect().toSet
       val stored = spark.table("txt_idx_delta_postings").collect().toSet
       assert(stored == expected)
       assert(spark.table("txt_idx_delta_postings").count() == expected.size)
