@@ -1254,6 +1254,87 @@ object TextQueries {
   // txt_dup_spans: substring-level (alignment-free) duplicate spans
   // ---------------------------------------------------------------------
 
+  private val SpanL = 16
+
+  /** Persisted stride-1 span index — one row per token position:
+    * (doc_id[, n_tokens], pos, s) with s the h60 of the L-token window
+    * starting at pos. ONE implementation feeds the whole span family
+    * (detect / coverage / strip): a drifted copy would silently give
+    * the three queries different notions of "span". */
+  private def spanIndex(spark: SparkSession, dir: String,
+      withNTokens: Boolean): DataFrame = {
+    val L = SpanL
+    val base = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= L)
+      // barrier: keep `toks` a materialized attribute or the window
+      // generator re-splits the text once per span (chunkDupes note)
+      .repartition(col("doc_id"))
+    val windows = posexplode(
+      transform(sequence(lit(0), size(col("toks")) - L),
+        i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L))))))
+    val sp =
+      if (withNTokens)
+        base.select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"), windows)
+          .toDF("doc_id", "n_tokens", "pos", "s")
+          .select(col("doc_id"), col("n_tokens"),
+            col("pos").cast(LongType).as("pos"), col("s"))
+      else
+        base.select(col("doc_id"), windows)
+          .toDF("doc_id", "pos", "s")
+          .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+            col("s"))
+    sp.persist()
+    sp.count()
+    sp
+  }
+
+  /** Per-document interval-union sweep: appends `contrib` — the
+    * positions a [pos, pos+L) window covers beyond every earlier
+    * window of the same document. Summing contrib per doc gives the
+    * exact union size without materializing position sets. */
+  private def spanSweepContrib(occ: DataFrame): DataFrame = {
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    occ
+      .withColumn("prev_end", max(col("pos") + SpanL).over(sweep))
+      .withColumn("contrib",
+        greatest(col("pos") + SpanL - greatest(col("pos"),
+          coalesce(col("prev_end"), col("pos"))), lit(0L)))
+  }
+
+  /** The d/p/sp CTE prefix of the span family's SQL twins. */
+  private def spanIndexCtes(withNTokens: Boolean): String = {
+    val n = if (withNTokens) ", CAST(len(toks) AS BIGINT) AS n_tokens" else ""
+    val nSel = if (withNTokens) ", n_tokens" else ""
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks$n,
+       |         unnest(generate_series(1, len(toks) - ${SpanL - 1})) AS i
+       |  FROM d WHERE len(toks) >= $SpanL),
+       |sp AS (
+       |  SELECT doc_id$nSel, CAST(i - 1 AS BIGINT) AS pos,
+       |         ${h60Sql(s"array_to_string(toks[i:i+${SpanL - 1}], ' ')")} AS s
+       |  FROM p)""".stripMargin
+  }
+
+  /** The occ/cov sweep CTEs over occurrence source `src`. */
+  private def spanSweepCtes(src: String): String =
+    s"""occ AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |         max(pos + $SpanL) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM $src),
+       |cov AS (
+       |  SELECT doc_id, n_tokens,
+       |         greatest(pos + $SpanL - greatest(pos, COALESCE(prev_end, pos)), 0)
+       |           AS contrib
+       |  FROM occ)""".stripMargin
+
   /** Duplicated 16-token spans at ANY offset — the substring-level
     * dedup signal ("Deduplicating Training Data Makes Language Models
     * Better", Lee et al. 2022): boilerplate, license headers, and
@@ -1273,20 +1354,7 @@ object TextQueries {
     * span-grain table (small, post-HAVING) back to the index on
     * (span, first_doc) — never a second corpus pass. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val L = 16
-    val sp = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= L)
-      // barrier: keep `toks` a materialized attribute or the window
-      // generator re-splits the text once per span (chunkDupes note)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("toks")) - L),
-          i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
-      .toDF("doc_id", "pos", "s")
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("s"))
-      .persist()
-    sp.count()
+    val sp = spanIndex(spark, dir, withNTokens = false)
     val g = sp.groupBy(col("s"))
       .agg(
         count_distinct(col("doc_id")).as("n_docs"),
@@ -1305,15 +1373,7 @@ object TextQueries {
   }
 
   val dupSpansSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |p AS (
-       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 15)) AS i
-       |  FROM d WHERE len(toks) >= 16),
-       |sp AS (
-       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
-       |  FROM p),
+    s"""WITH ${spanIndexCtes(withNTokens = false)},
        |g AS (
        |  SELECT s, count(DISTINCT doc_id) AS n_docs,
        |         CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
@@ -1359,33 +1419,12 @@ object TextQueries {
     * there is no query stream to amortize a persisted index for, so
     * computing the span index inside the pass is the right shape. */
   def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val L = 16
-    val sp = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= L)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
-        posexplode(
-          transform(sequence(lit(0), size(col("toks")) - L),
-            i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
-      .toDF("doc_id", "n_tokens", "pos", "s")
-      .select(col("doc_id"), col("n_tokens"),
-        col("pos").cast(LongType).as("pos"), col("s"))
-      .persist()
-    sp.count()
+    val sp = spanIndex(spark, dir, withNTokens = true)
     val dup = sp.groupBy(col("s"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2L)
       .select(col("s"))
-    val sweep = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    sp.join(dup, Seq("s"))
-      .withColumn("prev_end", max(col("pos") + L).over(sweep))
-      .withColumn("contrib",
-        greatest(col("pos") + L - greatest(col("pos"),
-          coalesce(col("prev_end"), col("pos"))), lit(0L)))
+    spanSweepContrib(sp.join(dup, Seq("s")))
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("contrib")).as("dup_positions"))
       .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
@@ -1395,28 +1434,13 @@ object TextQueries {
   }
 
   val spanCoverageSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |p AS (
-       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |         unnest(generate_series(1, len(toks) - 15)) AS i
-       |  FROM d WHERE len(toks) >= 16),
-       |sp AS (
-       |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
-       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
-       |  FROM p),
+    s"""WITH ${spanIndexCtes(withNTokens = true)},
        |dup AS (
        |  SELECT s FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-       |occ AS (
-       |  SELECT sp.doc_id, sp.n_tokens, sp.pos,
-       |         max(sp.pos + 16) OVER (PARTITION BY sp.doc_id ORDER BY sp.pos
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |hits AS (
+       |  SELECT sp.doc_id, sp.n_tokens, sp.pos
        |  FROM sp JOIN dup ON sp.s = dup.s),
-       |cov AS (
-       |  SELECT doc_id, n_tokens,
-       |         greatest(pos + 16 - greatest(pos, COALESCE(prev_end, pos)), 0)
-       |           AS contrib
-       |  FROM occ)
+       |${spanSweepCtes("hits")}
        |SELECT doc_id, n_tokens,
        |       CAST(sum(contrib) AS BIGINT) AS dup_positions,
        |       CAST(sum(contrib) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
@@ -1449,20 +1473,7 @@ object TextQueries {
     * aggregations that never materialize a span group — the skew-safe
     * form at corpus scale. */
   def stripSpans(spark: SparkSession, dir: String): DataFrame = {
-    val L = 16
-    val sp = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= L)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
-        posexplode(
-          transform(sequence(lit(0), size(col("toks")) - L),
-            i => h60(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L)))))))
-      .toDF("doc_id", "n_tokens", "pos", "s")
-      .select(col("doc_id"), col("n_tokens"),
-        col("pos").cast(LongType).as("pos"), col("s"))
-      .persist()
-    sp.count()
+    val sp = spanIndex(spark, dir, withNTokens = true)
     val k1 = sp.groupBy(col("s"))
       .agg(count(lit(1)).as("n_occ"), min(col("doc_id")).as("keep_doc"))
       .filter(col("n_occ") >= 2L)
@@ -1476,15 +1487,7 @@ object TextQueries {
       .filter(!(col("doc_id") === col("keep_doc") &&
         col("pos") === col("keep_pos")))
       .select(col("doc_id"), col("n_tokens"), col("pos"))
-    val sweep = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    strip
-      .withColumn("prev_end", max(col("pos") + L).over(sweep))
-      .withColumn("contrib",
-        greatest(col("pos") + L - greatest(col("pos"),
-          coalesce(col("prev_end"), col("pos"))), lit(0L)))
+    spanSweepContrib(strip)
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("contrib")).as("stripped_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("stripped_tokens"),
@@ -1493,16 +1496,7 @@ object TextQueries {
   }
 
   val stripSpansSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |p AS (
-       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |         unnest(generate_series(1, len(toks) - 15)) AS i
-       |  FROM d WHERE len(toks) >= 16),
-       |sp AS (
-       |  SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos,
-       |         ${h60Sql("array_to_string(toks[i:i+15], ' ')")} AS s
-       |  FROM p),
+    s"""WITH ${spanIndexCtes(withNTokens = true)},
        |k1 AS (
        |  SELECT s, CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS keep_doc
        |  FROM sp GROUP BY 1 HAVING count(*) >= 2),
@@ -1514,16 +1508,7 @@ object TextQueries {
        |  SELECT sp.doc_id, sp.n_tokens, sp.pos
        |  FROM sp JOIN k1 ON sp.s = k1.s JOIN k2 ON sp.s = k2.s
        |  WHERE NOT (sp.doc_id = k1.keep_doc AND sp.pos = k2.keep_pos)),
-       |occ AS (
-       |  SELECT doc_id, n_tokens, pos,
-       |         max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-       |  FROM strip),
-       |cov AS (
-       |  SELECT doc_id, n_tokens,
-       |         greatest(pos + 16 - greatest(pos, COALESCE(prev_end, pos)), 0)
-       |           AS contrib
-       |  FROM occ)
+       |${spanSweepCtes("strip")}
        |SELECT doc_id, n_tokens,
        |       CAST(sum(contrib) AS BIGINT) AS stripped_tokens,
        |       n_tokens - CAST(sum(contrib) AS BIGINT) AS kept_tokens
