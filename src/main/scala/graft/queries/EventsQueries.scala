@@ -1726,6 +1726,142 @@ object EventsQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_transition_matrix: first-order Markov transitions between event
+  // types — sequence-model prep over per-user event chains
+  // ---------------------------------------------------------------------
+
+  /** Empirical first-order Markov transition matrix: for each
+    * consecutive (event, next event) pair within a user's timeline,
+    * the transition count and row-normalized probability — the
+    * sequence statistics a behavioral-cloning / next-event-prediction
+    * pipeline trains against, and the sanity check that event chains
+    * are non-degenerate before feeding them to a model.
+    *
+    * Scale shape: ONE hash shuffle on user_id for the lead() window;
+    * the pair rollup is |types|^2 groups (25 here) with map-side
+    * partial aggregation, and the row-normalizing total is a second
+    * tiny window over those 25 rows — nothing after the first shuffle
+    * grows with the data. Determinism: event order ties break on
+    * event_id; probabilities are double/double after exact counts. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val row = Window.partitionBy(col("event_type"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans")).over(row))
+      .select(col("event_type"), col("next_type"), col("n_trans"),
+        col("n_from"), ratio(col("n_trans"), col("n_from")).as("p_trans"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, count(*) AS n_trans
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT event_type, next_type, n_trans,
+      |       CAST(sum(n_trans) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+      |       CAST(n_trans AS DOUBLE)
+      |         / nullif(CAST(sum(n_trans) OVER (PARTITION BY event_type)
+      |                       AS DOUBLE), 0.0) AS p_trans
+      |FROM pairs
+      |ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ev_bootstrap_ci: Poisson-bootstrap confidence interval for the mean
+  // purchase value — the distributed bootstrap (no resample shuffles)
+  // ---------------------------------------------------------------------
+
+  /** Bootstrap replicate count. Interpolated into BOTH engines. */
+  private val BootR = 32
+
+  /** Poisson(1) inverse-CDF thresholds on a uniform over [0, 2^20):
+    * round(CDF(k) * 1048576) for k = 0..5; a draw past the last ladder
+    * step (p ~ 6e-4) counts the row 6 times. Same literals in the
+    * oracle SQL. */
+  private val BootLadder: Seq[Long] =
+    Seq(385749L, 771497L, 964371L, 1028663L, 1044736L, 1047950L)
+
+  /** 95% CI for the mean purchase value via the Poisson bootstrap
+    * (Chamandy et al., the standard bootstrap at terabyte scale):
+    * instead of materializing R resampled datasets, each row draws an
+    * independent Poisson(1) multiplicity PER REPLICATE from a
+    * deterministic 20-bit md5 uniform — map-side explode by R, one
+    * partial-aggregated rollup to R replicate means, percentile over
+    * the R-row frame. No resample shuffle ever happens; the only
+    * corpus-scale stage is the explode feeding a 32-group aggregate
+    * whose partials combine map-side.
+    *
+    * Determinism: weights are exact int64 ladder lookups; replicate
+    * means are exact-decimal sums cast to double; the 2.5/97.5
+    * percentiles use the shared lo+(hi-lo)*g interpolation over the
+    * 32 sorted means (bit-identical both engines). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val u = h60(concat(col("event_id").cast(StringType), lit(":"),
+      col("r").cast(StringType))) % lit(1048576L)
+    val weight = BootLadder.zipWithIndex.foldRight(lit(BootLadder.size.toLong)) {
+      case ((thr, k), rest) => when(u < thr, lit(k.toLong)).otherwise(rest)
+    }
+    val purchases = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val point = purchases.agg(
+      count(lit(1)).as("n_purchases"),
+      (dsum(col("value")) / count(lit(1)).cast(DoubleType)).as("point_mean"))
+    val means = purchases
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(BootR - 1))).as("r"))
+      .withColumn("w", weight)
+      .groupBy(col("r"))
+      .agg((sum(col("value").cast(Tables.Money) * col("w")).cast(DoubleType) /
+        sum(col("w")).cast(DoubleType)).as("boot_mean"))
+    val ci = means.agg(
+      percentile(col("boot_mean"), lit(0.025)).as("ci_lo"),
+      percentile(col("boot_mean"), lit(0.975)).as("ci_hi"))
+    point.crossJoin(ci) // both sides are 1-row scalars
+      .select(col("n_purchases"), col("point_mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  val bootstrapCiSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    val u = s"${h60Sql("CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")} % 1048576"
+    val ladder = BootLadder.zipWithIndex
+      .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+      .mkString(" ")
+    s"""WITH purchases AS (
+       |  SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+       |point AS (
+       |  SELECT count(*) AS n_purchases,
+       |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) AS point_mean
+       |  FROM purchases),
+       |weighted AS (
+       |  SELECT r, CASE $ladder ELSE ${BootLadder.size} END AS w, value
+       |  FROM purchases, (SELECT unnest(generate_series(0, ${BootR - 1})) AS r)),
+       |means AS (
+       |  SELECT r, CAST(sum(CAST(value AS DECIMAL(28,6)) * w) AS DOUBLE)
+       |              / CAST(sum(w) AS DOUBLE) AS boot_mean
+       |  FROM weighted GROUP BY r),
+       |ci AS (
+       |  SELECT quantile_cont(boot_mean, 0.025) AS ci_lo,
+       |         quantile_cont(boot_mean, 0.975) AS ci_hi
+       |  FROM means)
+       |SELECT n_purchases, point_mean, ci_lo, ci_hi FROM point, ci""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ev_hourly_metrics", (s, d) => hourlyMetrics(s, d), hourlyMetricsSql),
     ("ev_rolling_24h", (s, d) => rolling24h(s, d), rolling24hSql),
@@ -1761,6 +1897,8 @@ object EventsQueries {
     ("ev_daily_unpivot", dailyUnpivot _, dailyUnpivotSql),
     ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
     ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
+    ("ev_transition_matrix", transitionMatrix _, transitionMatrixSql),
+    ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
