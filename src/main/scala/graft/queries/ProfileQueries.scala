@@ -761,8 +761,115 @@ object ProfileQueries {
       |FROM w, tot
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // util_importance_resample: DSIR-style data selection toward a target
+  // distribution (hashed n-gram importance weights)
+  // ---------------------------------------------------------------------
+
+  /** Hashed-feature bucket count (DSIR's hashed n-gram dimension).
+    * Interpolated into BOTH engines. */
+  private val DsirBuckets = 1024L
+
+  /** Docs selected. */
+  private val DsirTopK = 100
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like
+    * its hashed unigram distribution is — log p_target(d) −
+    * log p_raw(d) under two smoothed bag-of-buckets models — and keep
+    * the top-scoring docs. Here the target is the `lang = 'en'`
+    * slice, so the selected pool should over-represent English
+    * without ever reading the `lang` column at selection time (the
+    * whole point: the weight is computed from TEXT features, usable
+    * when no label exists on the raw side).
+    *
+    * Scale shape: one tokenize pass to the (doc, bucket, n) grain —
+    * the only corpus-grain shuffle; both feature models are
+    * B=[[DsirBuckets]]-row aggregates of that grain whose log-ratio
+    * table broadcasts back onto it; the per-doc weight is an exact
+    * int64 dot of (count, micro-quantized log-ratio); selection is
+    * TakeOrdered — no global window. Determinism: the single ln per
+    * bucket is micro-quantized (the bigramLogprob discipline), weight
+    * sums are exact int64, ties break on doc_id. */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val grain = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), col("lang"),
+        (h60(col("term")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // feeds target model, raw model, and the weight pass
+    grain.count()
+    val tgt = grain.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("n")).as("nt"))
+    val raw = grain.groupBy(col("b")).agg(sum(col("n")).as("ns"))
+    val tots = grain.agg(
+      sum(when(col("lang") === "en", col("n"))).as("tt"),
+      sum(col("n")).as("ts"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots)) // 1-row scalar
+      .select(col("b"),
+        round((log((coalesce(col("nt"), lit(0L)) + 1).cast(DoubleType) /
+          (col("tt") + DsirBuckets).cast(DoubleType)) -
+          log((col("ns") + 1).cast(DoubleType) /
+            (col("ts") + DsirBuckets).cast(DoubleType))) * 1e6)
+          .cast(LongType).as("lr_micro"))
+    grain.join(broadcast(lr), "b") // B rows — map-side
+      .groupBy(col("doc_id"))
+      .agg(min(col("lang")).as("lang"), sum(col("n")).as("n_tok"),
+        sum(col("n") * col("lr_micro")).as("w_micro"))
+      // rank on the per-token average log-ratio: the raw sum scales
+      // with document length, so short off-target docs outrank long
+      // on-target ones; normalizing removes the length confound
+      .withColumn("w_per_tok",
+        col("w_micro").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .orderBy(col("w_per_tok").desc, col("doc_id"))
+      .limit(DsirTopK)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("w_micro"),
+        col("w_per_tok"))
+  }
+
+  val importanceResampleSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH grain AS (
+       |  SELECT doc_id, lang, ${h60Sql("term")} % $DsirBuckets AS b,
+       |         count(*) AS n
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |tgt AS (
+       |  SELECT b, CAST(sum(n) AS BIGINT) AS nt
+       |  FROM grain WHERE lang = 'en' GROUP BY 1),
+       |raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS ns FROM grain GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN n END) AS BIGINT) AS tt,
+       |         CAST(sum(n) AS BIGINT) AS ts
+       |  FROM grain),
+       |lr AS (
+       |  SELECT raw.b,
+       |         CAST(round((ln(CAST(COALESCE(nt, 0) + 1 AS DOUBLE)
+       |             / CAST(tt + $DsirBuckets AS DOUBLE))
+       |           - ln(CAST(ns + 1 AS DOUBLE)
+       |             / CAST(ts + $DsirBuckets AS DOUBLE))) * 1e6) AS BIGINT)
+       |           AS lr_micro
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots)
+       |SELECT doc_id, lang, n_tok, w_micro,
+       |       CAST(w_micro AS DOUBLE) / CAST(n_tok AS DOUBLE) AS w_per_tok
+       |FROM (
+       |  SELECT doc_id, min(lang) AS lang,
+       |         CAST(sum(n) AS BIGINT) AS n_tok,
+       |         CAST(sum(n * lr_micro) AS BIGINT) AS w_micro
+       |  FROM grain JOIN lr USING (b)
+       |  GROUP BY doc_id)
+       |ORDER BY w_per_tok DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
+    ("util_importance_resample", importanceResample _, importanceResampleSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
     ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
