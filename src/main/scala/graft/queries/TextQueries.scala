@@ -648,6 +648,75 @@ object TextQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_hybrid_rrf: hybrid sparse+dense retrieval fused by RRF
+  // ---------------------------------------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k=60) — interpolated into
+    * BOTH engines. */
+  private val RrfK = 60L
+
+  /** Hybrid retrieval: fuse the BM25 lexical ranking and the
+    * multi-probe LSH embedding ranking per query with Reciprocal Rank
+    * Fusion — score(d) = Σ_legs 1/(k + rank_leg(d)) — the standard
+    * production shape for RAG corpora where neither lexical match nor
+    * embedding similarity alone recalls everything. Queries are the
+    * shared every-50th-id subset, so doc_id and vec_id refer to the
+    * same items by construction (TESTDATA.md).
+    *
+    * Scale shape: each leg is its own already-bounded pipeline (capped
+    * postings / bucketed LSH probes); the fusion itself touches only
+    * the two ≤top-10 lists per query — a full-outer equi-join and a
+    * ≤20-row-per-query window, nothing corpus-scale. Determinism: RRF
+    * contributions are exact int64 truncated division (1e6 div (k +
+    * rank) — Spark `div` == DuckDB `//`), ties break on doc_id. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = bm25TopK(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = SimilarityQueries.lshMultiProbe(spark, dir)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    val fused = sparse.as("s")
+      .join(dense.as("d"),
+        col("s.q_id") === col("d.q_id") && col("s.doc_id") === col("d.doc_id"),
+        "full_outer")
+      .select(
+        coalesce(col("s.q_id"), col("d.q_id")).as("q_id"),
+        coalesce(col("s.doc_id"), col("d.doc_id")).as("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfK + r_sparse)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + r_dense)"), lit(0L)))
+          .as("rrf_micro"),
+        col("r_sparse"), col("r_dense"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("q_id"), col("doc_id"), col("rrf_micro"),
+        col("r_sparse"), col("r_dense"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH sparseq AS ($bm25TopKSql),
+       |denseq AS (${SimilarityQueries.lshMultiProbeSql}),
+       |fused AS (
+       |  SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+       |         COALESCE(s.doc_id, d.n_id) AS doc_id,
+       |         CAST(COALESCE(1000000 // ($RrfK + s.rank), 0)
+       |            + COALESCE(1000000 // ($RrfK + d.rank), 0) AS BIGINT)
+       |           AS rrf_micro,
+       |         s.rank AS r_sparse, d.rank AS r_dense
+       |  FROM sparseq s FULL OUTER JOIN denseq d
+       |    ON s.q_id = d.q_id AND s.doc_id = d.n_id)
+       |SELECT q_id, doc_id, rrf_micro, r_sparse, r_dense, rank FROM (
+       |  SELECT q_id, doc_id, rrf_micro, r_sparse, r_dense,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $Bm25TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_quantiles: exact interpolated percentiles of doc length
   // ---------------------------------------------------------------------
 
@@ -1990,6 +2059,7 @@ object TextQueries {
     ("txt_bpe_tokens", bpeTokens _, bpeTokensSql),
     ("txt_bpe_merges", bpeMerges _, bpeMergesSql),
     ("txt_bm25_topk", bm25TopK _, bm25TopKSql),
+    ("txt_hybrid_rrf", hybridRrf _, hybridRrfSql),
     ("txt_bpe_encode", bpeEncode _, bpeEncodeSql),
     ("txt_quantiles", lenQuantiles _, lenQuantilesSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
