@@ -765,6 +765,96 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_knn_classify: semi-supervised labeling by kNN majority vote
+  // ---------------------------------------------------------------------
+
+  /** Votes per unlabeled vector — interpolated into BOTH engines. */
+  private val KnnVotes = 5
+
+  /** Auto-labeling: 20% of vectors (vec_id % 5 == 0) act as the
+    * labeled seed set; every other vector is treated as UNLABELED and
+    * receives the majority label of its [[KnnVotes]] nearest seeds —
+    * the semi-supervised pass a labeling pipeline runs to extend a
+    * small human-labeled pool over a raw corpus. The true label rides
+    * along so the output doubles as its own accuracy audit.
+    *
+    * Scale shape: the candidate generator is the multi-probe LSH
+    * bucket join ([[lshMultiProbe]]'s Hamming-1 probe set) — never a
+    * labeled×unlabeled cross join, and the seed side is bucketed by
+    * the same planes as the queries, so per-query work is bounded by
+    * bucket occupancy at any corpus size. The vote is a ≤KnnVotes-row
+    * group per query. Unlabeled vectors whose probe set hits no seed
+    * drop out (at production scale: a second probe ring or the IVF
+    * path picks them up). Determinism: neighbor ranking ties break on
+    * seed id; vote ties break on (votes desc, label asc). */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
+    val seeds = e.filter(col("vec_id") % 5 === 0)
+    val probeSet = array(col("bucket") +:
+      (0 until NPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
+    val q = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("q_id"), col("label").as("label_true"),
+        col("embedding"), col("nrm"), explode(probeSet).as("bucket"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("s_id"))
+    val top = q.as("q").join(seeds.as("s"), col("q.bucket") === col("s.bucket"))
+      .select(col("q.q_id").as("q_id"), col("q.label_true").as("label_true"),
+        col("s.vec_id").as("s_id"), col("s.label").as("label_seed"),
+        cosine("q", "s").as("cosine"))
+      .withColumn("rk", row_number().over(wCand))
+      .filter(col("rk") <= KnnVotes)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label_seed"))
+    top.groupBy(col("q_id"), col("label_true"), col("label_seed"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id").as("vec_id"), col("label_true"),
+        col("label_seed").as("label_pred"), col("votes"),
+        when(col("label_seed") === col("label_true"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnClassifySql: String = {
+    val probes = ("bucket" +:
+      (0 until NPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+       |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
+       |  FROM embeddings),
+       |seeds AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, label AS label_true, embedding, nrm,
+       |         unnest([$probes]) AS bucket
+       |  FROM e WHERE vec_id % 5 != 0),
+       |cand AS (
+       |  SELECT q.q_id, q.label_true, s.vec_id AS s_id, s.label AS label_seed,
+       |         ${dotSql("q.embedding", "s.embedding")} / (q.nrm * s.nrm) AS cosine
+       |  FROM q JOIN seeds s USING (bucket)),
+       |top AS (
+       |  SELECT q_id, label_true, label_seed FROM (
+       |    SELECT q_id, label_true, label_seed,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cosine DESC, s_id) AS rk
+       |    FROM cand)
+       |  WHERE rk <= $KnnVotes),
+       |votes AS (
+       |  SELECT q_id, label_true, label_seed, count(*) AS votes
+       |  FROM top GROUP BY 1, 2, 3)
+       |SELECT q_id AS vec_id, label_true, label_seed AS label_pred, votes,
+       |       CAST(CASE WHEN label_seed = label_true THEN 1 ELSE 0 END
+       |            AS BIGINT) AS correct
+       |FROM (
+       |  SELECT q_id, label_true, label_seed, votes,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY votes DESC, label_seed) AS vr
+       |  FROM votes)
+       |WHERE vr = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_kmeans_step: one Lloyd iteration with deterministic seeds
   // ---------------------------------------------------------------------
 
@@ -1917,6 +2007,7 @@ object SimilarityQueries {
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
+    ("emb_knn_classify", knnClassify _, knnClassifySql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
