@@ -855,6 +855,130 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------
+  // emb_mmr_rerank: maximal-marginal-relevance diversification of the
+  // retrieval shortlist
+  // ---------------------------------------------------------------------
+
+  /** MMR trade-off λ and picks — interpolated into BOTH engines. */
+  private val MmrLambda = 0.7
+  private val MmrPicks = 4
+
+  /** MMR rerank (Carbonell & Goldstein 1998): from each query's
+    * multi-probe LSH top-10 shortlist, greedily pick [[MmrPicks]]
+    * results maximizing λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) —
+    * the diversification pass a RAG pipeline runs so the context
+    * window isn't five copies of the same passage.
+    *
+    * Scale shape: everything after the (already bounded) shortlist is
+    * per-query constant work — the candidate×candidate sim table is
+    * ≤10×9 rows per query and the greedy rounds are [[MmrPicks]]−1
+    * UNROLLED relational steps (join to picked, max-sim group, argmax
+    * window), so the whole rerank is a fixed number of bounded-size
+    * shuffles regardless of corpus size. Nothing iterates
+    * data-dependently; no driver loop touches rows. Determinism: sims
+    * are the shared sequential-fold dot products; score arithmetic is
+    * written in the same association order in both engines; ties
+    * break on n_id. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embs(spark, dir))
+    val cand = lshMultiProbe(spark, dir)
+      .join(e.select(col("vec_id").as("n_id"), col("embedding"), col("nrm")),
+        "n_id")
+      .select(col("q_id"), col("n_id"), col("cosine").as("relevance"),
+        col("embedding"), col("nrm"))
+      .persist() // feeds the pair table and every greedy round
+    cand.count()
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.q_id").as("q_id"), col("a.n_id").as("x"),
+        col("b.n_id").as("y"), cosine("a", "b").as("sim"))
+      .persist() // <= 90 rows per query
+    pairs.count()
+    val slim = cand.select(col("q_id"), col("n_id"), col("relevance"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("relevance").desc, col("n_id"))
+    var picked = slim.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("pick"),
+        col("relevance"), col("relevance").as("mmr_score"))
+    for (k <- 2 to MmrPicks) {
+      val wk = Window.partitionBy(col("q_id"))
+        .orderBy(col("mmr_score").desc, col("n_id"))
+      val prev = picked.select(col("q_id"), col("n_id").as("sel_id"))
+      val next = slim
+        .join(prev, "q_id")
+        .filter(col("n_id") =!= col("sel_id"))
+        // drop candidates already picked (any matching sel round)
+        .groupBy(col("q_id"), col("n_id"), col("relevance"))
+        .agg(count(lit(1)).as("n_prev"))
+        .filter(col("n_prev") === (k - 1)) // survived every exclusion
+        .as("c")
+        .join(pairs.as("p"),
+          col("c.q_id") === col("p.q_id") && col("c.n_id") === col("p.x"))
+        .join(prev.as("s"),
+          col("p.q_id") === col("s.q_id") && col("p.y") === col("s.sel_id"))
+        .groupBy(col("c.q_id"), col("c.n_id"), col("c.relevance"))
+        .agg(max(col("p.sim")).as("max_sel"))
+        .select(col("q_id"), col("n_id"), col("relevance"),
+          (lit(MmrLambda) * col("relevance") -
+            lit(1.0 - MmrLambda) * col("max_sel")).as("mmr_score"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(k.toLong).as("pick"),
+          col("relevance"), col("mmr_score"))
+      picked = picked.unionByName(next).localCheckpoint(true)
+    }
+    picked.orderBy(col("q_id"), col("pick"))
+  }
+
+  val mmrRerankSql: String = {
+    val lam = MmrLambda
+    val oneMinus = 1.0 - MmrLambda
+    // unrolled greedy rounds: selall{k} accumulates picks 1..k
+    val rounds = (2 to MmrPicks).map { k =>
+      s"""sel$k AS (
+         |  SELECT q_id, n_id, $k AS pick, relevance, mmr_score FROM (
+         |    SELECT c.q_id, c.n_id, c.relevance,
+         |           $lam * c.relevance - $oneMinus * max(p.sim) AS mmr_score,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY $lam * c.relevance - $oneMinus * max(p.sim) DESC,
+         |                      c.n_id) AS rn
+         |    FROM cand c
+         |    JOIN pairs p ON p.q_id = c.q_id AND p.x = c.n_id
+         |    JOIN selall${k - 1} s ON p.q_id = s.q_id AND p.y = s.n_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} e
+         |                      WHERE e.q_id = c.q_id AND e.n_id = c.n_id)
+         |    GROUP BY c.q_id, c.n_id, c.relevance)
+         |  WHERE rn = 1),
+         |selall$k AS (SELECT q_id, n_id, pick, relevance, mmr_score
+         |             FROM selall${k - 1}
+         |             UNION ALL SELECT * FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH shortlist AS ($lshMultiProbeSql),
+       |e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT s.q_id, s.n_id, s.cosine AS relevance, e.embedding, e.nrm
+       |  FROM shortlist s JOIN e ON s.n_id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.q_id, a.n_id AS x, b.n_id AS y,
+       |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id != b.n_id),
+       |selall1 AS (
+       |  SELECT q_id, n_id, 1 AS pick, relevance, relevance AS mmr_score FROM (
+       |    SELECT q_id, n_id, relevance,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY relevance DESC, n_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, n_id, CAST(pick AS BIGINT) AS pick, relevance, mmr_score
+       |FROM selall$MmrPicks
+       |ORDER BY q_id, pick""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_kmeans_step: one Lloyd iteration with deterministic seeds
   // ---------------------------------------------------------------------
 
@@ -2008,6 +2132,7 @@ object SimilarityQueries {
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
     ("emb_knn_classify", knnClassify _, knnClassifySql),
+    ("emb_mmr_rerank", mmrRerank _, mmrRerankSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
