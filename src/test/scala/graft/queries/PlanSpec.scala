@@ -550,4 +550,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("importance resample: B-row model broadcasts; selection is TakeOrdered") {
+    val p = plan("util_importance_resample")
+    // the log-ratio table (DsirBuckets rows) must broadcast onto the
+    // token grain — shuffling the grain against a 1024-row frame
+    // would add a corpus-scale exchange for nothing
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-K selection never runs a global window or full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("bootstrap CI: replicate means partial-combine; no resample shuffle") {
+    val p = plan("ev_bootstrap_ci")
+    // the replicate explode feeds a 32-group aggregate whose partials
+    // combine map-side — the Poisson bootstrap's whole point is that
+    // no resampled dataset is ever materialized or shuffled
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+    // percentile over the 32-row frame is the only ordered step
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("transition matrix: one corpus shuffle (the user window); tiny rollup after") {
+    val p = plan("ev_transition_matrix")
+    // the lead() window is the only corpus-scale exchange; the pair
+    // rollup and row-normalizing window run on |types|^2 rows
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("event_id") || p.contains("user_id"), p)
+  }
+
+  test("knn classify: bucket equi-join with WindowGroupLimit; no cross join") {
+    val p = plan("emb_knn_classify")
+    // candidates come from the LSH bucket equi-join, never a
+    // labeled-by-unlabeled nested loop; the top-5 cut runs the
+    // WindowGroupLimit partial pass before the rank shuffle
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("hybrid rrf and mmr rerank: fusion stages add no unbounded operator") {
+    for (q <- Seq("txt_hybrid_rrf", "emb_mmr_rerank")) {
+      val p = plan(q)
+      // both compose already-bounded legs; the fusion/greedy stages
+      // must stay equi-joins over top-k lists. (The legs' own 1-row
+      // scalar crosses plan as BNLJ-Cross — bounded by construction,
+      // same as the quality-lr pin — so only CartesianProduct, the
+      // unbounded row-by-row form, is banned.)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the fused rank cut runs the map-side WindowGroupLimit partial
+      // pass (mmr's greedy rounds run eagerly behind localCheckpoint,
+      // so its final plan is checkpoint scans + union + sort)
+      if (q == "txt_hybrid_rrf")
+        assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+    }
+  }
 }
