@@ -1780,6 +1780,82 @@ object EventsQueries {
       |ORDER BY event_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_ewma_forecast: exponentially-weighted moving-average forecast +
+  // residuals over the hourly series
+  // ---------------------------------------------------------------------
+
+  /** EWMA lag horizon; α = 1/2, so the lag-i weight is exactly
+    * 2^(EwmaLags−i) in int64 — the whole weighted sum stays exact
+    * integer arithmetic (order-free, bit-identical cross-engine; a
+    * fractional α would fold 24 double terms whose reassociation by
+    * either optimizer shifts the last ulp). */
+  private val EwmaLags = 24
+
+  /** One-step-ahead EWMA forecast of hourly event volume: forecast_t =
+    * Σ_{i=1..24} w_i·x_{t−i} / Σ w_i with w_i = α(1−α)^{i−1} at
+    * α = 1/2, renormalized over the lags that exist (series head) —
+    * the smoother a capacity dashboard runs next to the raw series,
+    * with the residual x_t − forecast_t as its anomaly signal.
+    *
+    * Scale shape: the 24 lag() terms are a single pass over the
+    * HOURLY pre-aggregate (≤ 720 rows/month at ANY corpus size — the
+    * reference's own rollup design), so the unpartitioned window is
+    * bounded by the calendar, not the data. Determinism: weights are
+    * exact powers of two, numerator/denominator are exact int64 sums,
+    * and the single final division is the only float op. */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val wHour = Window.orderBy(col("hour_us"))
+    val hourly = events(spark, dir)
+      .groupBy(epochUs(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"))
+    val lagged = (1 to EwmaLags).foldLeft(hourly) { (df, i) =>
+      df.withColumn(s"x$i", lag(col("n_events"), i).over(wHour))
+    }
+    val num = (1 to EwmaLags)
+      .map(i => coalesce(col(s"x$i") * lit(1L << (EwmaLags - i)), lit(0L)))
+      .reduce(_ + _)
+    val den = (1 to EwmaLags)
+      .map(i => when(col(s"x$i").isNotNull,
+        lit(1L << (EwmaLags - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged
+      .select(col("hour_us"), col("n_events"),
+        (num.cast(DoubleType) /
+          nullif(den.cast(DoubleType), lit(0.0))).as("forecast"))
+      .withColumn("resid",
+        col("n_events").cast(DoubleType) - col("forecast"))
+      .orderBy(col("hour_us"))
+  }
+
+  val ewmaForecastSql: String = {
+    val lags = (1 to EwmaLags).map(i =>
+      s"lag(n_events, $i) OVER (ORDER BY hour_us) AS x$i").mkString(",\n|         ")
+    val num = (1 to EwmaLags)
+      .map(i => s"COALESCE(x$i * ${1L << (EwmaLags - i)}, 0)")
+      .mkString(" + ")
+    val den = (1 to EwmaLags)
+      .map(i => s"CASE WHEN x$i IS NOT NULL THEN ${1L << (EwmaLags - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1),
+       |lagged AS (
+       |  SELECT hour_us, n_events,
+       |         $lags
+       |  FROM hourly),
+       |fc AS (
+       |  SELECT hour_us, n_events,
+       |         CAST($num AS DOUBLE)
+       |           / nullif(CAST($den AS DOUBLE), 0.0) AS forecast
+       |  FROM lagged)
+       |SELECT hour_us, n_events, forecast,
+       |       CAST(n_events AS DOUBLE) - forecast AS resid
+       |FROM fc
+       |ORDER BY hour_us""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ev_bootstrap_ci: Poisson-bootstrap confidence interval for the mean
   // purchase value — the distributed bootstrap (no resample shuffles)
   // ---------------------------------------------------------------------
@@ -1899,6 +1975,7 @@ object EventsQueries {
     ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
     ("ev_transition_matrix", transitionMatrix _, transitionMatrixSql),
     ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
+    ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
