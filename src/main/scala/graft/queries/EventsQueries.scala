@@ -1780,6 +1780,85 @@ object EventsQueries {
       |ORDER BY event_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_attribution: last-touch conversion attribution with a lookback
+  // window
+  // ---------------------------------------------------------------------
+
+  /** Attribution lookback (72 h in microseconds) — interpolated into
+    * BOTH engines. */
+  private val AttribLookbackUs = 72L * 3600L * 1000000L
+
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent preceding touch event (view/click) within 72 h, or
+    * to 'none' when no touch qualifies — the conversion-credit query
+    * behind every marketing dashboard, and the same carry-forward
+    * shape as as-of joins.
+    *
+    * Scale shape: ONE hash shuffle on user_id; the carry-forward is
+    * two frame-bounded `last_value IGNORE NULLS` windows over the
+    * same sort (type and timestamp null out on exactly the same rows,
+    * so they always pick the same touch row); the rollup is
+    * |channels|+1 groups, map-side combined. Determinism: event order
+    * ties break on event_id; sums are exact decimal. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    val withTouch = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .withColumn("t_type", last(when(isTouch, col("event_type")), true).over(w))
+      .withColumn("t_ts", last(when(isTouch, col("ts_us")), true).over(w))
+    val share = Window.partitionBy(lit(1))
+    withTouch.filter(col("event_type") === "purchase")
+      .select(
+        when(col("t_ts").isNotNull &&
+          col("t_ts") >= col("ts_us") - AttribLookbackUs, col("t_type"))
+          .otherwise(lit("none")).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+      .withColumn("purchase_share",
+        ratio(col("n_purchases"), sum(col("n_purchases")).over(share)))
+      .orderBy(col("channel"))
+  }
+
+  val attributionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+       |  FROM events),
+       |touched AS (
+       |  SELECT user_id, event_id, ts_us, event_type, value,
+       |         last_value(CASE WHEN event_type IN ('view', 'click')
+       |                         THEN event_type END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS t_type,
+       |         last_value(CASE WHEN event_type IN ('view', 'click')
+       |                         THEN ts_us END IGNORE NULLS)
+       |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS t_ts
+       |  FROM ev),
+       |credited AS (
+       |  SELECT CASE WHEN t_ts IS NOT NULL
+       |                   AND t_ts >= ts_us - $AttribLookbackUs
+       |              THEN t_type ELSE 'none' END AS channel,
+       |         value
+       |  FROM touched WHERE event_type = 'purchase'),
+       |rolled AS (
+       |  SELECT channel, count(*) AS n_purchases,
+       |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       |  FROM credited GROUP BY 1)
+       |SELECT channel, n_purchases, total_value,
+       |       CAST(n_purchases AS DOUBLE)
+       |         / nullif(CAST(sum(n_purchases) OVER () AS DOUBLE), 0.0)
+       |         AS purchase_share
+       |FROM rolled
+       |ORDER BY channel""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_ewma_forecast: exponentially-weighted moving-average forecast +
   // residuals over the hourly series
   // ---------------------------------------------------------------------
@@ -1976,6 +2055,7 @@ object EventsQueries {
     ("ev_transition_matrix", transitionMatrix _, transitionMatrixSql),
     ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
     ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
+    ("ev_attribution", attribution _, attributionSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
