@@ -765,6 +765,108 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_ood_audit: out-of-distribution scoring vs class prototypes
+  // ---------------------------------------------------------------------
+
+  /** OOD audit size — interpolated into BOTH engines. */
+  private val OodTopK = 20
+
+  /** Out-of-distribution audit: every vector scores its cosine to the
+    * nearest LABEL CENTROID (class prototype); the [[OodTopK]] vectors
+    * farthest from every prototype surface for curation review — the
+    * outlier sweep a labeling/ingest pipeline runs to catch mislabeled
+    * or corrupted embeddings before they poison training.
+    *
+    * Scale shape: the prototypes are the [[labelCentroids]] fixed-point
+    * pass (one (label,pos) shuffle, k×64 output) pivoted into k
+    * broadcast rows; scoring is one corpus scan against the broadcast
+    * (k cosines per vector, argmax inline); the output cut is
+    * TakeOrdered. Nothing quadratic, no global window. Determinism:
+    * centroid components come from exact int64 fixed-point sums; the
+    * per-label dot folds sequentially in both engines; argmax ties
+    * break on label asc, ranking ties on vec_id. */
+  def oodAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val means = embs(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast(DoubleType) * lit(Fp)).cast(LongType).as("xfp"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xfp")).as("sfp"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sfp").cast(DoubleType) / (col("n").cast(DoubleType) * lit(Fp)))
+          .as("m"))
+    val pivots = (0 until Dim).map(i =>
+      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+    val cents = means.groupBy(col("label")).agg(pivots.head, pivots.tail: _*)
+      .select(col("label").as("c_label"),
+        array((0 until Dim).map(i => col(s"m$i")): _*).as("cvec"))
+    val e = withNorm(embs(spark, dir))
+    // centroid arrays are double-typed, so score with the sequential
+    // HOF fold (same association order as the oracle's list_sum) —
+    // the codegen'd float-float natives don't apply here, and the
+    // corpus×k frame is only k times the scan
+    val scored = e.join(broadcast(cents)) // k rows — broadcast expand
+      .select(col("vec_id"), col("label"), col("c_label"),
+        (dot(col("embedding"), col("cvec")) /
+          (col("nrm") * sqrt(norm2(col("cvec"))))).as("cos"))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label"))
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("best_label"),
+        col("cos").as("best_cos"))
+      .orderBy(col("best_cos").asc, col("vec_id"))
+      .limit(OodTopK)
+  }
+
+  val oodAuditSql: String = {
+    val pivotCols = (0 until Dim)
+      .map(i => s"max(CASE WHEN pos = $i THEN m END) AS m$i")
+      .mkString(",\n|         ")
+    val cvec = (0 until Dim).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH comp AS (
+       |  SELECT label, pos,
+       |         CAST(round(CAST(v AS DOUBLE) * $Fp) AS BIGINT) AS xfp
+       |  FROM (SELECT label,
+       |               unnest(embedding) AS v,
+       |               unnest(generate_series(0, ${Dim - 1})) AS pos
+       |        FROM embeddings)),
+       |means AS (
+       |  SELECT label, pos,
+       |         CAST(sum(xfp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * $Fp) AS m
+       |  FROM comp GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT label AS c_label,
+       |         $pivotCols
+       |  FROM means GROUP BY label),
+       |carr AS (SELECT c_label, $cvec AS cvec FROM cents),
+       |e AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |         list_sum(list_transform(generate_series(1, $Dim),
+       |             i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+       |           / (e.nrm * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))
+       |           AS cos
+       |  FROM e, carr c),
+       |best AS (
+       |  SELECT vec_id, label, c_label AS best_label, cos AS best_cos
+       |  FROM (SELECT vec_id, label, c_label, cos,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                 ORDER BY cos DESC, c_label) AS rk
+       |        FROM scored)
+       |  WHERE rk = 1)
+       |SELECT vec_id, label, best_label, best_cos
+       |FROM best
+       |ORDER BY best_cos ASC, vec_id
+       |LIMIT $OodTopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_knn_classify: semi-supervised labeling by kNN majority vote
   // ---------------------------------------------------------------------
 
@@ -2133,6 +2235,7 @@ object SimilarityQueries {
     ("ann_knn_join", knnJoin _, knnJoinSql),
     ("emb_knn_classify", knnClassify _, knnClassifySql),
     ("emb_mmr_rerank", mmrRerank _, mmrRerankSql),
+    ("emb_ood_audit", oodAudit _, oodAuditSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),
