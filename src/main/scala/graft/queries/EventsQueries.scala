@@ -1780,6 +1780,73 @@ object EventsQueries {
       |ORDER BY event_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_active_users: DAU / trailing-7d WAU / calendar MAU + stickiness
+  // ---------------------------------------------------------------------
+
+  /** Daily/weekly/monthly active users: per day, the exact distinct
+    * actives (DAU), the trailing-7-day distinct actives (WAU), the
+    * calendar-month distinct actives (MAU), and the DAU/WAU
+    * stickiness ratio — the growth dashboard every product team runs.
+    *
+    * Scale shape: ONE distinct pass reduces raw events to the
+    * (day, user) grain — everything after runs on that reduced frame.
+    * The trailing window is the 7-offset explode of the grain (user
+    * active on d counts toward targets d..d+6) joined to the real
+    * day list (broadcast — days are calendar-bounded), then one
+    * distinct count per target day; no row-by-row range join, no
+    * window over users. At 100 TB the exact count_distinct swaps for
+    * approx_count_distinct (the ev_hourly_metrics_approx twin
+    * pattern) with the same plan shape. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val grain = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist() // feeds DAU, WAU explode, and MAU
+    grain.count()
+    val dau = grain.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = grain
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(broadcast(dau.select(col("day"))), "day") // real days only
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    val mau = grain
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(wau, "day")
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .join(broadcast(mau), "month") // months are calendar-bounded
+      .select(epochUs(col("day").cast("timestamp")).as("day_us"),
+        col("dau"), col("wau"), col("mau"),
+        ratio(col("dau"), col("wau")).as("stickiness"))
+      .orderBy(col("day_us"))
+  }
+
+  val activeUsersSql: String =
+    """WITH grain AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM grain GROUP BY 1),
+      |wau AS (
+      |  SELECT t.day, count(DISTINCT g.user_id) AS wau
+      |  FROM (SELECT user_id, day + CAST(o AS INTEGER) AS day
+      |        FROM grain, (SELECT unnest(generate_series(0, 6)) AS o)) g
+      |  JOIN (SELECT day FROM dau) t ON g.day = t.day
+      |  GROUP BY 1),
+      |mau AS (
+      |  SELECT date_trunc('month', day) AS month,
+      |         count(DISTINCT user_id) AS mau
+      |  FROM grain GROUP BY 1)
+      |SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us, d.dau, w.wau, m.mau,
+      |       CAST(d.dau AS DOUBLE) / nullif(CAST(w.wau AS DOUBLE), 0.0)
+      |         AS stickiness
+      |FROM dau d
+      |JOIN wau w ON d.day = w.day
+      |JOIN mau m ON date_trunc('month', d.day) = m.month
+      |ORDER BY day_us""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_attribution: last-touch conversion attribution with a lookback
   // window
   // ---------------------------------------------------------------------
@@ -2056,6 +2123,7 @@ object EventsQueries {
     ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
     ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
     ("ev_attribution", attribution _, attributionSql),
+    ("ev_active_users", activeUsers _, activeUsersSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
