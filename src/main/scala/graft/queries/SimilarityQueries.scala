@@ -765,6 +765,70 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ann_filtered_topk: metadata-filtered ANN (pre-filter semantics)
+  // ---------------------------------------------------------------------
+
+  /** Filtered vector search: top-10 cosine neighbors among only the
+    * corpus vectors satisfying a metadata predicate (label % 3 = 0
+    * here — a stand-in for any attribute filter), with candidates
+    * from the multi-probe LSH buckets. This is PRE-filter semantics —
+    * the filter applies before the index probe, so every query still
+    * gets k true in-filter candidates; post-filtering a generic
+    * top-k (the naive composition) silently returns fewer-than-k or
+    * empty lists whenever the filter is selective, which is why
+    * production vector stores build the filter into the probe.
+    *
+    * Scale shape: the predicate reaches the corpus SCAN (plan-pinned
+    * pushdown), the filtered side is then bucketed exactly like
+    * [[lshMultiProbe]]'s corpus side — per-query work is bucket
+    * occupancy × selectivity. Determinism: ranking ties on n_id. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
+    val corpus = e.filter(col("label") % 3 === 0)
+    val probeSet = array(col("bucket") +:
+      (0 until NPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
+        explode(probeSet).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    q.as("q").join(corpus.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        col("c.label").as("n_label"), cosine("q", "c").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val filteredTopKSql: String = {
+    val probes = ("bucket" +:
+      (0 until NPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+       |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
+       |  FROM embeddings),
+       |corpus AS (SELECT * FROM e WHERE label % 3 = 0),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding, nrm,
+       |         unnest([$probes]) AS bucket
+       |  FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS n_id, c.label AS n_label,
+       |         ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+       |  FROM probes p JOIN corpus c USING (bucket)
+       |  WHERE p.q_id != c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, n_label, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, n_label, cosine, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_ood_audit: out-of-distribution scoring vs class prototypes
   // ---------------------------------------------------------------------
 
@@ -2236,6 +2300,7 @@ object SimilarityQueries {
     ("emb_knn_classify", knnClassify _, knnClassifySql),
     ("emb_mmr_rerank", mmrRerank _, mmrRerankSql),
     ("emb_ood_audit", oodAudit _, oodAuditSql),
+    ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
     ("emb_quantize", quantizeInt8 _, quantizeInt8Sql),

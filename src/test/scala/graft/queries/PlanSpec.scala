@@ -595,6 +595,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("filtered ann: predicate applies below the bucket join (pre-filter)") {
+    val p = plan("ann_filtered_topk")
+    // pre-filter semantics: the metadata predicate must restrict the
+    // corpus BEFORE the bucket equi-join — post-filtering the join
+    // output would silently under-fill selective queries
+    assert(p.contains("% 3"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("hybrid rrf and mmr rerank: fusion stages add no unbounded operator") {
     for (q <- Seq("txt_hybrid_rrf", "emb_mmr_rerank")) {
       val p = plan(q)
