@@ -867,9 +867,83 @@ object ProfileQueries {
        |LIMIT $DsirTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // util_gdpr_purge: right-to-be-forgotten erasure accounting
+  // ---------------------------------------------------------------------
+
+  /** Erasure-request rate stand-in: 1-in-20 users (20-bit md5
+    * threshold), the deterministic twin of an external request table.
+    * Interpolated into BOTH engines. */
+  private val PurgeModulus = 20L
+
+  /** Right-to-be-forgotten pre-flight: before an erasure batch runs,
+    * account exactly what it will remove — per event type, the rows
+    * and exact value leaving, the rows staying, and the distinct
+    * requesting users touched. The request list here is derived from
+    * a deterministic hash so the oracle can rebuild it; in production
+    * it is an external table with the same plan: requests semi-join
+    * the fact table, never the reverse.
+    *
+    * Scale shape: ONE events pass; the request membership is a
+    * broadcast hash join against the (bounded, distinct) request
+    * list, the rollup is |types| groups map-side combined. The purge
+    * itself is the same join with LeftAnti (asserted equivalent in
+    * GdprPurgeSpec); at 100 TB both stay broadcast while the request
+    * list fits (its size is regulator-bounded), else AQE picks the
+    * shuffled semi-join with the same semantics. */
+  def gdprPurge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val ev = Tables.load(spark, dir, "events")
+    val requests = ev.select(col("user_id")).distinct()
+      .filter(h60(col("user_id").cast(StringType)) % PurgeModulus === 0)
+      .withColumn("req", lit(1L))
+    ev.join(broadcast(requests), Seq("user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(
+        countIf(col("req").isNotNull).as("n_purged"),
+        countIf(col("req").isNull).as("n_kept"),
+        dsumIf(col("req").isNotNull, col("value")).as("purged_value"),
+        count_distinct(when(col("req").isNotNull, col("user_id")))
+          .as("n_purged_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val gdprPurgeSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH requests AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE ${h60Sql("CAST(user_id AS VARCHAR)")} % $PurgeModulus = 0),
+       |flagged AS (
+       |  SELECT e.event_type, e.value, e.user_id,
+       |         CASE WHEN r.user_id IS NOT NULL THEN 1 END AS req
+       |  FROM events e LEFT JOIN requests r ON e.user_id = r.user_id)
+       |SELECT event_type,
+       |       count(CASE WHEN req IS NOT NULL THEN 1 END) AS n_purged,
+       |       count(CASE WHEN req IS NULL THEN 1 END) AS n_kept,
+       |       CAST(sum(CASE WHEN req IS NOT NULL
+       |                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+       |         AS purged_value,
+       |       count(DISTINCT CASE WHEN req IS NOT NULL THEN user_id END)
+       |         AS n_purged_users
+       |FROM flagged
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** The purge itself: the same request list anti-joined away — the
+    * action [[gdprPurge]] accounts for. Exposed for the spec. */
+  private[graft] def gdprPurged(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val ev = Tables.load(spark, dir, "events")
+    val requests = ev.select(col("user_id")).distinct()
+      .filter(h60(col("user_id").cast(StringType)) % PurgeModulus === 0)
+    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_importance_resample", importanceResample _, importanceResampleSql),
+    ("util_gdpr_purge", gdprPurge _, gdprPurgeSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
     ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
