@@ -92,7 +92,16 @@ object Attribution {
             touch match {
               case Some(t) =>
                 state.update(t)
-                state.setTimeoutTimestamp(t.touchUs / 1000L + LookbackUs / 1000L)
+                // clamped to the watermark: setTimeoutTimestamp THROWS
+                // on a pre-watermark timestamp. Usually the pending
+                // timeout fires (and removes the state) in the batch
+                // where the watermark passes it, but a key that
+                // receives data in exactly that batch takes the data
+                // path with its stale touch — the clamp re-arms at
+                // watermark+1 instead of killing the whole query
+                state.setTimeoutTimestamp(
+                  math.max(t.touchUs / 1000L + LookbackUs / 1000L,
+                    state.getCurrentWatermarkMs() + 1))
               case None => () // no touch seen yet: nothing to expire
             }
             out.iterator

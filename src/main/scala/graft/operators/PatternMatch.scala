@@ -98,7 +98,12 @@ object PatternMatch {
             val lastUs = sorted.lastOption.map(e => us(e.eventTime))
               .getOrElse(prev.lastUs)
             state.update(Progress(matched, lastUs))
-            state.setTimeoutTimestamp(lastUs / 1000L + IdleTimeoutMs)
+            // clamped: a pre-watermark timeout timestamp throws and
+            // kills the query (stale lastUs after other keys advanced
+            // the watermark); watermark+1 fires next batch instead
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L + IdleTimeoutMs,
+                state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -106,7 +106,13 @@ object Sessionize {
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastUs / 1000L + GapMs)
+                // clamped: a pre-watermark timeout timestamp throws and
+                // kills the query (stale session tail after other keys
+                // advanced the watermark); watermark+1 closes it next
+                // batch instead
+                state.setTimeoutTimestamp(
+                  math.max(s.lastUs / 1000L + GapMs,
+                    state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
             closed.iterator

@@ -1852,8 +1852,11 @@ object EventsQueries {
   // ---------------------------------------------------------------------
 
   /** Attribution lookback (72 h in microseconds) — interpolated into
-    * BOTH engines. */
-  private val AttribLookbackUs = 72L * 3600L * 1000000L
+    * BOTH engines, and the SAME val the typed streaming twin
+    * ([[graft.operators.Attribution]]) folds with, so the batch
+    * query, its oracle, and the stream can never disagree about the
+    * window. */
+  private val AttribLookbackUs = graft.operators.Attribution.LookbackUs
 
   /** Last-touch attribution: every purchase is credited to the user's
     * most recent preceding touch event (view/click) within 72 h, or
@@ -1951,9 +1954,20 @@ object EventsQueries {
     * and the single final division is the only float op. */
   def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
     val wHour = Window.orderBy(col("hour_us"))
-    val hourly = events(spark, dir)
+    val observed = events(spark, dir)
       .groupBy(epochUs(date_trunc("hour", col("ts"))).as("hour_us"))
       .agg(count(lit(1)).as("n_events"))
+    // densify onto the full hourly spine (the ev_gap_fill discipline):
+    // the GROUP BY emits no row for a zero-event hour, and row-based
+    // lags would then silently stitch non-adjacent hours together —
+    // the outage hour, exactly the anomaly the residual exists to
+    // flag, would never get a row
+    val spine = observed
+      .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        lit(3600000000L))).as("hour_us"))
+    val hourly = spine.join(observed, Seq("hour_us"), "left")
+      .select(col("hour_us"), coalesce(col("n_events"), lit(0L)).as("n_events"))
     val lagged = (1 to EwmaLags).foldLeft(hourly) { (df, i) =>
       df.withColumn(s"x$i", lag(col("n_events"), i).over(wHour))
     }
@@ -1982,10 +1996,16 @@ object EventsQueries {
     val den = (1 to EwmaLags)
       .map(i => s"CASE WHEN x$i IS NOT NULL THEN ${1L << (EwmaLags - i)} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH hourly AS (
+    s"""WITH observed AS (
        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        |         count(*) AS n_events
        |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+       |  FROM (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM observed)),
+       |hourly AS (
+       |  SELECT s.hour_us, COALESCE(o.n_events, 0) AS n_events
+       |  FROM spine s LEFT JOIN observed o ON s.hour_us = o.hour_us),
        |lagged AS (
        |  SELECT hour_us, n_events,
        |         $lags

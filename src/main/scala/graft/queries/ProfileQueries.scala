@@ -891,12 +891,18 @@ object ProfileQueries {
     * GdprPurgeSpec); at 100 TB both stay broadcast while the request
     * list fits (its size is regulator-bounded), else AQE picks the
     * shuffled semi-join with the same semantics. */
-  def gdprPurge(spark: SparkSession, dir: String): DataFrame = {
+  /** The erasure-request list — ONE derivation shared by the
+    * accounting query and the purge itself, so the two can never
+    * drift on membership. */
+  private def purgeRequests(ev: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.h60
-    val ev = Tables.load(spark, dir, "events")
-    val requests = ev.select(col("user_id")).distinct()
+    ev.select(col("user_id")).distinct()
       .filter(h60(col("user_id").cast(StringType)) % PurgeModulus === 0)
-      .withColumn("req", lit(1L))
+  }
+
+  def gdprPurge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val requests = purgeRequests(ev).withColumn("req", lit(1L))
     ev.join(broadcast(requests), Seq("user_id"), "left")
       .groupBy(col("event_type"))
       .agg(
@@ -933,11 +939,8 @@ object ProfileQueries {
   /** The purge itself: the same request list anti-joined away — the
     * action [[gdprPurge]] accounts for. Exposed for the spec. */
   private[graft] def gdprPurged(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.h60
     val ev = Tables.load(spark, dir, "events")
-    val requests = ev.select(col("user_id")).distinct()
-      .filter(h60(col("user_id").cast(StringType)) % PurgeModulus === 0)
-    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+    ev.join(broadcast(purgeRequests(ev)), Seq("user_id"), "left_anti")
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(

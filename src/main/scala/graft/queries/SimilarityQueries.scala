@@ -152,6 +152,19 @@ object SimilarityQueries {
   private[graft] def bucketCodeSql(e: String, nPlanes: Int): String =
     bucketCodeFromSql(e, 0, nPlanes)
 
+  /** Hamming-1 probe set over a `bucket` column — own bucket plus one
+    * sign-flip per plane. ONE definition (and its SQL twin below)
+    * shared by every multi-probe consumer (lshMultiProbe,
+    * ann_filtered_topk, emb_knn_classify): a probe-ring change edited
+    * in one place cannot desynchronize a query from its oracle. */
+  private def probeSet(nPlanes: Int): Column =
+    array(col("bucket") +:
+      (0 until nPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
+
+  private def probeSetSql(nPlanes: Int): String =
+    ("bucket" +:
+      (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+
   /** Scale note: for a FIXED plane count the bucket domain is fixed,
     * so bucket postings grow with corpus/2^planes and the candidate
     * join carries a quadratic term with a 1/2^planes constant (1.22x
@@ -235,11 +248,9 @@ object SimilarityQueries {
   def lshMultiProbePlanes(spark: SparkSession, dir: String,
       nPlanes: Int): DataFrame = {
     val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
-    val probeSet = array(col("bucket") +:
-      (0 until nPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
-        explode(probeSet).as("bucket"))
+        explode(probeSet(nPlanes)).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     q.as("q").join(e.as("c"),
@@ -255,8 +266,7 @@ object SimilarityQueries {
     lshMultiProbePlanes(spark, dir, NPlanes)
 
   def lshMultiProbeSqlPlanes(nPlanes: Int): String = {
-    val probes = ("bucket" +:
-      (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    val probes = probeSetSql(nPlanes)
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
        |         ${bucketCodeSql("embedding", nPlanes)} AS bucket
@@ -785,11 +795,9 @@ object SimilarityQueries {
   def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
     val corpus = e.filter(col("label") % 3 === 0)
-    val probeSet = array(col("bucket") +:
-      (0 until NPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
-        explode(probeSet).as("bucket"))
+        explode(probeSet(NPlanes)).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     q.as("q").join(corpus.as("c"),
@@ -802,8 +810,7 @@ object SimilarityQueries {
   }
 
   val filteredTopKSql: String = {
-    val probes = ("bucket" +:
-      (0 until NPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    val probes = probeSetSql(NPlanes)
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
        |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
@@ -956,11 +963,9 @@ object SimilarityQueries {
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
     val seeds = e.filter(col("vec_id") % 5 === 0)
-    val probeSet = array(col("bucket") +:
-      (0 until NPlanes).map(p => expr(s"bucket ^ ${1L << p}")): _*)
     val q = e.filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id").as("q_id"), col("label").as("label_true"),
-        col("embedding"), col("nrm"), explode(probeSet).as("bucket"))
+        col("embedding"), col("nrm"), explode(probeSet(NPlanes)).as("bucket"))
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("s_id"))
     val top = q.as("q").join(seeds.as("s"), col("q.bucket") === col("s.bucket"))
@@ -983,8 +988,7 @@ object SimilarityQueries {
   }
 
   val knnClassifySql: String = {
-    val probes = ("bucket" +:
-      (0 until NPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString(", ")
+    val probes = probeSetSql(NPlanes)
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
        |         ${bucketCodeSql("embedding", NPlanes)} AS bucket

@@ -50,6 +50,40 @@ class AttributionOperatorSpec extends SparkSpec {
     assert(typed.values.sum > 0L)
   }
 
+  test("stale stored touch far below the watermark does not kill the query") {
+    // other keys advance the watermark while a key idles; when that
+    // key speaks again its natural re-arm (touch + lookback) can sit
+    // BELOW the watermark, where an unclamped setTimeoutTimestamp
+    // throws. (Under processAllAvailable the pending timeout usually
+    // fires in a follow-up batch first, so this asserts the behavior
+    // — stale touch credits 'none', stream stays alive — for
+    // whichever interleaving the scheduler picks.)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttribEvent]
+    val credits = Attribution.streamingCredits(
+      mem.toDS().withWatermark("eventTime", "1 hour"))
+    val q = credits.writeStream.format("memory")
+      .queryName("attrib_stale").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 7 stores a touch on Jan 1
+      mem.addData(AttribEvent(7L, 70L, ts("2024-01-01 10:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 8 alone pushes the watermark 9 days past the
+      // touch's 72h expiry
+      mem.addData(AttribEvent(8L, 80L, ts("2024-01-10 10:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      // batch 3: user 7 returns with data (data path wins over the
+      // pending timeout), fold sees the stale touch, and the re-arm
+      // must clamp to watermark+1 instead of throwing
+      mem.addData(AttribEvent(7L, 71L, ts("2024-01-10 12:00:00"), "purchase", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_stale").as[Credit].collect()
+        .filter(_.purchaseId == 71L)
+      assert(got.length == 1)
+      assert(got.head.channel == "none") // touch long outside lookback
+    } finally q.stop()
+  }
+
   test("streaming credits across micro-batches equal the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[AttribEvent]

@@ -34,6 +34,22 @@ class EwmaForecastSpec extends SparkSpec {
     }
   }
 
+  test("an outage hour gets its own row and a large negative residual") {
+    // hours 0-5 and 7-11 at 7 events; hour 6 has NO events at all —
+    // the densified spine must still produce its row with n_events=0
+    // and residual -7, the exact anomaly a sparse series would hide
+    val d = hourlyEvents(Seq(7, 7, 7, 7, 7, 7, 0, 7, 7, 7, 7, 7))
+    val rows = EventsQueries.ewmaForecast(spark, d.toString).collect()
+    assert(rows.length == 12, "outage hour missing from the spine")
+    val outage = rows(6)
+    assert(outage.getLong(1) == 0L)
+    assert(math.abs(outage.getDouble(2) - 7.0) < 1e-12)
+    assert(math.abs(outage.getDouble(3) + 7.0) < 1e-12)
+    // the hour after the outage sees a forecast pulled DOWN by the 0
+    assert(rows(7).getDouble(2) < 7.0)
+    assert(rows(7).getDouble(3) > 0.0)
+  }
+
   test("step series: the smoother lags the step and decays toward it") {
     // 6 hours at 5, then 6 hours at 20 — right after the step the
     // forecast still reflects the old level (positive residual that
