@@ -1780,6 +1780,60 @@ object EventsQueries {
       |ORDER BY event_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_streaks: gaps-and-islands — longest consecutive same-type runs
+  // ---------------------------------------------------------------------
+
+  /** Longest streak per (user, event type): the gaps-and-islands
+    * shape — consecutive same-type runs found by the row_number
+    * difference trick (rn_overall − rn_by_type is constant within an
+    * unbroken run), then per-island lengths and the per-(user, type)
+    * maximum. Error-burst detection, retention streaks, and
+    * rate-limit forensics are all this one shape.
+    *
+    * Scale shape: both window row_numbers share the SAME user_id
+    * partitioning (one hash shuffle, Exchange reused); the island
+    * rollup and the max collapse are map-side-combinable aggregates
+    * on the reduced grain. Only (user, type) pairs with a streak ≥ 3
+    * are emitted, keeping output focused. Determinism: event order
+    * ties break on event_id. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_islands"))
+      .filter(col("max_streak") >= 3)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streaksSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id)
+      |         - row_number() OVER (PARTITION BY user_id, event_type
+      |           ORDER BY epoch_us(ts), event_id) AS grp
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, event_type, grp, count(*) AS len
+      |  FROM seq GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type,
+      |       max(len) AS max_streak, count(*) AS n_islands
+      |FROM islands
+      |GROUP BY 1, 2
+      |HAVING max(len) >= 3
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_active_users: DAU / trailing-7d WAU / calendar MAU + stickiness
   // ---------------------------------------------------------------------
 
@@ -2144,6 +2198,7 @@ object EventsQueries {
     ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
     ("ev_attribution", attribution _, attributionSql),
     ("ev_active_users", activeUsers _, activeUsersSql),
+    ("ev_streaks", streaks _, streaksSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
