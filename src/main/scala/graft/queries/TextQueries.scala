@@ -1320,6 +1320,97 @@ object TextQueries {
        |ORDER BY n_occ DESC, first_doc, chunk_key""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_cdc_chunks: content-defined chunking (FastCDC-style) + dedup
+  // accounting
+  // ---------------------------------------------------------------------
+
+  /** CDC boundary modulus: a window position is a chunk boundary iff
+    * its span hash % CdcMod == 0 — expected chunk ≈ CdcMod window
+    * positions. Interpolated into BOTH engines. */
+  private val CdcMod = 16L
+
+  /** 2^40 hash reduction so position-weighted signature sums stay in
+    * int64 (h40·pos ≤ 2^40·len, summed over len ≤ doc length). */
+  private val CdcH40 = 1099511627776L
+
+  /** Content-defined chunking: chunk boundaries fall where the rolling
+    * window hash (the shared [[spanIndex]] span family's stride-1
+    * hash) clears a modulus — so an insertion early in a document
+    * shifts every byte but NOT the downstream chunk boundaries, which
+    * re-synchronize at the next content-determined cut. That is the
+    * property fixed-size chunking ([[chunkDupes]]) lacks and the
+    * reason every modern dedup store (FastCDC et al.) cuts this way.
+    * Per source: chunks, mean length, and the fraction of chunk
+    * instances whose content signature repeats corpus-wide.
+    *
+    * Scale shape: the span index is ONE tokenize pass (shared,
+    * persisted); boundary marking is a per-doc cumulative window
+    * (skew = doc length); signatures are three order-free int64
+    * aggregates (length, reduced-hash sum, shift-invariant weighted
+    * sum) — no ordered collect anywhere; the dup probe is one
+    * signature-keyed self-aggregate on the chunk grain. Determinism:
+    * exact int64 everywhere, ratio doubles at the edge. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spanIndex(spark, dir, withNTokens = false)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val chunks = sp
+      .withColumn("b", when(col("s") % CdcMod === 0, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("b")).over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"),
+        sum(col("s") % CdcH40).as("sum_h"),
+        sum((col("s") % CdcH40) * (col("pos") + 1)).as("wsum"),
+        min(col("pos")).as("minp"))
+      .select(col("doc_id"), col("len"), col("sum_h"),
+        (col("wsum") - col("minp") * col("sum_h")).as("sig_w"))
+    val copies = chunks.groupBy(col("len"), col("sum_h"), col("sig_w"))
+      .agg(count(lit(1)).as("n_copies"))
+    chunks.join(copies, Seq("len", "sum_h", "sig_w"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        Tables.dsum(col("len")).as("sum_len"),
+        Tables.countIf(col("n_copies") >= 2).as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"),
+        (col("sum_len") / col("n_chunks").cast(DoubleType)).as("avg_len"),
+        col("n_dup_chunks"),
+        Tables.ratio(col("n_dup_chunks"), col("n_chunks")).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: spanIndexCtes interpolates SpanL, declared further down the
+  // object — an eager val here would capture its pre-init 0
+  lazy val cdcChunksSql: String =
+    s"""WITH ${spanIndexCtes(withNTokens = false)},
+       |marked AS (
+       |  SELECT doc_id, pos, s,
+       |         CAST(sum(CASE WHEN s % $CdcMod = 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
+       |  FROM sp),
+       |chunks AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+       |         CAST(sum(s % $CdcH40) AS BIGINT) AS sum_h,
+       |         CAST(sum((s % $CdcH40) * (pos + 1))
+       |              - min(pos) * sum(s % $CdcH40) AS BIGINT) AS sig_w
+       |  FROM marked GROUP BY doc_id, grp),
+       |copies AS (
+       |  SELECT len, sum_h, sig_w, count(*) AS n_copies
+       |  FROM chunks GROUP BY 1, 2, 3),
+       |flagged AS (
+       |  SELECT c.doc_id, c.len, p.n_copies
+       |  FROM chunks c JOIN copies p USING (len, sum_h, sig_w))
+       |SELECT d.source, count(*) AS n_chunks,
+       |       CAST(sum(CAST(f.len AS DECIMAL(28,6))) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS avg_len,
+       |       count(CASE WHEN f.n_copies >= 2 THEN 1 END) AS n_dup_chunks,
+       |       CAST(count(CASE WHEN f.n_copies >= 2 THEN 1 END) AS DOUBLE)
+       |         / nullif(CAST(count(*) AS DOUBLE), 0.0) AS dup_frac
+       |FROM flagged f JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_dup_spans: substring-level (alignment-free) duplicate spans
   // ---------------------------------------------------------------------
 
@@ -2072,6 +2163,7 @@ object TextQueries {
     ("txt_pack_sequences", packSequences _, packSequencesSql),
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
     ("txt_dup_spans", dupSpans _, dupSpansSql),
+    ("txt_cdc_chunks", cdcChunks _, cdcChunksSql),
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
