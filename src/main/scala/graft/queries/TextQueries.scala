@@ -1411,6 +1411,119 @@ object TextQueries {
        |ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_winnowing: MOSS winnowing fingerprints + cross-doc matches
+  // ---------------------------------------------------------------------
+
+  /** Winnowing window: each run of [[WinnowW]] consecutive span
+    * hashes contributes its (rightmost) minimum as a fingerprint.
+    * Guarantee (Schleimer et al. 2003): any shared token run of
+    * length ≥ WinnowW + SpanL − 1 shares ≥ 1 fingerprint, while the
+    * fingerprint density stays ~2/(W+1) — bounded-density dedup with
+    * a detection floor, which MinHash (whole-doc) and CDC (expected
+    * chunk size) do not give. Interpolated into BOTH engines. */
+  private val WinnowW = 8
+
+  /** The selected fingerprints (doc_id, fp_pos, fp) — exposed for the
+    * guarantee spec. Exact rightmost-min winnowing: per window, the
+    * min hash, ties to the highest position. */
+  private[graft] def winnowFingerprints(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sp = spanIndex(spark, dir, withNTokens = true)
+    // window membership: span at pos belongs to windows i = pos-o,
+    // o in [0, W); only fully-inside windows count (i in [0, nspan-W])
+    val bounded = sp
+      .withColumn("nspan", col("n_tokens") - (SpanL - 1))
+      .select(col("doc_id"), col("nspan"), col("pos"), col("s"),
+        explode(sequence(lit(0), lit(WinnowW - 1))).as("o"))
+      .withColumn("i", col("pos") - col("o"))
+      .filter(col("i") >= 0 && col("i") <= col("nspan") - WinnowW)
+      .select(col("doc_id"), col("i"), col("pos"), col("s"))
+    val wmin = bounded.groupBy(col("doc_id"), col("i"))
+      .agg(min(col("s")).as("m"))
+    bounded.join(wmin, Seq("doc_id", "i"))
+      .filter(col("s") === col("m"))
+      .groupBy(col("doc_id"), col("i"), col("m"))
+      .agg(max(col("pos")).as("fp_pos")) // rightmost on hash ties
+      .select(col("doc_id"), col("fp_pos"), col("m").as("fp"))
+      .distinct() // adjacent windows often pick the same position
+  }
+
+  /** Per-source winnowing profile: span positions, selected
+    * fingerprints, the ~2/(W+1) density, and how many fingerprints
+    * also occur in another document (corpus-wide match pressure).
+    *
+    * Scale shape: the span index is the shared one-tokenize pass; the
+    * window explode is a fixed W× multiplier on that grain feeding
+    * two map-side-combined aggregates keyed by (doc, window); the
+    * cross-doc probe is one fingerprint-keyed aggregate on the
+    * (already ~2/(W+1)-sparse) fingerprint grain. No per-doc sort,
+    * no ordered collect. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(spark, dir).persist()
+    fps.count()
+    val shared = fps.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val perDoc = fps.join(shared, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        Tables.countIf(col("n_docs") >= 2).as("n_shared"))
+    val spans = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (size(tokens(col("text"))) - (SpanL - 1)).cast(LongType).as("nspan"))
+      .filter(col("nspan") >= WinnowW)
+    spans.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nspan")).as("n_positions"),
+        sum(coalesce(col("n_fps"), lit(0L))).as("n_fps"),
+        sum(coalesce(col("n_shared"), lit(0L))).as("n_shared_fps"))
+      .select(col("source"), col("n_docs"), col("n_positions"),
+        col("n_fps"),
+        Tables.ratio(col("n_fps"), col("n_positions")).as("density"),
+        col("n_shared_fps"))
+      .orderBy(col("source"))
+  }
+
+  lazy val winnowingSql: String =
+    s"""WITH ${spanIndexCtes(withNTokens = true)},
+       |bounded AS (
+       |  SELECT doc_id, pos - o AS i, pos, s
+       |  FROM (SELECT doc_id, n_tokens - ${SpanL - 1} AS nspan, pos, s,
+       |               unnest(generate_series(0, ${WinnowW - 1})) AS o
+       |        FROM sp)
+       |  WHERE pos - o >= 0 AND pos - o <= nspan - $WinnowW),
+       |wmin AS (
+       |  SELECT doc_id, i, min(s) AS m FROM bounded GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT DISTINCT b.doc_id, max(b.pos) AS fp_pos, b.s AS fp
+       |  FROM bounded b JOIN wmin w
+       |    ON b.doc_id = w.doc_id AND b.i = w.i AND b.s = w.m
+       |  GROUP BY b.doc_id, b.i, b.s),
+       |fps AS (SELECT DISTINCT doc_id, fp_pos, fp FROM sel),
+       |shared AS (
+       |  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY 1),
+       |perdoc AS (
+       |  SELECT f.doc_id, count(*) AS n_fps,
+       |         count(CASE WHEN s.n_docs >= 2 THEN 1 END) AS n_shared
+       |  FROM fps f JOIN shared s USING (fp)
+       |  GROUP BY 1),
+       |spans AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) - ${SpanL - 1} AS BIGINT)
+       |           AS nspan
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) - ${SpanL - 1} >= $WinnowW)
+       |SELECT sp2.source, count(*) AS n_docs,
+       |       CAST(sum(sp2.nspan) AS BIGINT) AS n_positions,
+       |       CAST(sum(COALESCE(p.n_fps, 0)) AS BIGINT) AS n_fps,
+       |       CAST(sum(COALESCE(p.n_fps, 0)) AS DOUBLE)
+       |         / nullif(CAST(sum(sp2.nspan) AS DOUBLE), 0.0) AS density,
+       |       CAST(sum(COALESCE(p.n_shared, 0)) AS BIGINT) AS n_shared_fps
+       |FROM spans sp2 LEFT JOIN perdoc p USING (doc_id)
+       |GROUP BY sp2.source
+       |ORDER BY sp2.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_dup_spans: substring-level (alignment-free) duplicate spans
   // ---------------------------------------------------------------------
 
@@ -2164,6 +2277,7 @@ object TextQueries {
     ("txt_chunk_dupes", chunkDupes _, chunkDupesSql),
     ("txt_dup_spans", dupSpans _, dupSpansSql),
     ("txt_cdc_chunks", cdcChunks _, cdcChunksSql),
+    ("txt_winnowing", winnowing _, winnowingSql),
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
