@@ -636,6 +636,82 @@ object EventsQueries {
       |ORDER BY segment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_ab_srm: sample-ratio-mismatch guardrail for the A/B assignment
+  // ---------------------------------------------------------------------
+
+  /** χ² critical value for df=2 at α=0.05 — interpolated into BOTH
+    * engines. */
+  private val SrmChi2Crit = 5.991
+
+  /** Sample-ratio mismatch check: the experimentation guardrail run
+    * BEFORE reading any metric from [[abFramework]] — if the three
+    * equal-probability arms (user_id % 3) show user counts whose χ²
+    * against the uniform expectation clears the df=2 critical value,
+    * the assignment itself is broken (redirect bugs, bot filtering,
+    * logging loss) and every downstream lift number is invalid.
+    *
+    * Scale shape: one distinct-user aggregate (the same reduction
+    * abFramework pays), then 3-row arithmetic under a scalar window.
+    * Determinism: counts are exact; (o−e)·(o−e)/e is written in the
+    * same association order in both engines. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val seg = events(spark, dir)
+      .select(col("user_id"))
+      .distinct()
+      .withColumn("segment",
+        when(col("user_id") % 3 === 0, "control")
+          .when(col("user_id") % 3 === 1, "variant_a")
+          .otherwise("variant_b"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("users"))
+    val expected = sum(col("users")).over(all).cast(DoubleType) / 3.0
+    val contrib = (col("users").cast(DoubleType) - col("expected")) *
+      (col("users").cast(DoubleType) - col("expected")) / col("expected")
+    seg
+      .withColumn("expected", expected)
+      .withColumn("chi2_contrib", contrib)
+      // micro-quantized total: a double window-sum over 3 rows folds
+      // in engine-dependent row order (last-ulp drift); int64 is
+      // order-free
+      .withColumn("chi2_total_micro",
+        sum(round(col("chi2_contrib") * 1e6).cast(LongType)).over(all))
+      .select(col("segment"), col("users"), col("expected"),
+        col("chi2_contrib"), col("chi2_total_micro"),
+        when(col("chi2_total_micro") >
+          math.round(SrmChi2Crit * 1e6), lit(1L)).otherwise(lit(0L))
+          .as("srm_flag"))
+      .orderBy(col("segment"))
+  }
+
+  val abSrmSql: String =
+    s"""WITH seg AS (
+       |  SELECT CASE WHEN user_id % 3 = 0 THEN 'control'
+       |              WHEN user_id % 3 = 1 THEN 'variant_a'
+       |              ELSE 'variant_b' END AS segment,
+       |         count(*) AS users
+       |  FROM (SELECT DISTINCT user_id FROM events)
+       |  GROUP BY 1),
+       |ex AS (
+       |  SELECT segment, users,
+       |         CAST(sum(users) OVER () AS DOUBLE) / 3.0 AS expected
+       |  FROM seg),
+       |chi AS (
+       |  SELECT segment, users, expected,
+       |         (CAST(users AS DOUBLE) - expected)
+       |           * (CAST(users AS DOUBLE) - expected) / expected
+       |           AS chi2_contrib
+       |  FROM ex)
+       |SELECT segment, users, expected, chi2_contrib,
+       |       CAST(sum(CAST(round(chi2_contrib * 1e6) AS BIGINT)) OVER ()
+       |            AS BIGINT) AS chi2_total_micro,
+       |       CAST(CASE WHEN sum(CAST(round(chi2_contrib * 1e6) AS BIGINT))
+       |                      OVER () > ${math.round(SrmChi2Crit * 1e6)}
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       |FROM chi
+       |ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // F1–F4: validation / dead-letter classification (producer/producer.py:
   // 55-67, consumer/consumer.py:64-123)
   // ---------------------------------------------------------------------
@@ -2199,6 +2275,7 @@ object EventsQueries {
     ("ev_attribution", attribution _, attributionSql),
     ("ev_active_users", activeUsers _, activeUsersSql),
     ("ev_streaks", streaks _, streaksSql),
+    ("ev_ab_srm", abSrm _, abSrmSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
