@@ -775,6 +775,95 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_mrl_recall: dimension-budget (Matryoshka) recall audit
+  // ---------------------------------------------------------------------
+
+  /** Truncation budgets audited against the full Dim. Interpolated
+    * into BOTH engines. */
+  private val MrlDims = Seq(16, 32)
+
+  /** Matryoshka-style dimension audit: how much top-10 recall
+    * survives if only the first 16 / 32 of the 64 dimensions are
+    * stored — the measurement behind choosing a truncated-embedding
+    * budget (MRL, Kusupati et al. 2022) for a cheaper index tier.
+    * For each budget the exact cosine top-10 under the PREFIX of the
+    * vector is compared to the full-dimension truth per query.
+    *
+    * Scale shape: like [[ann_recall_audit]], this is an exact
+    * Θ(|Q|·|N|) audit by construction — the number it reports IS the
+    * brute-force comparison; at corpus scale it runs on a sampled
+    * query set (the isQuery subset already is one). Candidate frames
+    * are broadcast-query scans with WindowGroupLimit cuts.
+    * Determinism: per-budget hits are exact integer counts; recall
+    * is one division at the edge. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    def topkAt(d: Int): DataFrame = {
+      val e = embs(spark, dir).select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val en = normedVectors(e)
+      val q = en.filter(isQuery)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      broadcast(q).as("q")
+        .join(en.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+          cosine("q", "c").as("cosine"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("n_id"))
+    }
+    val truth = topkAt(Dim).persist()
+    truth.count()
+    val rows = (MrlDims :+ Dim).map { d =>
+      val hits =
+        if (d == Dim) truth.select(col("q_id"), col("n_id"))
+        else topkAt(d).join(truth, Seq("q_id", "n_id"), "left_semi")
+      hits.agg(
+        count_distinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) /
+            (col("n_queries") * TopK).cast(DoubleType)).as("recall"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  val mrlRecallSql: String = {
+    def cte(d: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, $d),
+         |               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |             / (sqrt(list_sum(list_transform(q.embedding[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |                * sqrt(list_sum(list_transform(c.embedding[1:$d], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+         |             c.vec_id) AS BIGINT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  WHERE rank <= $TopK)""".stripMargin
+    val budgets = MrlDims.map(d => cte(d, s"t$d")).mkString(",\n")
+    val unions = (MrlDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim, count(DISTINCT h.q_id) AS n_queries,
+         |       count(*) AS n_hits,
+         |       CAST(count(*) AS DOUBLE)
+         |         / CAST(count(DISTINCT h.q_id) * $TopK AS DOUBLE) AS recall
+         |FROM (SELECT t$d.q_id, t$d.n_id FROM t$d
+         |      JOIN truth ON t$d.q_id = truth.q_id AND t$d.n_id = truth.n_id) h""".stripMargin
+    } :+
+      s"""SELECT CAST($Dim AS BIGINT) AS dim, count(DISTINCT q_id) AS n_queries,
+         |       count(*) AS n_hits,
+         |       CAST(count(*) AS DOUBLE)
+         |         / CAST(count(DISTINCT q_id) * $TopK AS DOUBLE) AS recall
+         |FROM truth""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${cte(Dim, "truth")},
+       |$budgets
+       |SELECT dim, n_queries, n_hits, recall FROM (
+       |$unions)
+       |ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ann_filtered_topk: metadata-filtered ANN (pre-filter semantics)
   // ---------------------------------------------------------------------
 
@@ -2304,6 +2393,7 @@ object SimilarityQueries {
     ("emb_knn_classify", knnClassify _, knnClassifySql),
     ("emb_mmr_rerank", mmrRerank _, mmrRerankSql),
     ("emb_ood_audit", oodAudit _, oodAuditSql),
+    ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
