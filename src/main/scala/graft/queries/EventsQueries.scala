@@ -712,6 +712,120 @@ object EventsQueries {
        |ORDER BY segment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_power_analysis: MDE + required sample size for the A/B framework
+  // ---------------------------------------------------------------------
+
+  /** z-quantiles (two-sided α=0.05, power=0.80) — shared literals. */
+  private val Z975 = 1.959964
+  private val Z80 = 0.841621
+
+  /** Experiment power pre-flight: from the control vs variant_a
+    * per-user revenue distributions, the minimum detectable effect at
+    * the CURRENT sample size (α=0.05 two-sided, 80% power) and the
+    * per-arm n required to detect a 5% lift of the control mean —
+    * what an experimenter consults before launching, and after SRM
+    * ([[abSrm]]) clears the assignment.
+    *
+    * Scale shape: one pass to per-user exact-cent revenue (the
+    * customer-grain reduction), then two 1-row moment aggregates;
+    * everything downstream is scalar arithmetic. Determinism: sums
+    * and sums-of-squares are exact int64 cents; every double op after
+    * is written in the same association order in both engines. */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .filter(col("user_id") % 3 <= 1) // control + variant_a
+      .groupBy(col("user_id"))
+      .agg(round(sum(when(isPurchase, col("value").cast(Tables.Money))
+        .otherwise(lit(0).cast(Tables.Money))) * 100).cast(LongType)
+        .as("cents"))
+      .withColumn("arm", when(col("user_id") % 3 === 0, "control")
+        .otherwise("variant_a"))
+    val m = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val wide = m.groupBy()
+      .agg(
+        max(when(col("arm") === "control", col("n"))).as("n_c"),
+        max(when(col("arm") === "control", col("s1"))).as("s1_c"),
+        max(when(col("arm") === "control", col("s2"))).as("s2_c"),
+        max(when(col("arm") === "variant_a", col("n"))).as("n_v"),
+        max(when(col("arm") === "variant_a", col("s1"))).as("s1_v"),
+        max(when(col("arm") === "variant_a", col("s2"))).as("s2_v"))
+    val meanC = col("s1_c").cast(DoubleType) / col("n_c").cast(DoubleType) / 100.0
+    def variance(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast(DoubleType) -
+        s1.cast(DoubleType) * s1.cast(DoubleType) / n.cast(DoubleType)) /
+        (n.cast(DoubleType) - 1.0) / 10000.0
+    val varP = (variance(col("s2_c"), col("s1_c"), col("n_c")) *
+      (col("n_c").cast(DoubleType) - 1.0) +
+      variance(col("s2_v"), col("s1_v"), col("n_v")) *
+        (col("n_v").cast(DoubleType) - 1.0)) /
+      (col("n_c").cast(DoubleType) + col("n_v").cast(DoubleType) - 2.0)
+    val zsum = Z975 + Z80
+    val mdeAbs = lit(zsum) *
+      sqrt(varP * (lit(1.0) / col("n_c").cast(DoubleType) +
+        lit(1.0) / col("n_v").cast(DoubleType)))
+    val delta5 = meanC * 0.05
+    val nReq = ceil(lit(2.0 * zsum * zsum) * varP / (delta5 * delta5))
+      .cast(LongType)
+    wide.select(
+      col("n_c"), col("n_v"),
+      meanC.as("mean_control"),
+      varP.as("var_pooled"),
+      mdeAbs.as("mde_abs"),
+      (mdeAbs / meanC).as("mde_rel"),
+      nReq.as("n_required_5pct"))
+  }
+
+  val powerAnalysisSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         CAST(round(sum(CASE WHEN event_type = 'purchase'
+       |                             THEN CAST(value AS DECIMAL(28,6))
+       |                             ELSE CAST(0 AS DECIMAL(28,6)) END) * 100)
+       |              AS BIGINT) AS cents,
+       |         CASE WHEN user_id % 3 = 0 THEN 'control'
+       |              ELSE 'variant_a' END AS arm
+       |  FROM events WHERE user_id % 3 <= 1
+       |  GROUP BY user_id),
+       |m AS (
+       |  SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s1,
+       |         CAST(sum(cents * cents) AS BIGINT) AS s2
+       |  FROM per_user GROUP BY arm),
+       |wide AS (
+       |  SELECT max(CASE WHEN arm = 'control' THEN n END) AS n_c,
+       |         max(CASE WHEN arm = 'control' THEN s1 END) AS s1_c,
+       |         max(CASE WHEN arm = 'control' THEN s2 END) AS s2_c,
+       |         max(CASE WHEN arm = 'variant_a' THEN n END) AS n_v,
+       |         max(CASE WHEN arm = 'variant_a' THEN s1 END) AS s1_v,
+       |         max(CASE WHEN arm = 'variant_a' THEN s2 END) AS s2_v
+       |  FROM m)
+       |SELECT n_c, n_v,
+       |       CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 AS mean_control,
+       |       ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
+       |        + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
+       |         / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0) AS var_pooled,
+       |       ${Z975 + Z80} * sqrt(
+       |         ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
+       |          + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
+       |           / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0)
+       |         * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_v AS DOUBLE))) AS mde_abs,
+       |       ${Z975 + Z80} * sqrt(
+       |         ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
+       |          + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
+       |           / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0)
+       |         * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_v AS DOUBLE)))
+       |         / (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0) AS mde_rel,
+       |       CAST(ceil(${2.0 * (Z975 + Z80) * (Z975 + Z80)} *
+       |         (((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
+       |           + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
+       |            / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0))
+       |         / ((CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 * 0.05)
+       |            * (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 * 0.05)))
+       |         AS BIGINT) AS n_required_5pct
+       |FROM wide""".stripMargin
+
+  // ---------------------------------------------------------------------
   // F1–F4: validation / dead-letter classification (producer/producer.py:
   // 55-67, consumer/consumer.py:64-123)
   // ---------------------------------------------------------------------
@@ -2276,6 +2390,7 @@ object EventsQueries {
     ("ev_active_users", activeUsers _, activeUsersSql),
     ("ev_streaks", streaks _, streaksSql),
     ("ev_ab_srm", abSrm _, abSrmSql),
+    ("ev_power_analysis", powerAnalysis _, powerAnalysisSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
