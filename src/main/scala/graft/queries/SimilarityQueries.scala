@@ -775,6 +775,71 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ann_hamming_topk: 1-bit (binary) embedding tier
+  // ---------------------------------------------------------------------
+
+  /** Binary-embedding search: each vector compresses to its 64 sign
+    * bits (two 32-bit halves so both engines stay in positive int64),
+    * and neighbors rank by Hamming distance — the 1-bit tier below
+    * int8 and PQ: 8 bytes/vector, XOR+popcount per comparison, the
+    * representation a billion-scale first-pass filter stores in RAM.
+    * Sign-of-component IS random-hyperplane LSH with axis-aligned
+    * planes, so Hamming distance estimates angular distance.
+    *
+    * Scale shape: the signature build is one narrow scan (64 sign
+    * tests folding into two int64s, whole-stage codegen); this exact
+    * query is the documented brute baseline over 8-byte codes (like
+    * ann_int8_topk for its tier) — the composite scale path buckets
+    * on a signature prefix exactly as [[lshTopK]] does. Determinism:
+    * distances are exact ints; ties break on n_id. */
+  def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    def half(lo: Int): Column =
+      (0 until 32).map { j =>
+        when(col("embedding").getItem(lo + j) > 0.0f,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sigs = embs(spark, dir).select(col("vec_id"),
+      half(0).as("sig_lo"), half(32).as("sig_hi"))
+    val q = sigs.filter(isQuery)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    broadcast(q).as("q")
+      .join(sigs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        (bit_count(expr("q.sig_lo ^ c.sig_lo")) +
+          bit_count(expr("q.sig_hi ^ c.sig_hi")))
+          .cast(LongType).as("hamming"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hammingTopKSql: String = {
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, 32),
+         |  i -> CASE WHEN embedding[i + $off] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        .replaceAll("\n\\s*", " ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, ${half(0)} AS sig_lo, ${half(32)} AS sig_hi
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         CAST(bit_count(xor(q.sig_lo, c.sig_lo))
+       |            + bit_count(xor(q.sig_hi, c.sig_hi)) AS BIGINT) AS hamming
+       |  FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT q_id, n_id, hamming,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY hamming, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, hamming, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_mrl_recall: dimension-budget (Matryoshka) recall audit
   // ---------------------------------------------------------------------
 
@@ -2394,6 +2459,7 @@ object SimilarityQueries {
     ("emb_mmr_rerank", mmrRerank _, mmrRerankSql),
     ("emb_ood_audit", oodAudit _, oodAuditSql),
     ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
+    ("ann_hamming_topk", hammingTopK _, hammingTopKSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
