@@ -787,11 +787,15 @@ object SimilarityQueries {
     * planes, so Hamming distance estimates angular distance.
     *
     * Scale shape: the signature build is one narrow scan (64 sign
-    * tests folding into two int64s, whole-stage codegen); this exact
-    * query is the documented brute baseline over 8-byte codes (like
-    * ann_int8_topk for its tier) — the composite scale path buckets
-    * on a signature prefix exactly as [[lshTopK]] does. Determinism:
-    * distances are exact ints; ties break on n_id. */
+    * tests folding into two int64s) MATERIALIZED before the pair
+    * join — fused into the BNLJ stage Catalyst re-evaluates the
+    * 64-term projection inside the pair loop (measured 25x: 52.7 s
+    * -> 2.4 s at sf1), exactly the failure mode the 8-byte code
+    * exists to avoid. This exact query is the documented brute
+    * baseline over the codes (like ann_int8_topk for its tier) — the
+    * composite scale path buckets on a signature prefix exactly as
+    * [[lshTopK]] does. Determinism: distances are exact ints; ties
+    * break on n_id. */
   def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
     def half(lo: Int): Column =
       (0 until 32).map { j =>
@@ -800,6 +804,8 @@ object SimilarityQueries {
       }.reduce(_ + _)
     val sigs = embs(spark, dir).select(col("vec_id"),
       half(0).as("sig_lo"), half(32).as("sig_hi"))
+      .persist() // materialize: 16 bytes/vector ONCE, never per pair
+    sigs.count()
     val q = sigs.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("n_id"))

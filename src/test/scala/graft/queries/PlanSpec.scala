@@ -605,6 +605,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("hamming topk: the pair join reads MATERIALIZED signatures") {
+    val p = plan("ann_hamming_topk")
+    // if the 64-term sign projection rides unfused into the BNLJ
+    // stage, Catalyst re-evaluates it per PAIR — measured 25x at sf1;
+    // both join inputs must come from the cached signature frame
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hybrid rrf and mmr rerank: fusion stages add no unbounded operator") {
     for (q <- Seq("txt_hybrid_rrf", "emb_mmr_rerank")) {
       val p = plan(q)
