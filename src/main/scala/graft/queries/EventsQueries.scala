@@ -655,16 +655,25 @@ object EventsQueries {
     * Determinism: counts are exact; (o−e)·(o−e)/e is written in the
     * same association order in both engines. */
   def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = Window.partitionBy(lit(1))
-    val seg = events(spark, dir)
-      .select(col("user_id"))
-      .distinct()
-      .withColumn("segment",
-        when(col("user_id") % 3 === 0, "control")
-          .when(col("user_id") % 3 === 1, "variant_a")
-          .otherwise("variant_b"))
-      .groupBy(col("segment"))
-      .agg(count(lit(1)).as("users"))
+    // anchor on the full arm list: an arm with ZERO users — the
+    // canonical dead-arm SRM failure — must still contribute its
+    // (0−e)²/e term, the largest in the statistic; deriving arms only
+    // from present data would silently drop it and under-count chi²
+    val arms = Seq("control", "variant_a", "variant_b").toDF("segment")
+    val seg = arms.join(
+      events(spark, dir)
+        .select(col("user_id"))
+        .distinct()
+        .withColumn("segment",
+          when(col("user_id") % 3 === 0, "control")
+            .when(col("user_id") % 3 === 1, "variant_a")
+            .otherwise("variant_b"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("users0")),
+      Seq("segment"), "left")
+      .select(col("segment"), coalesce(col("users0"), lit(0L)).as("users"))
     val expected = sum(col("users")).over(all).cast(DoubleType) / 3.0
     val contrib = (col("users").cast(DoubleType) - col("expected")) *
       (col("users").cast(DoubleType) - col("expected")) / col("expected")
@@ -685,13 +694,17 @@ object EventsQueries {
   }
 
   val abSrmSql: String =
-    s"""WITH seg AS (
+    s"""WITH arms(segment) AS (VALUES ('control'), ('variant_a'), ('variant_b')),
+       |seg0 AS (
        |  SELECT CASE WHEN user_id % 3 = 0 THEN 'control'
        |              WHEN user_id % 3 = 1 THEN 'variant_a'
        |              ELSE 'variant_b' END AS segment,
-       |         count(*) AS users
+       |         count(*) AS users0
        |  FROM (SELECT DISTINCT user_id FROM events)
        |  GROUP BY 1),
+       |seg AS (
+       |  SELECT a.segment, CAST(COALESCE(s.users0, 0) AS BIGINT) AS users
+       |  FROM arms a LEFT JOIN seg0 s ON a.segment = s.segment),
        |ex AS (
        |  SELECT segment, users,
        |         CAST(sum(users) OVER () AS DOUBLE) / 3.0 AS expected
@@ -752,14 +765,15 @@ object EventsQueries {
         max(when(col("arm") === "variant_a", col("s1"))).as("s1_v"),
         max(when(col("arm") === "variant_a", col("s2"))).as("s2_v"))
     val meanC = col("s1_c").cast(DoubleType) / col("n_c").cast(DoubleType) / 100.0
-    def variance(s2: Column, s1: Column, n: Column): Column =
+    // corrected sum of squares per arm (dollars²); pooled variance is
+    // (ss_c + ss_v)/(n_c + n_v − 2) directly — no per-arm variance
+    // detour whose (n−1) factors cancel
+    def ss(s2: Column, s1: Column, n: Column): Column =
       (s2.cast(DoubleType) -
         s1.cast(DoubleType) * s1.cast(DoubleType) / n.cast(DoubleType)) /
-        (n.cast(DoubleType) - 1.0) / 10000.0
-    val varP = (variance(col("s2_c"), col("s1_c"), col("n_c")) *
-      (col("n_c").cast(DoubleType) - 1.0) +
-      variance(col("s2_v"), col("s1_v"), col("n_v")) *
-        (col("n_v").cast(DoubleType) - 1.0)) /
+        10000.0
+    val varP = (ss(col("s2_c"), col("s1_c"), col("n_c")) +
+      ss(col("s2_v"), col("s1_v"), col("n_v"))) /
       (col("n_c").cast(DoubleType) + col("n_v").cast(DoubleType) - 2.0)
     val zsum = Z975 + Z80
     val mdeAbs = lit(zsum) *
@@ -799,31 +813,26 @@ object EventsQueries {
        |         max(CASE WHEN arm = 'variant_a' THEN n END) AS n_v,
        |         max(CASE WHEN arm = 'variant_a' THEN s1 END) AS s1_v,
        |         max(CASE WHEN arm = 'variant_a' THEN s2 END) AS s2_v
-       |  FROM m)
-       |SELECT n_c, n_v,
-       |       CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 AS mean_control,
-       |       ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
-       |        + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
-       |         / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0) AS var_pooled,
-       |       ${Z975 + Z80} * sqrt(
-       |         ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
-       |          + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
-       |           / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0)
-       |         * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_v AS DOUBLE))) AS mde_abs,
-       |       ${Z975 + Z80} * sqrt(
-       |         ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
-       |          + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
-       |           / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0)
-       |         * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_v AS DOUBLE)))
-       |         / (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0) AS mde_rel,
-       |       CAST(ceil(${2.0 * (Z975 + Z80) * (Z975 + Z80)} *
-       |         (((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_c AS DOUBLE) - 1.0)
-       |           + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / (CAST(n_v AS DOUBLE) - 1.0) / 10000.0 * (CAST(n_v AS DOUBLE) - 1.0))
-       |            / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0))
-       |         / ((CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 * 0.05)
-       |            * (CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 * 0.05)))
+       |  FROM m),
+       |vp AS (
+       |  SELECT n_c, n_v,
+       |         CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 AS mean_control,
+       |         ((CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * CAST(s1_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 10000.0
+       |          + (CAST(s2_v AS DOUBLE) - CAST(s1_v AS DOUBLE) * CAST(s1_v AS DOUBLE) / CAST(n_v AS DOUBLE)) / 10000.0)
+       |           / (CAST(n_c AS DOUBLE) + CAST(n_v AS DOUBLE) - 2.0) AS var_pooled
+       |  FROM wide),
+       |mde AS (
+       |  SELECT n_c, n_v, mean_control, var_pooled,
+       |         ${Z975 + Z80} * sqrt(var_pooled *
+       |           (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_v AS DOUBLE)))
+       |           AS mde_abs
+       |  FROM vp)
+       |SELECT n_c, n_v, mean_control, var_pooled, mde_abs,
+       |       mde_abs / mean_control AS mde_rel,
+       |       CAST(ceil(${2.0 * (Z975 + Z80) * (Z975 + Z80)} * var_pooled
+       |         / ((mean_control * 0.05) * (mean_control * 0.05)))
        |         AS BIGINT) AS n_required_5pct
-       |FROM wide""".stripMargin
+       |FROM mde""".stripMargin
 
   // ---------------------------------------------------------------------
   // F1–F4: validation / dead-letter classification (producer/producer.py:

@@ -789,8 +789,8 @@ object SimilarityQueries {
     * Scale shape: the signature build is one narrow scan (64 sign
     * tests folding into two int64s) MATERIALIZED before the pair
     * join — fused into the BNLJ stage Catalyst re-evaluates the
-    * 64-term projection inside the pair loop (measured 25x: 52.7 s
-    * -> 2.4 s at sf1), exactly the failure mode the 8-byte code
+    * 64-term projection inside the pair loop (measured ~25x at the 10x
+    * sf1.0 dir: 52.7 s -> 2.1 s), exactly the failure mode the 8-byte code
     * exists to avoid. This exact query is the documented brute
     * baseline over the codes (like ann_int8_topk for its tier) — the
     * composite scale path buckets on a signature prefix exactly as
@@ -885,13 +885,17 @@ object SimilarityQueries {
     }
     val truth = topkAt(Dim).persist()
     truth.count()
+    // denominator from the TRUTH query set, not the hits frame: a
+    // query whose truncated top-10 loses every truth neighbor must
+    // count 0/10, not vanish from the average (recall would otherwise
+    // INFLATE exactly when truncation hurts most)
+    val nQ = truth.agg(count_distinct(col("q_id")).as("n_queries"))
     val rows = (MrlDims :+ Dim).map { d =>
       val hits =
         if (d == Dim) truth.select(col("q_id"), col("n_id"))
         else topkAt(d).join(truth, Seq("q_id", "n_id"), "left_semi")
-      hits.agg(
-        count_distinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_hits"))
+      hits.agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ)) // 1-row scalar
         .select(lit(d.toLong).as("dim"), col("n_queries"), col("n_hits"),
           (col("n_hits").cast(DoubleType) /
             (col("n_queries") * TopK).cast(DoubleType)).as("recall"))
@@ -914,20 +918,25 @@ object SimilarityQueries {
          |    WHERE q.vec_id % 50 = 0)
          |  WHERE rank <= $TopK)""".stripMargin
     val budgets = MrlDims.map(d => cte(d, s"t$d")).mkString(",\n")
+    // denominator from the truth query set (see the Scala note): nq
+    // is one scalar shared by every budget row
+    // scalar-subquery counts: an all-miss budget still yields its row
+    // (count over empty = 0), matching Spark's ungrouped agg
     val unions = (MrlDims.map { d =>
-      s"""SELECT CAST($d AS BIGINT) AS dim, count(DISTINCT h.q_id) AS n_queries,
-         |       count(*) AS n_hits,
-         |       CAST(count(*) AS DOUBLE)
-         |         / CAST(count(DISTINCT h.q_id) * $TopK AS DOUBLE) AS recall
-         |FROM (SELECT t$d.q_id, t$d.n_id FROM t$d
-         |      JOIN truth ON t$d.q_id = truth.q_id AND t$d.n_id = truth.n_id) h""".stripMargin
+      s"""SELECT CAST($d AS BIGINT) AS dim, nq.n_queries, h.n_hits,
+         |       CAST(h.n_hits AS DOUBLE)
+         |         / CAST(nq.n_queries * $TopK AS DOUBLE) AS recall
+         |FROM nq, (SELECT count(*) AS n_hits FROM t$d
+         |          JOIN truth ON t$d.q_id = truth.q_id
+         |                    AND t$d.n_id = truth.n_id) h""".stripMargin
     } :+
-      s"""SELECT CAST($Dim AS BIGINT) AS dim, count(DISTINCT q_id) AS n_queries,
-         |       count(*) AS n_hits,
-         |       CAST(count(*) AS DOUBLE)
-         |         / CAST(count(DISTINCT q_id) * $TopK AS DOUBLE) AS recall
-         |FROM truth""".stripMargin).mkString("\nUNION ALL\n")
+      s"""SELECT CAST($Dim AS BIGINT) AS dim, nq.n_queries, h.n_hits,
+         |       CAST(h.n_hits AS DOUBLE)
+         |         / CAST(nq.n_queries * $TopK AS DOUBLE) AS recall
+         |FROM nq, (SELECT count(*) AS n_hits FROM truth) h""".stripMargin)
+      .mkString("\nUNION ALL\n")
     s"""WITH ${cte(Dim, "truth")},
+       |nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM truth),
        |$budgets
        |SELECT dim, n_queries, n_hits, recall FROM (
        |$unions)

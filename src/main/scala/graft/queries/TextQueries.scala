@@ -1330,7 +1330,10 @@ object TextQueries {
   private val CdcMod = 16L
 
   /** 2^40 hash reduction so position-weighted signature sums stay in
-    * int64 (h40·pos ≤ 2^40·len, summed over len ≤ doc length). */
+    * int64: weights are CHUNK-RELATIVE (relpos+1 ≤ chunk length), so
+    * each term is ≤ 2^40·len and the sum ≤ 2^40·len² — safe for any
+    * chunk a sane modulus produces (an absolute-position weight would
+    * overflow on ~500k-token documents). */
   private val CdcH40 = 1099511627776L
 
   /** Content-defined chunking: chunk boundaries fall where the rolling
@@ -1354,16 +1357,21 @@ object TextQueries {
     val sp = spanIndex(spark, dir, withNTokens = false)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("grp"))
     val chunks = sp
       .withColumn("b", when(col("s") % CdcMod === 0, 1L).otherwise(0L))
       .withColumn("grp", sum(col("b")).over(wDoc))
+      // chunk-relative weights BEFORE the aggregate: absolute doc
+      // positions would overflow the int64 weighted sum on very long
+      // documents (see CdcH40); the window shares the groupBy's
+      // (doc, grp) partitioning
+      .withColumn("relpos", col("pos") - min(col("pos")).over(wChunk) + 1)
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("len"),
         sum(col("s") % CdcH40).as("sum_h"),
-        sum((col("s") % CdcH40) * (col("pos") + 1)).as("wsum"),
-        min(col("pos")).as("minp"))
-      .select(col("doc_id"), col("len"), col("sum_h"),
-        (col("wsum") - col("minp") * col("sum_h")).as("sig_w"))
+        sum((col("s") % CdcH40) * col("relpos")).as("sig_w"))
+      .select(col("doc_id"), col("len"), col("sum_h"), col("sig_w"))
     val copies = chunks.groupBy(col("len"), col("sum_h"), col("sig_w"))
       .agg(count(lit(1)).as("n_copies"))
     chunks.join(copies, Seq("len", "sum_h", "sig_w"))
@@ -1388,12 +1396,15 @@ object TextQueries {
        |         CAST(sum(CASE WHEN s % $CdcMod = 0 THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
        |  FROM sp),
+       |rel AS (
+       |  SELECT doc_id, grp, s,
+       |         pos - min(pos) OVER (PARTITION BY doc_id, grp) + 1 AS relpos
+       |  FROM marked),
        |chunks AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
        |         CAST(sum(s % $CdcH40) AS BIGINT) AS sum_h,
-       |         CAST(sum((s % $CdcH40) * (pos + 1))
-       |              - min(pos) * sum(s % $CdcH40) AS BIGINT) AS sig_w
-       |  FROM marked GROUP BY doc_id, grp),
+       |         CAST(sum((s % $CdcH40) * relpos) AS BIGINT) AS sig_w
+       |  FROM rel GROUP BY doc_id, grp),
        |copies AS (
        |  SELECT len, sum_h, sig_w, count(*) AS n_copies
        |  FROM chunks GROUP BY 1, 2, 3),
@@ -1495,7 +1506,7 @@ object TextQueries {
        |wmin AS (
        |  SELECT doc_id, i, min(s) AS m FROM bounded GROUP BY 1, 2),
        |sel AS (
-       |  SELECT DISTINCT b.doc_id, max(b.pos) AS fp_pos, b.s AS fp
+       |  SELECT b.doc_id, max(b.pos) AS fp_pos, b.s AS fp
        |  FROM bounded b JOIN wmin w
        |    ON b.doc_id = w.doc_id AND b.i = w.i AND b.s = w.m
        |  GROUP BY b.doc_id, b.i, b.s),

@@ -31,6 +31,21 @@ class AbSrmSpec extends SparkSpec {
     }
   }
 
+  test("a completely dead arm still contributes its chi-square term") {
+    // regression: variant_b gets ZERO users (users 0..11 cover only
+    // residues 0 and 1 when filtered) — the dead arm must appear with
+    // users=0 and its (0-e)^2/e term, the largest in the statistic
+    val ids = (0L until 36L).filter(u => u % 3 != 2)
+    val d = eventsOf(ids)
+    val rows = EventsQueries.abSrm(spark, d.toString).collect()
+    assert(rows.length == 3, "dead arm missing from the output")
+    val dead = rows.find(_.getString(0) == "variant_b").get
+    assert(dead.getLong(1) == 0L)
+    // e = 24/3 = 8; chi2 = 2*(12-8)^2/8 + (0-8)^2/8 = 4 + 8 = 12
+    assert(rows.head.getLong(4) == 12000000L)
+    assert(rows.forall(_.getLong(5) == 1L), "dead-arm SRM not flagged")
+  }
+
   test("an arm losing half its users flags sample-ratio mismatch") {
     // drop every second control user (user_id % 3 == 0): redirect-bug
     // shape; chi2 must blow past 5.991

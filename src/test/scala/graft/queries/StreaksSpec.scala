@@ -36,8 +36,13 @@ class StreaksSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.util.Tables.load(spark, dir, "events")
       .select($"user_id", $"event_id", $"ts", $"event_type").collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        r.getTimestamp(2).getTime, r.getString(3)))
+      .map { r =>
+        val t = r.getTimestamp(2)
+        // MICROsecond order, matching the query's epoch_us sort —
+        // getTime alone truncates to millis and can reorder events
+        (r.getLong(0), r.getLong(1),
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000, r.getString(3))
+      }
     val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
       val runs = es.sortBy(e => (e._3, e._2)).map(_._4)
         .foldLeft(List.empty[(String, Int)]) {
