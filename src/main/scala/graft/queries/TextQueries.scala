@@ -1320,6 +1320,79 @@ object TextQueries {
        |ORDER BY n_occ DESC, first_doc, chunk_key""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_dataset_card: the one-row corpus datasheet
+  // ---------------------------------------------------------------------
+
+  /** The datasheet-for-datasets summary (Gebru et al. 2021) a corpus
+    * publishes next to its parquet: sizes, composition cardinalities,
+    * dominant language share, exact-duplication rate, and length
+    * distribution — one row a registry can index, derived in a
+    * single pass plus one distinct over 16-byte content hashes.
+    *
+    * Scale shape: everything is one scan with map-side-combined
+    * aggregates; the only shuffle is the md5 distinct (the exact
+    * dedup reduction the card reports on). The dominant-language
+    * share reuses the |langs|-row rollup under a 1-row broadcast. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"),
+        md5(col("text")).as("h"))
+      .persist() // one tokenize pass feeds every aggregate
+    d.count()
+    val core = d.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      count_distinct(col("h")).as("n_distinct_docs"),
+      percentile(col("n_toks"), lit(0.5)).as("median_tokens"),
+      max(col("n_toks")).as("max_tokens"))
+    val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    core.crossJoin(broadcast(topLang)) // both 1-row
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("n_chars"), col("n_distinct_docs"),
+        Tables.ratio(col("n_docs") - col("n_distinct_docs"), col("n_docs"))
+          .as("dup_rate"),
+        col("median_tokens"), col("max_tokens"),
+        col("top_lang"),
+        Tables.ratio(col("top_lang_docs"), col("n_docs"))
+          .as("top_lang_share"))
+  }
+
+  val datasetCardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         md5(text) AS h
+      |  FROM documents),
+      |core AS (
+      |  SELECT count(*) AS n_docs,
+      |         count(DISTINCT source) AS n_sources,
+      |         count(DISTINCT lang) AS n_langs,
+      |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         count(DISTINCT h) AS n_distinct_docs,
+      |         quantile_cont(CAST(n_toks AS DOUBLE), 0.5) AS median_tokens,
+      |         max(n_toks) AS max_tokens
+      |  FROM d),
+      |top_lang AS (
+      |  SELECT lang AS top_lang, count(*) AS top_lang_docs
+      |  FROM d GROUP BY lang
+      |  ORDER BY count(*) DESC, lang LIMIT 1)
+      |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars,
+      |       n_distinct_docs,
+      |       CAST(n_docs - n_distinct_docs AS DOUBLE)
+      |         / nullif(CAST(n_docs AS DOUBLE), 0.0) AS dup_rate,
+      |       median_tokens, max_tokens, top_lang,
+      |       CAST(top_lang_docs AS DOUBLE)
+      |         / nullif(CAST(n_docs AS DOUBLE), 0.0) AS top_lang_share
+      |FROM core, top_lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_cdc_chunks: content-defined chunking (FastCDC-style) + dedup
   // accounting
   // ---------------------------------------------------------------------
@@ -2289,6 +2362,7 @@ object TextQueries {
     ("txt_dup_spans", dupSpans _, dupSpansSql),
     ("txt_cdc_chunks", cdcChunks _, cdcChunksSql),
     ("txt_winnowing", winnowing _, winnowingSql),
+    ("txt_dataset_card", datasetCard _, datasetCardSql),
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
