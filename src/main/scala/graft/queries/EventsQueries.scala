@@ -835,6 +835,92 @@ object EventsQueries {
        |FROM mde""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_cuped: CUPED variance reduction for experiment metrics
+  // ---------------------------------------------------------------------
+
+  /** Pre/post split instant — interpolated into BOTH engines. */
+  private val CupedSplit = "2024-01-16 00:00:00"
+
+  /** CUPED (Deng et al. 2013): reduce experiment-metric variance with
+    * the pre-period covariate — ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x),
+    * which shrinks metric variance by exactly the squared pre/post
+    * correlation. The published numbers are the ones an experimenter
+    * needs to size the win: θ, the raw and adjusted variances, the
+    * reduction, and the correlation it derives from.
+    *
+    * Scale shape: ONE user-grain reduction (conditional sums split on
+    * the literal instant), then a single 6-moment aggregate —
+    * everything after is scalar. Determinism: all moments are exact
+    * int64 cents (x·y ≤ 10¹² per user); the closed-form doubles are
+    * written in the same association order in both engines. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit(CupedSplit).cast(TimestampType)
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(isPurchase && col("ts") < split,
+          col("value").cast(Tables.Money)).otherwise(lit(0).cast(Tables.Money)))
+          * 100).cast(LongType).as("x"),
+        round(sum(when(isPurchase && col("ts") >= split,
+          col("value").cast(Tables.Money)).otherwise(lit(0).cast(Tables.Money)))
+          * 100).cast(LongType).as("y"))
+    val m = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String): Column = col(c).cast(DoubleType)
+    // corrected sums (cents²) -> dollars² via /1e4; n-1 denominators
+    val cxx = (d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - 1.0) / 10000.0
+    val cyy = (d("syy") - d("sy") * d("sy") / d("n")) / (d("n") - 1.0) / 10000.0
+    val cxy = (d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - 1.0) / 10000.0
+    val theta = cxy / cxx
+    val varCuped = cyy - cxy * cxy / cxx
+    m.select(
+      col("n").as("n_users"),
+      theta.as("theta"),
+      cyy.as("var_raw"),
+      varCuped.as("var_cuped"),
+      (lit(1.0) - varCuped / cyy).as("var_reduction"),
+      (cxy / sqrt(cxx * cyy)).as("pre_post_corr"))
+  }
+
+  val cupedSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         CAST(round(sum(CASE WHEN event_type = 'purchase'
+       |                              AND ts < TIMESTAMP '$CupedSplit'
+       |                             THEN CAST(value AS DECIMAL(28,6))
+       |                             ELSE CAST(0 AS DECIMAL(28,6)) END) * 100)
+       |              AS BIGINT) AS x,
+       |         CAST(round(sum(CASE WHEN event_type = 'purchase'
+       |                              AND ts >= TIMESTAMP '$CupedSplit'
+       |                             THEN CAST(value AS DECIMAL(28,6))
+       |                             ELSE CAST(0 AS DECIMAL(28,6)) END) * 100)
+       |              AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM per_user),
+       |c AS (
+       |  SELECT n,
+       |         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cxx,
+       |         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cyy,
+       |         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cxy
+       |  FROM m)
+       |SELECT n AS n_users,
+       |       cxy / cxx AS theta,
+       |       cyy AS var_raw,
+       |       cyy - cxy * cxy / cxx AS var_cuped,
+       |       1.0 - (cyy - cxy * cxy / cxx) / cyy AS var_reduction,
+       |       cxy / sqrt(cxx * cyy) AS pre_post_corr
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // F1–F4: validation / dead-letter classification (producer/producer.py:
   // 55-67, consumer/consumer.py:64-123)
   // ---------------------------------------------------------------------
@@ -2400,6 +2486,7 @@ object EventsQueries {
     ("ev_streaks", streaks _, streaksSql),
     ("ev_ab_srm", abSrm _, abSrmSql),
     ("ev_power_analysis", powerAnalysis _, powerAnalysisSql),
+    ("ev_cuped", cuped _, cupedSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
