@@ -775,6 +775,65 @@ object SimilarityQueries {
        |ORDER BY vec_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // emb_threshold_calibration: cosine-vs-label calibration curve
+  // ---------------------------------------------------------------------
+
+  /** Calibration bins over [-1, 1] — interpolated into BOTH engines. */
+  private val CalibBins = 10L
+
+  /** Threshold calibration: bucket the multi-probe candidate pairs'
+    * cosines into [[CalibBins]] bins and report the same-label rate
+    * per bin — the curve that justifies (or indicts) a similarity
+    * threshold before a dedup/labeling pass commits to it. A clean
+    * embedding space shows the rate rising with cosine; a flat curve
+    * means the threshold encodes nothing.
+    *
+    * Scale shape: pairs come from the ALREADY-BOUNDED multi-probe
+    * shortlists (never an all-pairs sweep); binning is exact integer
+    * floor on the shared bit-identical cosines; the rollup is
+    * ≤CalibBins+1 groups, map-side combined. */
+  def thresholdCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embs(spark, dir).select(col("vec_id"), col("label"))
+    val pairs = lshMultiProbe(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "q_label"), "q_id")
+      .join(labels.withColumnRenamed("vec_id", "n_id")
+        .withColumnRenamed("label", "n_label"), "n_id")
+    pairs
+      .withColumn("bin",
+        least(floor((col("cosine") + 1.0) / 2.0 * CalibBins),
+          lit(CalibBins - 1)).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Tables.countIf(col("q_label") === col("n_label")).as("n_same"))
+      .select(col("bin"),
+        (col("bin").cast(DoubleType) * 2.0 / CalibBins - 1.0).as("cos_lo"),
+        col("n_pairs"), col("n_same"),
+        Tables.ratio(col("n_same"), col("n_pairs")).as("same_label_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val thresholdCalibrationSql: String =
+    s"""WITH pairs AS ($lshMultiProbeSql),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |binned AS (
+       |  SELECT least(CAST(floor((p.cosine + 1.0) / 2.0 * $CalibBins) AS BIGINT),
+       |               ${CalibBins - 1}) AS bin,
+       |         CASE WHEN q.label = n.label THEN 1 END AS same
+       |  FROM pairs p
+       |  JOIN lab q ON p.q_id = q.vec_id
+       |  JOIN lab n ON p.n_id = n.vec_id)
+       |SELECT bin,
+       |       CAST(bin AS DOUBLE) * 2.0 / $CalibBins - 1.0 AS cos_lo,
+       |       count(*) AS n_pairs,
+       |       count(same) AS n_same,
+       |       CAST(count(same) AS DOUBLE)
+       |         / nullif(CAST(count(*) AS DOUBLE), 0.0) AS same_label_rate
+       |FROM binned
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ann_hamming_topk: 1-bit (binary) embedding tier
   // ---------------------------------------------------------------------
 
@@ -2475,6 +2534,7 @@ object SimilarityQueries {
     ("emb_ood_audit", oodAudit _, oodAuditSql),
     ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
     ("ann_hamming_topk", hammingTopK _, hammingTopKSql),
+    ("emb_threshold_calibration", thresholdCalibration _, thresholdCalibrationSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
     ("emb_drift", drift _, driftSql),
