@@ -40,6 +40,14 @@ object EventsQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
 
+  /** Mid-period split instant (the testdata spans Jan 2024) — ONE
+    * definition shared by every pre/post query (ev_business_kpis
+    * defaults, ev_user_overlap, ev_cuped) and interpolated into each
+    * SQL twin: a drifted copy would silently degenerate one query's
+    * pre-period (all-zero x -> NaN theta) while the others kept
+    * working. */
+  private[graft] val MidPeriod = "2024-01-16"
+
   /** The Grafana `$__timeFrom/To` surface (SURVEY F5): every dashboard
     * panel takes optional half-open `[from, to)` bounds on raw event
     * time. `None` (the registered default) applies no predicate at
@@ -525,7 +533,7 @@ object EventsQueries {
     * sets the comparison window [prevFrom, curFrom). */
   def businessKpis(spark: SparkSession, dir: String,
       prevFrom: String = "2024-01-01",
-      curFrom: String = "2024-01-16",
+      curFrom: String = MidPeriod,
       curTo: String = "2024-02-01"): DataFrame = {
     val ev = events(spark, dir)
     def period(from: String, to: String, prefix: String): DataFrame =
@@ -549,16 +557,16 @@ object EventsQueries {
   }
 
   val businessKpisSql: String =
-    """WITH cur AS (
+    s"""WITH cur AS (
       |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS cur_revenue,
       |         count(DISTINCT user_id) AS cur_users,
       |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cur_purchases
-      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-02-01'
+      |  FROM events WHERE ts >= TIMESTAMP '$MidPeriod' AND ts < TIMESTAMP '2024-02-01'
       |), prev AS (
       |  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS prev_revenue,
       |         count(DISTINCT user_id) AS prev_users,
       |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS prev_purchases
-      |  FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-16'
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '$MidPeriod'
       |)
       |SELECT cur_revenue, prev_revenue,
       |       (cur_revenue - prev_revenue) / nullif(prev_revenue, 0.0) * 100.0 AS revenue_growth_pct,
@@ -838,8 +846,8 @@ object EventsQueries {
   // ev_cuped: CUPED variance reduction for experiment metrics
   // ---------------------------------------------------------------------
 
-  /** Pre/post split instant — interpolated into BOTH engines. */
-  private val CupedSplit = "2024-01-16 00:00:00"
+  /** Pre/post split instant — [[MidPeriod]], the shared literal. */
+  private val CupedSplit = MidPeriod
 
   /** CUPED (Deng et al. 2013): reduce experiment-metric variance with
     * the pre-period covariate — ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x),
@@ -1784,7 +1792,7 @@ object EventsQueries {
     * pre-DISTINCTed user-id set, so the set ops shuffle at user
     * cardinality, never event cardinality. */
   def userOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val mid = lit("2024-01-16").cast(TimestampType)
+    val mid = lit(MidPeriod).cast(TimestampType)
     val ev = events(spark, dir)
     val a = ev.filter(col("ts") < mid).select(col("user_id")).distinct()
     val b = ev.filter(col("ts") >= mid).select(col("user_id")).distinct()
@@ -1798,8 +1806,8 @@ object EventsQueries {
   }
 
   val userOverlapSql: String =
-    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
-      |b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+    s"""WITH a AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '$MidPeriod'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '$MidPeriod')
       |SELECT 'retained' AS cohort, count(*) AS n_users FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
       |UNION ALL
       |SELECT 'churned' AS cohort, count(*) AS n_users FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
