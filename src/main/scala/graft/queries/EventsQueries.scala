@@ -929,6 +929,97 @@ object EventsQueries {
        |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_did: difference-in-differences over the pre/post × arm grid
+  // ---------------------------------------------------------------------
+
+  /** Difference-in-differences: the 2×2 (arm × period) per-user mean
+    * revenue grid around [[MidPeriod]] and the DiD estimate
+    * (Δvariant − Δcontrol) — the causal read when assignment isn't
+    * randomized or a pre-period trend confounds the naive delta;
+    * closes the experimentation toolkit next to [[abSrm]],
+    * [[powerAnalysis]] and [[cuped]].
+    *
+    * Scale shape: one user-grain reduction with conditional exact-cent
+    * sums, then a 2-row arm aggregate pivoted to one scalar row.
+    * Determinism: every mean is exact-int64 cents over an exact user
+    * count; the estimate subtracts four deterministic doubles in a
+    * fixed order. */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit(MidPeriod).cast(TimestampType)
+    def cents(p: Column): Column =
+      round(sum(when(p, col("value").cast(Tables.Money))
+        .otherwise(lit(0).cast(Tables.Money))) * 100).cast(LongType)
+    val perUser = events(spark, dir)
+      .filter(col("user_id") % 3 <= 1) // control + variant_a
+      .groupBy(col("user_id"))
+      .agg(cents(isPurchase && col("ts") < split).as("pre"),
+        cents(isPurchase && col("ts") >= split).as("post"))
+      .withColumn("arm", when(col("user_id") % 3 === 0, "control")
+        .otherwise("variant_a"))
+    val byArm = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
+        sum(col("post")).as("so"))
+    def mean(s: String, n: String): Column =
+      col(s).cast(DoubleType) / col(n).cast(DoubleType) / 100.0
+    byArm.groupBy()
+      .agg(
+        max(when(col("arm") === "control", col("n"))).as("n_c"),
+        max(when(col("arm") === "control", col("sp"))).as("sp_c"),
+        max(when(col("arm") === "control", col("so"))).as("so_c"),
+        max(when(col("arm") === "variant_a", col("n"))).as("n_v"),
+        max(when(col("arm") === "variant_a", col("sp"))).as("sp_v"),
+        max(when(col("arm") === "variant_a", col("so"))).as("so_v"))
+      .select(
+        col("n_c"), col("n_v"),
+        mean("sp_c", "n_c").as("control_pre"),
+        mean("so_c", "n_c").as("control_post"),
+        mean("sp_v", "n_v").as("variant_pre"),
+        mean("so_v", "n_v").as("variant_post"),
+        ((mean("so_v", "n_v") - mean("sp_v", "n_v")) -
+          (mean("so_c", "n_c") - mean("sp_c", "n_c"))).as("did"))
+  }
+
+  val didSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         CAST(round(sum(CASE WHEN event_type = 'purchase'
+       |                              AND ts < TIMESTAMP '$MidPeriod'
+       |                             THEN CAST(value AS DECIMAL(28,6))
+       |                             ELSE CAST(0 AS DECIMAL(28,6)) END) * 100)
+       |              AS BIGINT) AS pre,
+       |         CAST(round(sum(CASE WHEN event_type = 'purchase'
+       |                              AND ts >= TIMESTAMP '$MidPeriod'
+       |                             THEN CAST(value AS DECIMAL(28,6))
+       |                             ELSE CAST(0 AS DECIMAL(28,6)) END) * 100)
+       |              AS BIGINT) AS post,
+       |         CASE WHEN user_id % 3 = 0 THEN 'control'
+       |              ELSE 'variant_a' END AS arm
+       |  FROM events WHERE user_id % 3 <= 1
+       |  GROUP BY user_id),
+       |by_arm AS (
+       |  SELECT arm, count(*) AS n, CAST(sum(pre) AS BIGINT) AS sp,
+       |         CAST(sum(post) AS BIGINT) AS so
+       |  FROM per_user GROUP BY arm),
+       |wide AS (
+       |  SELECT max(CASE WHEN arm = 'control' THEN n END) AS n_c,
+       |         max(CASE WHEN arm = 'control' THEN sp END) AS sp_c,
+       |         max(CASE WHEN arm = 'control' THEN so END) AS so_c,
+       |         max(CASE WHEN arm = 'variant_a' THEN n END) AS n_v,
+       |         max(CASE WHEN arm = 'variant_a' THEN sp END) AS sp_v,
+       |         max(CASE WHEN arm = 'variant_a' THEN so END) AS so_v
+       |  FROM by_arm)
+       |SELECT n_c, n_v,
+       |       CAST(sp_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 AS control_pre,
+       |       CAST(so_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0 AS control_post,
+       |       CAST(sp_v AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0 AS variant_pre,
+       |       CAST(so_v AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0 AS variant_post,
+       |       ((CAST(so_v AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0
+       |         - CAST(sp_v AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0)
+       |        - (CAST(so_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0
+       |           - CAST(sp_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 100.0)) AS did
+       |FROM wide""".stripMargin
+
+  // ---------------------------------------------------------------------
   // F1–F4: validation / dead-letter classification (producer/producer.py:
   // 55-67, consumer/consumer.py:64-123)
   // ---------------------------------------------------------------------
@@ -2495,6 +2586,7 @@ object EventsQueries {
     ("ev_ab_srm", abSrm _, abSrmSql),
     ("ev_power_analysis", powerAnalysis _, powerAnalysisSql),
     ("ev_cuped", cuped _, cupedSql),
+    ("ev_did", did _, didSql),
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
