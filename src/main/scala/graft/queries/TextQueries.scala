@@ -1393,6 +1393,84 @@ object TextQueries {
       |FROM core, top_lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // txt_zipf_fit: Zipf-law exponent of the token distribution
+  // ---------------------------------------------------------------------
+
+  /** Ranks fitted — interpolated into BOTH engines. */
+  private val ZipfTopK = 500
+
+  /** Zipf fit: least-squares slope of log(count) on log(rank) over
+    * the top-[[ZipfTopK]] token types — natural corpora sit near
+    * slope −1; a synthetic or templated corpus (like this testdata)
+    * shows a much flatter tail, which is exactly what the audit is
+    * for: screening scraped/generated text whose token statistics
+    * are un-language-like before it pollutes a training mix.
+    *
+    * Scale shape: one tokenize pass to type counts (the txt_token_hist
+    * reduction), a TakeOrdered top-K, then the regression runs over K
+    * rows with micro-quantized logs summed in exact int64 (order-free)
+    * — the one transcendental per point is quantized once (the
+    * bigramLogprob discipline) and the closed-form slope/intercept/r²
+    * are scalar doubles at the edge. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    val top = docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(ZipfTopK)
+      // rank window runs over the K-row TakeOrdered output only
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .select(
+        round(log(col("r").cast(DoubleType)) * 1e6).cast(LongType).as("x"),
+        round(log(col("n").cast(DoubleType)) * 1e6).cast(LongType).as("y"))
+    val m = top.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    def d(c: String): Column = col(c).cast(DoubleType) / 1e6
+    def dd(c: String): Column = col(c).cast(DoubleType) / 1e12
+    val k = col("k").cast(DoubleType)
+    val cxy = dd("sxy") - d("sx") * d("sy") / k
+    val cxx = dd("sxx") - d("sx") * d("sx") / k
+    val cyy = dd("syy") - d("sy") * d("sy") / k
+    m.select(col("k").as("n_terms"),
+      (cxy / cxx).as("zipf_slope"),
+      (d("sy") / k - cxy / cxx * (d("sx") / k)).as("intercept"),
+      (cxy * cxy / (cxx * cyy)).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH counts AS (
+       |  SELECT term, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term ORDER BY n DESC, term LIMIT $ZipfTopK),
+       |pts AS (
+       |  SELECT CAST(round(ln(CAST(row_number()
+       |             OVER (ORDER BY n DESC, term) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |  FROM counts),
+       |m AS (
+       |  SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM pts),
+       |c AS (
+       |  SELECT k,
+       |         CAST(sxy AS DOUBLE) / 1e12 - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6) / CAST(k AS DOUBLE) AS cxy,
+       |         CAST(sxx AS DOUBLE) / 1e12 - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / CAST(k AS DOUBLE) AS cxx,
+       |         CAST(syy AS DOUBLE) / 1e12 - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6) / CAST(k AS DOUBLE) AS cyy,
+       |         CAST(sx AS DOUBLE) / 1e6 AS sxd, CAST(sy AS DOUBLE) / 1e6 AS syd
+       |  FROM m)
+       |SELECT k AS n_terms,
+       |       cxy / cxx AS zipf_slope,
+       |       syd / CAST(k AS DOUBLE) - cxy / cxx * (sxd / CAST(k AS DOUBLE)) AS intercept,
+       |       cxy * cxy / (cxx * cyy) AS r2
+       |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // txt_cdc_chunks: content-defined chunking (FastCDC-style) + dedup
   // accounting
   // ---------------------------------------------------------------------
@@ -2363,6 +2441,7 @@ object TextQueries {
     ("txt_cdc_chunks", cdcChunks _, cdcChunksSql),
     ("txt_winnowing", winnowing _, winnowingSql),
     ("txt_dataset_card", datasetCard _, datasetCardSql),
+    ("txt_zipf_fit", zipfFit _, zipfFitSql),
     ("txt_span_coverage", spanCoverage _, spanCoverageSql),
     ("txt_strip_spans", stripSpans _, stripSpansSql),
     ("txt_bigram_logprob", bigramLogprob _, bigramLogprobSql),
