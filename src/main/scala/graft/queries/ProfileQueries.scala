@@ -943,10 +943,73 @@ object ProfileQueries {
     ev.join(broadcast(purgeRequests(ev)), Seq("user_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------------
+  // util_table_checksums: order-free content manifest for data contracts
+  // ---------------------------------------------------------------------
+
+  /** Content manifest: per table, the row count and an ORDER-FREE
+    * int64 content checksum (sum of per-row h60 over a canonical
+    * string of the contract columns, folded with XOR) — the cheap whole-table
+    * fingerprint a producer publishes and a consumer re-derives to
+    * prove a handoff was lossless, before anyone pays for the
+    * row-level [[tableDiff]]. XOR folding is order-free, never
+    * overflows at ANY row count, and is incrementally maintainable
+    * (append a partition = XOR its partial in; delete = XOR it out);
+    * its one blind spot — identical rows cancelling pairwise — is
+    * closed by putting the unique key in the canonical string.
+    *
+    * Scale shape: one scan per table, map-side-combined sum — no
+    * shuffle beyond the 1-row aggregates. Numeric columns ride as
+    * exact cents/plain ints so the canonical string never sees a
+    * float's engine-specific rendering (the tableDiff discipline). */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    def manifest(table: String, canon: Column): DataFrame =
+      Tables.load(spark, dir, table)
+        .select(h60(canon).as("chk"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(chk)").as("checksum"))
+        .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
+    val events = manifest("events",
+      concat_ws("|", col("event_id"), unix_micros(col("ts")),
+        col("user_id"), col("event_type"),
+        round(col("value").cast(Tables.Money) * 100).cast(LongType)))
+    val documents = manifest("documents",
+      concat_ws("|", col("doc_id"), md5(col("text")), col("lang"),
+        col("source"), col("n_chars")))
+    val orders = manifest("orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice").cast(Tables.Money) * 100).cast(LongType)))
+    events.unionByName(documents).unionByName(orders)
+      .orderBy(col("tbl"))
+  }
+
+  val tableChecksumsSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    def m(table: String, canon: String): String =
+      s"""SELECT '$table' AS tbl, count(*) AS n_rows,
+         |       CAST(bit_xor(${h60Sql(canon)}) AS BIGINT) AS checksum
+         |FROM $table""".stripMargin
+    Seq(
+      m("events",
+        """CONCAT(event_id, '|', epoch_us(ts), '|', user_id, '|', event_type,
+          |  '|', CAST(round(CAST(value AS DECIMAL(28,6)) * 100) AS BIGINT))"""
+          .stripMargin.replaceAll("\n\\s*", " ")),
+      m("documents",
+        "CONCAT(doc_id, '|', md5(text), '|', lang, '|', source, '|', n_chars)"),
+      m("orders",
+        """CONCAT(o_orderkey, '|', o_custkey, '|', o_orderstatus,
+          |  '|', CAST(round(CAST(o_totalprice AS DECIMAL(28,6)) * 100) AS BIGINT))"""
+          .stripMargin.replaceAll("\n\\s*", " ")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("util_column_profile", ordersProfile _, ordersProfileSql),
     ("util_importance_resample", importanceResample _, importanceResampleSql),
     ("util_gdpr_purge", gdprPurge _, gdprPurgeSql),
+    ("util_table_checksums", tableChecksums _, tableChecksumsSql),
     ("util_hash_split", hashSplit _, hashSplitSql),
     ("util_stratified_sample", stratifiedSample _, stratifiedSampleSql),
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
