@@ -740,6 +740,28 @@ object EventsQueries {
   private val Z975 = 1.959964
   private val Z80 = 0.841621
 
+  // Shared experiment scaffolding (powerAnalysis + did): the
+  // control/variant_a event base with its arm tag, the exact-cent
+  // conditional revenue aggregate, and the 2-row->1-row arm pivot.
+  // ONE definition each so the two causal queries can never drift on
+  // arm assignment or the cents rounding convention.
+  private def armEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") % 3 <= 1) // control + variant_a
+      .withColumn("arm", when(col("user_id") % 3 === 0, "control")
+        .otherwise("variant_a"))
+
+  private def centsIf(p: Column): Column =
+    round(sum(when(p, col("value").cast(Tables.Money))
+      .otherwise(lit(0).cast(Tables.Money))) * 100).cast(LongType)
+
+  private def armPivot(byArm: DataFrame, vals: Seq[String]): DataFrame = {
+    val aggs = vals.flatMap(v => Seq(
+      max(when(col("arm") === "control", col(v))).as(s"${v}_c"),
+      max(when(col("arm") === "variant_a", col(v))).as(s"${v}_v")))
+    byArm.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Experiment power pre-flight: from the control vs variant_a
     * per-user revenue distributions, the minimum detectable effect at
     * the CURRENT sample size (α=0.05 two-sided, 80% power) and the
@@ -753,25 +775,13 @@ object EventsQueries {
     * and sums-of-squares are exact int64 cents; every double op after
     * is written in the same association order in both engines. */
   def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = events(spark, dir)
-      .filter(col("user_id") % 3 <= 1) // control + variant_a
-      .groupBy(col("user_id"))
-      .agg(round(sum(when(isPurchase, col("value").cast(Tables.Money))
-        .otherwise(lit(0).cast(Tables.Money))) * 100).cast(LongType)
-        .as("cents"))
-      .withColumn("arm", when(col("user_id") % 3 === 0, "control")
-        .otherwise("variant_a"))
+    val perUser = armEvents(spark, dir)
+      .groupBy(col("user_id"), col("arm"))
+      .agg(centsIf(isPurchase).as("cents"))
     val m = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
         sum(col("cents") * col("cents")).as("s2"))
-    val wide = m.groupBy()
-      .agg(
-        max(when(col("arm") === "control", col("n"))).as("n_c"),
-        max(when(col("arm") === "control", col("s1"))).as("s1_c"),
-        max(when(col("arm") === "control", col("s2"))).as("s2_c"),
-        max(when(col("arm") === "variant_a", col("n"))).as("n_v"),
-        max(when(col("arm") === "variant_a", col("s1"))).as("s1_v"),
-        max(when(col("arm") === "variant_a", col("s2"))).as("s2_v"))
+    val wide = armPivot(m, Seq("n", "s1", "s2"))
     val meanC = col("s1_c").cast(DoubleType) / col("n_c").cast(DoubleType) / 100.0
     // corrected sum of squares per arm (dollars²); pooled variance is
     // (ss_c + ss_v)/(n_c + n_v − 2) directly — no per-arm variance
@@ -946,29 +956,16 @@ object EventsQueries {
     * fixed order. */
   def did(spark: SparkSession, dir: String): DataFrame = {
     val split = lit(MidPeriod).cast(TimestampType)
-    def cents(p: Column): Column =
-      round(sum(when(p, col("value").cast(Tables.Money))
-        .otherwise(lit(0).cast(Tables.Money))) * 100).cast(LongType)
-    val perUser = events(spark, dir)
-      .filter(col("user_id") % 3 <= 1) // control + variant_a
-      .groupBy(col("user_id"))
-      .agg(cents(isPurchase && col("ts") < split).as("pre"),
-        cents(isPurchase && col("ts") >= split).as("post"))
-      .withColumn("arm", when(col("user_id") % 3 === 0, "control")
-        .otherwise("variant_a"))
+    val perUser = armEvents(spark, dir)
+      .groupBy(col("user_id"), col("arm"))
+      .agg(centsIf(isPurchase && col("ts") < split).as("pre"),
+        centsIf(isPurchase && col("ts") >= split).as("post"))
     val byArm = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("pre")).as("sp"),
         sum(col("post")).as("so"))
     def mean(s: String, n: String): Column =
       col(s).cast(DoubleType) / col(n).cast(DoubleType) / 100.0
-    byArm.groupBy()
-      .agg(
-        max(when(col("arm") === "control", col("n"))).as("n_c"),
-        max(when(col("arm") === "control", col("sp"))).as("sp_c"),
-        max(when(col("arm") === "control", col("so"))).as("so_c"),
-        max(when(col("arm") === "variant_a", col("n"))).as("n_v"),
-        max(when(col("arm") === "variant_a", col("sp"))).as("sp_v"),
-        max(when(col("arm") === "variant_a", col("so"))).as("so_v"))
+    armPivot(byArm, Seq("n", "sp", "so"))
       .select(
         col("n_c"), col("n_v"),
         mean("sp_c", "n_c").as("control_pre"),

@@ -948,8 +948,8 @@ object ProfileQueries {
   // ---------------------------------------------------------------------
 
   /** Content manifest: per table, the row count and an ORDER-FREE
-    * int64 content checksum (sum of per-row h60 over a canonical
-    * string of the contract columns, folded with XOR) — the cheap whole-table
+    * int64 content checksum (XOR of per-row h60 over a canonical
+    * string of ALL contract columns) — the cheap whole-table
     * fingerprint a producer publishes and a consumer re-derives to
     * prove a handoff was lossless, before anyone pays for the
     * row-level [[tableDiff]]. XOR folding is order-free, never
@@ -958,10 +958,14 @@ object ProfileQueries {
     * its one blind spot — identical rows cancelling pairwise — is
     * closed by putting the unique key in the canonical string.
     *
-    * Scale shape: one scan per table, map-side-combined sum — no
+    * Scale shape: one scan per table, map-side-combined fold — no
     * shuffle beyond the 1-row aggregates. Numeric columns ride as
     * exact cents/plain ints so the canonical string never sees a
-    * float's engine-specific rendering (the tableDiff discipline). */
+    * float's engine-specific rendering, and both engines use
+    * concat_ws (identical NULL-skipping — plain CONCAT would keep
+    * the separator and diverge); the canonical contract columns are
+    * non-nullable, which is what keeps NULL-skipping from colliding
+    * two rows (the tableDiff discipline). */
   def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.h60
     def manifest(table: String, canon: Column): DataFrame =
@@ -971,15 +975,17 @@ object ProfileQueries {
           expr("bit_xor(chk)").as("checksum"))
         .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
     val events = manifest("events",
-      concat_ws("|", col("event_id"), unix_micros(col("ts")),
+      concat_ws("|", col("event_id"), Tables.epochUs(col("ts")),
         col("user_id"), col("event_type"),
-        round(col("value").cast(Tables.Money) * 100).cast(LongType)))
+        round(col("value").cast(Tables.Money) * 100).cast(LongType),
+        col("props")))
     val documents = manifest("documents",
       concat_ws("|", col("doc_id"), md5(col("text")), col("lang"),
         col("source"), col("n_chars")))
     val orders = manifest("orders",
       concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"),
+        col("o_orderstatus"), Tables.epochUs(col("o_orderdate")),
+        col("o_orderpriority"),
         round(col("o_totalprice").cast(Tables.Money) * 100).cast(LongType)))
     events.unionByName(documents).unionByName(orders)
       .orderBy(col("tbl"))
@@ -993,14 +999,15 @@ object ProfileQueries {
          |FROM $table""".stripMargin
     Seq(
       m("events",
-        """CONCAT(event_id, '|', epoch_us(ts), '|', user_id, '|', event_type,
-          |  '|', CAST(round(CAST(value AS DECIMAL(28,6)) * 100) AS BIGINT))"""
+        """concat_ws('|', event_id, epoch_us(ts), user_id, event_type,
+          |  CAST(round(CAST(value AS DECIMAL(28,6)) * 100) AS BIGINT), props)"""
           .stripMargin.replaceAll("\n\\s*", " ")),
       m("documents",
-        "CONCAT(doc_id, '|', md5(text), '|', lang, '|', source, '|', n_chars)"),
+        "concat_ws('|', doc_id, md5(text), lang, source, n_chars)"),
       m("orders",
-        """CONCAT(o_orderkey, '|', o_custkey, '|', o_orderstatus,
-          |  '|', CAST(round(CAST(o_totalprice AS DECIMAL(28,6)) * 100) AS BIGINT))"""
+        """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+          |  epoch_us(o_orderdate), o_orderpriority,
+          |  CAST(round(CAST(o_totalprice AS DECIMAL(28,6)) * 100) AS BIGINT))"""
           .stripMargin.replaceAll("\n\\s*", " ")))
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
   }

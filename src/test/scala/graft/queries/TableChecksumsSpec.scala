@@ -20,8 +20,10 @@ class TableChecksumsSpec extends SparkSpec {
       Seq((1L, "t", "en", "s", 1L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     writeFixture(d, "orders",
-      Seq((1L, 1L, "O", 10.0))
-        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+      Seq((1L, 1L, "O", Timestamp.valueOf("2024-03-04 00:00:00"),
+        "1-URGENT", 10.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority", "o_totalprice"))
     d
   }
 
