@@ -2457,6 +2457,94 @@ object EventsQueries {
   }
 
   // ---------------------------------------------------------------------
+  // ev_sequence_entropy: how predictable are user event chains?
+  // ---------------------------------------------------------------------
+
+  /** Entropy rate of the event stream: the marginal type entropy
+    * H(X), the conditional next-event entropy H(X|prev) from the
+    * [[transitionMatrix]] grain, and their gap — the information a
+    * one-step history buys. A sequence model is only worth training
+    * where this gap is material; near-zero gain means the chains are
+    * memoryless and per-event features suffice.
+    *
+    * Scale shape: the same ONE user_id shuffle as the transition
+    * matrix; entropy arithmetic runs on the |types|² grid.
+    * Determinism: each cell's p·ln p contribution is quantized to
+    * nano-nats (int64) BEFORE the grid sum — 25 doubles folded in
+    * engine order would drift in the last ulp — and the headline
+    * doubles divide once at the edge. */
+  def sequenceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val seq0 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq0))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // 25-cell grid feeds three aggregates
+    pairs.count()
+    val tot = pairs.agg(sum(col("n")).as("t"))
+    val rows = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("rn"))
+    // H(X): −Σ p ln p over the from-type marginal (nano-nat cells)
+    val hMarg = rows.crossJoin(broadcast(tot))
+      .select((col("rn").cast(DoubleType) / col("t").cast(DoubleType))
+        .as("p"))
+      .select(round(-col("p") * log(col("p")) * 1e9).cast(LongType)
+        .as("c"))
+      .agg(sum(col("c")).as("h_marg_nano"))
+    // H(X|prev): −Σ p(cur,next) ln p(next|cur)
+    val hCond = pairs.join(broadcast(rows), "event_type")
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("n").cast(DoubleType) / col("t").cast(DoubleType)).as("pj"),
+        (col("n").cast(DoubleType) / col("rn").cast(DoubleType)).as("pc"))
+      .select(round(-col("pj") * log(col("pc")) * 1e9).cast(LongType)
+        .as("c"))
+      .agg(sum(col("c")).as("h_cond_nano"))
+    tot.crossJoin(broadcast(hMarg)).crossJoin(broadcast(hCond)) // 1-row each
+      .select(col("t").as("n_transitions"),
+        (col("h_marg_nano").cast(DoubleType) / 1e9).as("h_marginal"),
+        (col("h_cond_nano").cast(DoubleType) / 1e9).as("h_conditional"),
+        ((col("h_marg_nano") - col("h_cond_nano")).cast(DoubleType) / 1e9)
+          .as("info_gain"),
+        (lit(1.0) - col("h_cond_nano").cast(DoubleType) /
+          col("h_marg_nano").cast(DoubleType)).as("predictability"))
+  }
+
+  val sequenceEntropySql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pairs),
+      |rows_ AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+      |          FROM pairs GROUP BY 1),
+      |hm AS (
+      |  SELECT CAST(sum(CAST(round(-(CAST(rn AS DOUBLE) / CAST(t AS DOUBLE))
+      |           * ln(CAST(rn AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS h_marg_nano
+      |  FROM rows_, tot),
+      |hc AS (
+      |  SELECT CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+      |           * ln(CAST(n AS DOUBLE) / CAST(rn AS DOUBLE)) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS h_cond_nano
+      |  FROM pairs JOIN rows_ USING (event_type), tot)
+      |SELECT t AS n_transitions,
+      |       CAST(h_marg_nano AS DOUBLE) / 1e9 AS h_marginal,
+      |       CAST(h_cond_nano AS DOUBLE) / 1e9 AS h_conditional,
+      |       CAST(h_marg_nano - h_cond_nano AS DOUBLE) / 1e9 AS info_gain,
+      |       1.0 - CAST(h_cond_nano AS DOUBLE) / CAST(h_marg_nano AS DOUBLE)
+      |         AS predictability
+      |FROM tot, hm, hc""".stripMargin
+
+  // ---------------------------------------------------------------------
   // ev_bootstrap_ci: Poisson-bootstrap confidence interval for the mean
   // purchase value — the distributed bootstrap (no resample shuffles)
   // ---------------------------------------------------------------------
@@ -2575,6 +2663,7 @@ object EventsQueries {
     ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
     ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
     ("ev_transition_matrix", transitionMatrix _, transitionMatrixSql),
+    ("ev_sequence_entropy", sequenceEntropy _, sequenceEntropySql),
     ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
     ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
     ("ev_attribution", attribution _, attributionSql),
