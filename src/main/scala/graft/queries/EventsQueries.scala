@@ -1392,13 +1392,15 @@ object EventsQueries {
           .otherwise(expr("q_rem + (pos - q_rem * (q_base + 1) + q_base - 1) DIV q_base"))
           .cast(LongType))
 
-    positioned
-      .join(broadcast(ranks), "n_events")
-      .join(firsts, "user_id")
-      .select(col("user_id"), col("n_events"), col("n_purchases"), col("spend"),
-        col("first_event_type"), col("spend_quartile"),
-        col("events_rank"), col("events_dense_rank"))
-      .orderBy(col("user_id"))
+    Tables.released(
+      positioned
+        .join(broadcast(ranks), "n_events")
+        .join(firsts, "user_id")
+        .select(col("user_id"), col("n_events"), col("n_purchases"), col("spend"),
+          col("first_event_type"), col("spend_quartile"),
+          col("events_rank"), col("events_dense_rank"))
+        .orderBy(col("user_id")),
+      agg)
   }
 
   val userRanksSql: String =
@@ -1621,11 +1623,13 @@ object EventsQueries {
       .select(epochUs(col("hour")).as("hour_us"), col("x_micro"), col("med"),
         abs(col("x_micro").cast(DoubleType) - col("med")).as("dev"))
     val mad = dev.agg(percentile(col("dev"), lit(0.5)).as("mad"))
-    dev.crossJoin(broadcast(mad))
-      .select(col("hour_us"), col("x_micro"), col("med"), col("mad"),
-        when(col("mad") > 0.0, col("dev") / col("mad")).as("score"),
-        (col("dev") > lit(3.0) * col("mad")).cast(LongType).as("is_anomaly"))
-      .orderBy(col("hour_us"))
+    Tables.released(
+      dev.crossJoin(broadcast(mad))
+        .select(col("hour_us"), col("x_micro"), col("med"), col("mad"),
+          when(col("mad") > 0.0, col("dev") / col("mad")).as("score"),
+          (col("dev") > lit(3.0) * col("mad")).cast(LongType).as("is_anomaly"))
+        .orderBy(col("hour_us")),
+      h)
   }
 
   val anomalyMadSql: String =
@@ -1729,15 +1733,17 @@ object EventsQueries {
     val sl = slopes.agg(
       percentile(col("slope"), lit(0.5)).as("slope_micro_per_h"),
       count(lit(1)).as("n_pairs"))
-    h.crossJoin(broadcast(sl))
-      .select(col("n_pairs"), col("slope_micro_per_h"),
-        (col("x_micro").cast(DoubleType) -
-          col("slope_micro_per_h") * col("t_h").cast(DoubleType))
-          .as("resid"))
-      .groupBy(col("n_pairs"), col("slope_micro_per_h"))
-      .agg(percentile(col("resid"), lit(0.5)).as("intercept_micro"))
-      .select(col("slope_micro_per_h"), col("intercept_micro"),
-        col("n_pairs"))
+    Tables.released(
+      h.crossJoin(broadcast(sl))
+        .select(col("n_pairs"), col("slope_micro_per_h"),
+          (col("x_micro").cast(DoubleType) -
+            col("slope_micro_per_h") * col("t_h").cast(DoubleType))
+            .as("resid"))
+        .groupBy(col("n_pairs"), col("slope_micro_per_h"))
+        .agg(percentile(col("resid"), lit(0.5)).as("intercept_micro"))
+        .select(col("slope_micro_per_h"), col("intercept_micro"),
+          col("n_pairs")),
+      h)
   }
 
   val trendTheilSenSql: String =
@@ -2250,13 +2256,15 @@ object EventsQueries {
     val mau = grain
       .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
       .agg(count_distinct(col("user_id")).as("mau"))
-    dau.join(wau, "day")
-      .withColumn("month", date_trunc("month", col("day")).cast("date"))
-      .join(broadcast(mau), "month") // months are calendar-bounded
-      .select(epochUs(col("day").cast("timestamp")).as("day_us"),
-        col("dau"), col("wau"), col("mau"),
-        ratio(col("dau"), col("wau")).as("stickiness"))
-      .orderBy(col("day_us"))
+    Tables.released(
+      dau.join(wau, "day")
+        .withColumn("month", date_trunc("month", col("day")).cast("date"))
+        .join(broadcast(mau), "month") // months are calendar-bounded
+        .select(epochUs(col("day").cast("timestamp")).as("day_us"),
+          col("dau"), col("wau"), col("mau"),
+          ratio(col("dau"), col("wau")).as("stickiness"))
+        .orderBy(col("day_us")),
+      grain)
   }
 
   val activeUsersSql: String =
@@ -2504,14 +2512,16 @@ object EventsQueries {
       .select(round(-col("pj") * log(col("pc")) * 1e9).cast(LongType)
         .as("c"))
       .agg(sum(col("c")).as("h_cond_nano"))
-    tot.crossJoin(broadcast(hMarg)).crossJoin(broadcast(hCond)) // 1-row each
-      .select(col("t").as("n_transitions"),
-        (col("h_marg_nano").cast(DoubleType) / 1e9).as("h_marginal"),
-        (col("h_cond_nano").cast(DoubleType) / 1e9).as("h_conditional"),
-        ((col("h_marg_nano") - col("h_cond_nano")).cast(DoubleType) / 1e9)
-          .as("info_gain"),
-        (lit(1.0) - col("h_cond_nano").cast(DoubleType) /
-          col("h_marg_nano").cast(DoubleType)).as("predictability"))
+    Tables.released(
+      tot.crossJoin(broadcast(hMarg)).crossJoin(broadcast(hCond)) // 1-row each
+        .select(col("t").as("n_transitions"),
+          (col("h_marg_nano").cast(DoubleType) / 1e9).as("h_marginal"),
+          (col("h_cond_nano").cast(DoubleType) / 1e9).as("h_conditional"),
+          ((col("h_marg_nano") - col("h_cond_nano")).cast(DoubleType) / 1e9)
+            .as("info_gain"),
+          (lit(1.0) - col("h_cond_nano").cast(DoubleType) /
+            col("h_marg_nano").cast(DoubleType)).as("predictability")),
+      pairs)
   }
 
   val sequenceEntropySql: String =
@@ -2557,7 +2567,7 @@ object EventsQueries {
     * step (p ~ 6e-4) counts the row 6 times. Same literals in the
     * oracle SQL. */
   private val BootLadder: Seq[Long] =
-    Seq(385749L, 771497L, 964371L, 1028663L, 1044736L, 1047950L)
+    Seq(385750L, 771499L, 964374L, 1028665L, 1044738L, 1047953L)
 
   /** 95% CI for the mean purchase value via the Poisson bootstrap
     * (Chamandy et al., the standard bootstrap at terabyte scale):

@@ -733,12 +733,14 @@ object ProfileQueries {
       sum(col("n_tokens")).as("t_tot"), sum(col("w_q")).as("w_tot"))
     val p = col("n_tokens").cast(DoubleType) / col("t_tot").cast(DoubleType)
     val q = col("w_q").cast(DoubleType) / col("w_tot").cast(DoubleType)
-    bySource.crossJoin(broadcast(tot)) // 1-row scalars
-      .select(col("source"), col("n_tokens"),
-        p.as("p_obs"), q.as("q_target"),
-        (p * (round(log(p / q) * lit(1e6)).cast(LongType)
-          .cast(DoubleType) / lit(1e6))).as("kl_contrib"))
-      .orderBy(col("source"))
+    Tables.released(
+      bySource.crossJoin(broadcast(tot)) // 1-row scalars
+        .select(col("source"), col("n_tokens"),
+          p.as("p_obs"), q.as("q_target"),
+          (p * (round(log(p / q) * lit(1e6)).cast(LongType)
+            .cast(DoubleType) / lit(1e6))).as("kl_contrib"))
+        .orderBy(col("source")),
+      bySource)
   }
 
   val mixKlSql: String =
@@ -816,19 +818,21 @@ object ProfileQueries {
           log((col("ns") + 1).cast(DoubleType) /
             (col("ts") + DsirBuckets).cast(DoubleType))) * 1e6)
           .cast(LongType).as("lr_micro"))
-    grain.join(broadcast(lr), "b") // B rows — map-side
-      .groupBy(col("doc_id"))
-      .agg(min(col("lang")).as("lang"), sum(col("n")).as("n_tok"),
-        sum(col("n") * col("lr_micro")).as("w_micro"))
-      // rank on the per-token average log-ratio: the raw sum scales
-      // with document length, so short off-target docs outrank long
-      // on-target ones; normalizing removes the length confound
-      .withColumn("w_per_tok",
-        col("w_micro").cast(DoubleType) / col("n_tok").cast(DoubleType))
-      .orderBy(col("w_per_tok").desc, col("doc_id"))
-      .limit(DsirTopK)
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("w_micro"),
-        col("w_per_tok"))
+    Tables.released(
+      grain.join(broadcast(lr), "b") // B rows — map-side
+        .groupBy(col("doc_id"))
+        .agg(min(col("lang")).as("lang"), sum(col("n")).as("n_tok"),
+          sum(col("n") * col("lr_micro")).as("w_micro"))
+        // rank on the per-token average log-ratio: the raw sum scales
+        // with document length, so short off-target docs outrank long
+        // on-target ones; normalizing removes the length confound
+        .withColumn("w_per_tok",
+          col("w_micro").cast(DoubleType) / col("n_tok").cast(DoubleType))
+        .orderBy(col("w_per_tok").desc, col("doc_id"))
+        .limit(DsirTopK)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("w_micro"),
+          col("w_per_tok")),
+      grain)
   }
 
   val importanceResampleSql: String = {

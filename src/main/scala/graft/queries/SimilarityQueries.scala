@@ -265,6 +265,62 @@ object SimilarityQueries {
   def lshMultiProbe(spark: SparkSession, dir: String): DataFrame =
     lshMultiProbePlanes(spark, dir, NPlanes)
 
+  /** Corpus LSH signature grain — (vec_id, bucket, nrm) — the
+    * persistable half of [[lshMultiProbe]]: the hyperplane geometry is
+    * a fixed code constant ([[planeSigns]]), so unlike IVF-PQ there is
+    * no trained geometry to freeze — the signature of a vector can
+    * never drift between build and delta. One corpus scan; norms ride
+    * along so serving never re-reads a candidate's floats except for
+    * the exact dot. Consumed by
+    * [[graft.sources.HybridIndexLayout.buildDense]]. */
+  private[graft] def lshSignatures(spark: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame =
+    lshSignaturesOf(withNorm(embs(spark, dir).filter(where)))
+
+  /** [[lshSignatures]] for an ARBITRARY normed (vec_id, embedding,
+    * nrm) frame — the encode surface stream-fed signature deltas use. */
+  private[graft] def lshSignaturesOf(normed: DataFrame): DataFrame =
+    normed.withColumn("bucket", bucketCode(NPlanes))
+      .select(col("vec_id"), col("bucket"), col("nrm"))
+
+  /** Multi-probe LSH serving against a PERSISTED signature table —
+    * the dense-leg twin of [[ivfpqServeQueriesWith]]. `queries` is an
+    * arbitrary (vec_id, embedding) frame; its signatures + Hamming-1
+    * probe ring are computed request-side with the SAME
+    * [[bucketCode]]/[[probeSet]] the online query uses, candidates
+    * come from the bucket equi-join against `sigs` (bucketed on
+    * `bucket`: no index-side shuffle), and the exact cosine re-rank
+    * reads candidate floats via point lookups into the raw embeddings
+    * — identical arithmetic and tie-breaks to [[lshMultiProbe]], so
+    * corpus-member queries get byte-identical rows
+    * (HybridIndexLayoutSpec asserts it). */
+  private[graft] def lshServeQueriesWith(spark: SparkSession, dir: String,
+      queries: DataFrame, sigs: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val q = normedVectors(queries)
+      .withColumn("bucket", bucketCode(NPlanes))
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
+        explode(probeSet(NPlanes)).as("bucket"))
+    val self = if (excludeSelf) col("q.q_id") =!= col("c.vec_id") else lit(true)
+    val cand = q.as("q")
+      .join(sigs.as("c"), col("q.bucket") === col("c.bucket") && self)
+      .select(col("q.q_id").as("q_id"), col("q.embedding").as("qemb"),
+        col("q.nrm").as("qnrm"),
+        col("c.vec_id").as("n_id"), col("c.nrm").as("nnrm"))
+    val corpus = embs(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.join(corpus, "n_id")
+      .select(col("q_id"), col("n_id"),
+        (expr("graft_dot(qemb, nemb)") / (col("qnrm") * col("nnrm")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def lshMultiProbeSqlPlanes(nPlanes: Int): String = {
     val probes = probeSetSql(nPlanes)
     s"""WITH e AS (
@@ -317,17 +373,19 @@ object SimilarityQueries {
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as(name))
     val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-    base
-      .join(hits(single, "h1"), Seq("q_id"), "left_outer")
-      .join(hits(multi, "hm"), Seq("q_id"), "left_outer")
-      .select(col("q_id"), col("n_exact"),
-        coalesce(col("h1"), lit(0L)).as("n_hit_single"),
-        coalesce(col("hm"), lit(0L)).as("n_hit_multi"),
-        floor(coalesce(col("h1"), lit(0L)) * lit(10000L) / col("n_exact"))
-          .cast(LongType).as("recall_single_bp"),
-        floor(coalesce(col("hm"), lit(0L)) * lit(10000L) / col("n_exact"))
-          .cast(LongType).as("recall_multi_bp"))
-      .orderBy(col("q_id"))
+    Tables.released(
+      base
+        .join(hits(single, "h1"), Seq("q_id"), "left_outer")
+        .join(hits(multi, "hm"), Seq("q_id"), "left_outer")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("h1"), lit(0L)).as("n_hit_single"),
+          coalesce(col("hm"), lit(0L)).as("n_hit_multi"),
+          floor(coalesce(col("h1"), lit(0L)) * lit(10000L) / col("n_exact"))
+            .cast(LongType).as("recall_single_bp"),
+          floor(coalesce(col("hm"), lit(0L)) * lit(10000L) / col("n_exact"))
+            .cast(LongType).as("recall_multi_bp"))
+        .orderBy(col("q_id")),
+      exact)
   }
 
   val recallAuditSql: String =
@@ -397,15 +455,17 @@ object SimilarityQueries {
         col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
-    probes.join(cv, Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .join(qv, Seq("q_id"))
-      .select(col("q_id"), col("n_id"),
-        (expr("graft_dot(qvec, nvec)") / (col("qnrm") * col("nnrm")))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= TopK)
-      .orderBy(col("q_id"), col("rank"))
+    Tables.released(
+      probes.join(cv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .join(qv, Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (expr("graft_dot(qvec, nvec)") / (col("qnrm") * col("nnrm")))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .orderBy(col("q_id"), col("rank")),
+      scoredAll)
   }
 
   val ivfTopKSql: String =
@@ -868,15 +928,17 @@ object SimilarityQueries {
     val q = sigs.filter(isQuery)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("n_id"))
-    broadcast(q).as("q")
-      .join(sigs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-        (bit_count(expr("q.sig_lo ^ c.sig_lo")) +
-          bit_count(expr("q.sig_hi ^ c.sig_hi")))
-          .cast(LongType).as("hamming"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= TopK)
-      .orderBy(col("q_id"), col("rank"))
+    Tables.released(
+      broadcast(q).as("q")
+        .join(sigs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+          (bit_count(expr("q.sig_lo ^ c.sig_lo")) +
+            bit_count(expr("q.sig_hi ^ c.sig_hi")))
+            .cast(LongType).as("hamming"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .orderBy(col("q_id"), col("rank")),
+      sigs)
   }
 
   val hammingTopKSql: String = {
@@ -959,7 +1021,7 @@ object SimilarityQueries {
           (col("n_hits").cast(DoubleType) /
             (col("n_queries") * TopK).cast(DoubleType)).as("recall"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("dim"))
+    Tables.released(rows.reduce(_ unionByName _).orderBy(col("dim")), truth)
   }
 
   val mrlRecallSql: String = {
@@ -1326,7 +1388,7 @@ object SimilarityQueries {
           col("relevance"), col("mmr_score"))
       picked = picked.unionByName(next).localCheckpoint(true)
     }
-    picked.orderBy(col("q_id"), col("pick"))
+    Tables.released(picked.orderBy(col("q_id"), col("pick")), cand, pairs)
   }
 
   val mmrRerankSql: String = {
@@ -1802,11 +1864,13 @@ object SimilarityQueries {
           col("n").cast(DoubleType)).as("s1"),
         sqrt((col("q2").cast(DoubleType) / lit(Pca2Scale)) /
           col("n").cast(DoubleType)).as("s2"))
-    proj.crossJoin(broadcast(scales))
-      .select(col("vec_id"),
-        round(col("t1") / col("s1") * lit(1e6)).cast(LongType).as("w1_micro"),
-        round(col("t2") / col("s2") * lit(1e6)).cast(LongType).as("w2_micro"))
-      .orderBy(col("vec_id"))
+    Tables.released(
+      proj.crossJoin(broadcast(scales))
+        .select(col("vec_id"),
+          round(col("t1") / col("s1") * lit(1e6)).cast(LongType).as("w1_micro"),
+          round(col("t2") / col("s2") * lit(1e6)).cast(LongType).as("w2_micro"))
+        .orderBy(col("vec_id")),
+      defl, proj)
   }
 
   val whiten2Sql: String = {

@@ -518,7 +518,7 @@ object TextQueries {
     val postings = bm25Postings(perDoc, vocab, dl)
     val qterms = perDoc.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("q_id"), col("term"))
-    bm25Score(qterms, postings, excludeSelf = true)
+    Tables.released(bm25Score(qterms, postings, excludeSelf = true), perDoc)
   }
 
   /** The (doc_id, term, tf) grain — one tokenized pass, one shuffle.
@@ -674,6 +674,20 @@ object TextQueries {
       .select(col("q_id"), col("doc_id"), col("rank").as("r_sparse"))
     val dense = SimilarityQueries.lshMultiProbe(spark, dir)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("r_dense"))
+    rrfFuse(sparse, dense)
+  }
+
+  /** The RRF fusion itself — ONE implementation shared by the online
+    * query above and the persisted-index serving path
+    * ([[graft.sources.HybridIndexLayout.serveHybrid]]), so the fusion
+    * arithmetic/tie-breaks can never drift between them. Inputs are
+    * the two legs' top-k frames as (q_id, doc_id, r_sparse) and
+    * (q_id, doc_id, r_dense); a doc present in only one leg enters the
+    * full-outer fusion with the other leg's term coalesced to 0 —
+    * which is also what makes serving tolerate an OOV-text or
+    * missing-embedding request (that leg simply returns no rows for
+    * the query and fusion degrades to the surviving leg). */
+  private[graft] def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
     val fused = sparse.as("s")
       .join(dense.as("d"),
         col("s.q_id") === col("d.q_id") && col("s.doc_id") === col("d.doc_id"),
@@ -855,15 +869,17 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("score_milli").desc, col("term"))
-    tf.join(df, "term")
-      .crossJoin(nDocs) // 1-row scalar, broadcast
-      .select(col("source"), col("term"), col("tf"), col("df"),
-        round(col("tf").cast(DoubleType) *
-          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
-          1e3).cast(LongType).as("score_milli"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= K)
-      .orderBy(col("source"), col("rank"))
+    Tables.released(
+      tf.join(df, "term")
+        .crossJoin(nDocs) // 1-row scalar, broadcast
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          round(col("tf").cast(DoubleType) *
+            log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+            1e3).cast(LongType).as("score_milli"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= K)
+        .orderBy(col("source"), col("rank")),
+      perDoc)
   }
 
   val tfidfSql: String =
@@ -1057,19 +1073,21 @@ object TextQueries {
       lit(1.0) - col("d3").cast(DoubleType) / col("t3").cast(DoubleType))
       .otherwise(lit(0.0))
 
-    grams.join(tri, "doc_id")
-      .select(
-        col("doc_id"),
-        col("n_chars_m"),
-        col("t1").as("n_tokens"),
-        dupWordFrac.as("dup_word_frac"),
-        topWordFrac.as("top_word_char_frac"),
-        dupBigramFrac.as("dup_bigram_frac"),
-        topBigramFrac.as("top_bigram_char_frac"),
-        dupTrigramFrac.as("dup_trigram_frac"),
-        when(dupWordFrac < 0.5 && topWordFrac < 0.3 && dupTrigramFrac < 0.5,
-          lit(1L)).otherwise(lit(0L)).as("passes_quality"))
-      .orderBy(col("doc_id"))
+    Tables.released(
+      grams.join(tri, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_chars_m"),
+          col("t1").as("n_tokens"),
+          dupWordFrac.as("dup_word_frac"),
+          topWordFrac.as("top_word_char_frac"),
+          dupBigramFrac.as("dup_bigram_frac"),
+          topBigramFrac.as("top_bigram_char_frac"),
+          dupTrigramFrac.as("dup_trigram_frac"),
+          when(dupWordFrac < 0.5 && topWordFrac < 0.3 && dupTrigramFrac < 0.5,
+            lit(1L)).otherwise(lit(0L)).as("passes_quality"))
+        .orderBy(col("doc_id")),
+      base)
   }
 
   val repetitionSql: String =
@@ -1352,15 +1370,17 @@ object TextQueries {
     val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang")).limit(1)
       .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
-    core.crossJoin(broadcast(topLang)) // both 1-row
-      .select(col("n_docs"), col("n_sources"), col("n_langs"),
-        col("n_tokens"), col("n_chars"), col("n_distinct_docs"),
-        Tables.ratio(col("n_docs") - col("n_distinct_docs"), col("n_docs"))
-          .as("dup_rate"),
-        col("median_tokens"), col("max_tokens"),
-        col("top_lang"),
-        Tables.ratio(col("top_lang_docs"), col("n_docs"))
-          .as("top_lang_share"))
+    Tables.released(
+      core.crossJoin(broadcast(topLang)) // both 1-row
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars"), col("n_distinct_docs"),
+          Tables.ratio(col("n_docs") - col("n_distinct_docs"), col("n_docs"))
+            .as("dup_rate"),
+          col("median_tokens"), col("max_tokens"),
+          col("top_lang"),
+          Tables.ratio(col("top_lang_docs"), col("n_docs"))
+            .as("top_lang_share")),
+      d)
   }
 
   val datasetCardSql: String =
@@ -1525,17 +1545,19 @@ object TextQueries {
       .select(col("doc_id"), col("len"), col("sum_h"), col("sig_w"))
     val copies = chunks.groupBy(col("len"), col("sum_h"), col("sig_w"))
       .agg(count(lit(1)).as("n_copies"))
-    chunks.join(copies, Seq("len", "sum_h", "sig_w"))
-      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        Tables.dsum(col("len")).as("sum_len"),
-        Tables.countIf(col("n_copies") >= 2).as("n_dup_chunks"))
-      .select(col("source"), col("n_chunks"),
-        (col("sum_len") / col("n_chunks").cast(DoubleType)).as("avg_len"),
-        col("n_dup_chunks"),
-        Tables.ratio(col("n_dup_chunks"), col("n_chunks")).as("dup_frac"))
-      .orderBy(col("source"))
+    Tables.released(
+      chunks.join(copies, Seq("len", "sum_h", "sig_w"))
+        .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          Tables.dsum(col("len")).as("sum_len"),
+          Tables.countIf(col("n_copies") >= 2).as("n_dup_chunks"))
+        .select(col("source"), col("n_chunks"),
+          (col("sum_len") / col("n_chunks").cast(DoubleType)).as("avg_len"),
+          col("n_dup_chunks"),
+          Tables.ratio(col("n_dup_chunks"), col("n_chunks")).as("dup_frac"))
+        .orderBy(col("source")),
+      sp)
   }
 
   // lazy: spanIndexCtes interpolates SpanL, declared further down the
@@ -1602,12 +1624,14 @@ object TextQueries {
       .select(col("doc_id"), col("i"), col("pos"), col("s"))
     val wmin = bounded.groupBy(col("doc_id"), col("i"))
       .agg(min(col("s")).as("m"))
-    bounded.join(wmin, Seq("doc_id", "i"))
-      .filter(col("s") === col("m"))
-      .groupBy(col("doc_id"), col("i"), col("m"))
-      .agg(max(col("pos")).as("fp_pos")) // rightmost on hash ties
-      .select(col("doc_id"), col("fp_pos"), col("m").as("fp"))
-      .distinct() // adjacent windows often pick the same position
+    Tables.released(
+      bounded.join(wmin, Seq("doc_id", "i"))
+        .filter(col("s") === col("m"))
+        .groupBy(col("doc_id"), col("i"), col("m"))
+        .agg(max(col("pos")).as("fp_pos")) // rightmost on hash ties
+        .select(col("doc_id"), col("fp_pos"), col("m").as("fp"))
+        .distinct(), // adjacent windows often pick the same position
+      sp)
   }
 
   /** Per-source winnowing profile: span positions, selected
@@ -1633,17 +1657,19 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         (size(tokens(col("text"))) - (SpanL - 1)).cast(LongType).as("nspan"))
       .filter(col("nspan") >= WinnowW)
-    spans.join(perDoc, Seq("doc_id"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("nspan")).as("n_positions"),
-        sum(coalesce(col("n_fps"), lit(0L))).as("n_fps"),
-        sum(coalesce(col("n_shared"), lit(0L))).as("n_shared_fps"))
-      .select(col("source"), col("n_docs"), col("n_positions"),
-        col("n_fps"),
-        Tables.ratio(col("n_fps"), col("n_positions")).as("density"),
-        col("n_shared_fps"))
-      .orderBy(col("source"))
+    Tables.released(
+      spans.join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nspan")).as("n_positions"),
+          sum(coalesce(col("n_fps"), lit(0L))).as("n_fps"),
+          sum(coalesce(col("n_shared"), lit(0L))).as("n_shared_fps"))
+        .select(col("source"), col("n_docs"), col("n_positions"),
+          col("n_fps"),
+          Tables.ratio(col("n_fps"), col("n_positions")).as("density"),
+          col("n_shared_fps"))
+        .orderBy(col("source")),
+      fps)
   }
 
   lazy val winnowingSql: String =
@@ -1800,11 +1826,13 @@ object TextQueries {
       .filter(col("doc_id") === col("first_doc"))
       .groupBy(col("s"))
       .agg(min(col("pos")).as("first_pos"))
-    g.join(fp, Seq("s"))
-      .select(col("s").as("span_key"), col("n_docs"), col("n_occ"),
-        col("first_doc"), col("first_pos"))
-      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_key"))
-      .limit(50)
+    Tables.released(
+      g.join(fp, Seq("s"))
+        .select(col("s").as("span_key"), col("n_docs"), col("n_occ"),
+          col("first_doc"), col("first_pos"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_key"))
+        .limit(50),
+      sp)
   }
 
   val dupSpansSql: String =
@@ -1859,13 +1887,15 @@ object TextQueries {
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2L)
       .select(col("s"))
-    spanSweepContrib(sp.join(dup, Seq("s")))
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(sum(col("contrib")).as("dup_positions"))
-      .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
-        (col("dup_positions").cast(DoubleType) /
-          col("n_tokens").cast(DoubleType)).as("coverage"))
-      .orderBy(col("doc_id"))
+    Tables.released(
+      spanSweepContrib(sp.join(dup, Seq("s")))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(sum(col("contrib")).as("dup_positions"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_positions"),
+          (col("dup_positions").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("coverage"))
+        .orderBy(col("doc_id")),
+      sp)
   }
 
   val spanCoverageSql: String =
@@ -1922,12 +1952,14 @@ object TextQueries {
       .filter(!(col("doc_id") === col("keep_doc") &&
         col("pos") === col("keep_pos")))
       .select(col("doc_id"), col("n_tokens"), col("pos"))
-    spanSweepContrib(strip)
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(sum(col("contrib")).as("stripped_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("stripped_tokens"),
-        (col("n_tokens") - col("stripped_tokens")).as("kept_tokens"))
-      .orderBy(col("doc_id"))
+    Tables.released(
+      spanSweepContrib(strip)
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(sum(col("contrib")).as("stripped_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("stripped_tokens"),
+          (col("n_tokens") - col("stripped_tokens")).as("kept_tokens"))
+        .orderBy(col("doc_id")),
+      sp)
   }
 
   val stripSpansSql: String =
@@ -1989,15 +2021,17 @@ object TextQueries {
       .select(col("w1"), col("w2"),
         round(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)) * 1e6)
           .cast(LongType).as("lp_micro"))
-    perDoc.join(lm, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("n")).as("n_bigrams"),
-        sum(col("n") * col("lp_micro")).as("score_micro"))
-      .select(col("doc_id"), col("n_bigrams"), col("score_micro"),
-        (col("score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("avg_micro"))
-      .orderBy(col("doc_id"))
+    Tables.released(
+      perDoc.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("lp_micro")).as("score_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("score_micro"),
+          (col("score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+            .as("avg_micro"))
+        .orderBy(col("doc_id")),
+      perDoc)
   }
 
   val bigramLogprobSql: String =
@@ -2139,9 +2173,11 @@ object TextQueries {
     val feat = lrFeatures(docs(spark, dir)).persist()
     feat.count()
     val w = lrTrain(spark, feat)
-    lrScore(feat, w)
-      .orderBy(col("lr_micro").desc, col("doc_id"))
-      .limit(20)
+    Tables.released(
+      lrScore(feat, w)
+        .orderBy(col("lr_micro").desc, col("doc_id"))
+        .limit(20),
+      feat)
   }
 
   val qualityLrSql: String = {
@@ -2254,15 +2290,17 @@ object TextQueries {
       .crossJoin(broadcast(btypes))
       .select(col("w1"), col("w2"),
         round(log(pkn) * 1e6).cast(LongType).as("kn_micro"))
-    perDoc.join(lm, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("n")).as("n_bigrams"),
-        sum(col("n") * col("kn_micro")).as("kn_score_micro"))
-      .select(col("doc_id"), col("n_bigrams"), col("kn_score_micro"),
-        (col("kn_score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("kn_avg_micro"))
-      .orderBy(col("doc_id"))
+    Tables.released(
+      perDoc.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          sum(col("n") * col("kn_micro")).as("kn_score_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("kn_score_micro"),
+          (col("kn_score_micro").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+            .as("kn_avg_micro"))
+        .orderBy(col("doc_id")),
+      perDoc, c2)
   }
 
   val kneserNeySql: String =

@@ -77,4 +77,32 @@ object Tables {
   /** Guarded ratio a/b with b=0 -> NULL, evaluated in double. */
   def ratio(a: Column, b: Column): Column =
     a.cast(DoubleType) / nullif(b.cast(DoubleType), lit(0.0))
+
+  /** Eagerly materialize a SMALL result frame, then release the cached
+    * intermediates that fed it. A query that persists a corpus-grain
+    * intermediate for multi-consumer reuse must not leave that cache
+    * entry alive for the rest of the session (a 160-query Verify run
+    * would accumulate blocks until LRU eviction); but it also cannot
+    * unpersist before the lazy result is consumed. localCheckpoint
+    * (eager) pins the finished rows at the RDD layer — outside the
+    * cacheManager, reclaimed by the ContextCleaner once the returned
+    * frame is garbage-collected — after which the intermediates are
+    * safe to drop immediately. Only for audit/top-k/scalar-grain
+    * results; corpus-sized outputs should stream to their sink instead. */
+  def released(result: DataFrame, cached: org.apache.spark.sql.Dataset[_]*): DataFrame = {
+    // stash the pre-checkpoint execution: the checkpoint materializes
+    // exactly this physical plan, but the returned frame's own plan is
+    // truncated to an RDD scan — PlanSpec pins read the stash so the
+    // scale-shape guards keep seeing the plan that actually ran
+    lastReleasedPlan = Some(result.queryExecution)
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The [[QueryExecution]] of the most recent [[released]] result —
+    * set at query-construction time, consumed by plan-shape tests.
+    * Nested released calls overwrite inner with outer (construction
+    * order), which is the plan a caller would want pinned. */
+  @volatile var lastReleasedPlan: Option[org.apache.spark.sql.execution.QueryExecution] = None
 }

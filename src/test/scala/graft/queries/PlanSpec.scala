@@ -13,9 +13,26 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
-    graft.SparkEntry.queries(q)(spark, dir)
-      .queryExecution.executedPlan.toString
+  private def qe(q: String): org.apache.spark.sql.execution.QueryExecution = {
+    // queries that end in Tables.released() hand back a checkpointed
+    // frame whose own plan is an RDD scan; the stash holds the
+    // execution the checkpoint ran — pin that one
+    graft.util.Tables.lastReleasedPlan = None
+    val df = graft.SparkEntry.queries(q)(spark, dir)
+    graft.util.Tables.lastReleasedPlan.getOrElse(df.queryExecution)
+  }
+
+  private def plan(q: String): String = {
+    // an already-executed adaptive plan prints BOTH its final and
+    // initial sections — keep only the final one so node counts
+    // aren't doubled for released() queries. Cut ONLY at the
+    // top-level (column-0) marker: cached InMemoryRelations nest
+    // their own adaptive sections at deeper indentation and those
+    // must stay in the string.
+    val s = qe(q).executedPlan.toString
+    val cut = s.indexOf("\n+- == Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
 
   test("pricing summary: shipdate filter reaches the parquet scan; columns pruned") {
     val p = plan("tpch_pricing_summary")
@@ -391,12 +408,12 @@ class PlanSpec extends SparkSpec {
     // bounded domain joins; only the per-user firsts window (partitioned
     // by user_id) may remain.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    val df = graft.SparkEntry.queries("ev_user_ranks")(spark, dir)
-    val global = df.queryExecution.optimizedPlan.collect {
+    val opt = qe("ev_user_ranks").optimizedPlan
+    val global = opt.collect {
       case w: LogicalWindow if w.partitionSpec.isEmpty => w
     }
     assert(global.isEmpty, s"unpartitioned windows: ${global.mkString("\n")}")
-    val partitioned = df.queryExecution.optimizedPlan.collect {
+    val partitioned = opt.collect {
       case w: LogicalWindow => w
     }
     assert(partitioned.nonEmpty) // the firsts/bucket windows are still windows
