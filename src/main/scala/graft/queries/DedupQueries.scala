@@ -1297,7 +1297,249 @@ object DedupQueries {
        |ORDER BY split, eval_doc""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // pipeline_curate: the full curation chain with attrition accounting
+  // ---------------------------------------------------------------------
+
+  /** Packing bin — [[TextQueries.packSequences]]' B, restated here so
+    * the composite's pack row uses the suite's own sequence length. */
+  private val CurateBin = 512L
+
+  /** Mix-rate fixed-point scale (micro). */
+  private val MixScale = 1000000L
+
+  /** The Dolma/RefinedWeb-shaped END-TO-END curation pass as ONE
+    * query: split → quality gate → exact dedup → banded-MinHash
+    * near-dup → semantic (cosine-LSH) dedup → eval decontamination →
+    * τ=0.5 temperature mix-down → sequence packing, each stage
+    * applied to the previous stage's survivors, with a per-stage
+    * attrition row (n_in, n_dropped, n_out, tokens_out) whose chain
+    * reconciles exactly (n_out(k) = n_in(k+1); PipelineCurateSpec also
+    * reconciles stage drops against the standalone queries the stages
+    * come from).
+    *
+    * Stage conventions (each the standalone query's own):
+    *  - split/quality/exact: [[contamination]]'s 80/20 content-hash
+    *    split, [[corpusClean]]'s gate and keep-min-per-md5;
+    *  - near-dup / semantic: a survivor is dropped when a VERIFIED
+    *    pair ([[minhashPairs]] jaccard ≥ 0.3 / [[cosineLsh]] cosine ≥
+    *    0.4) links it to a smaller-id doc that survived the previous
+    *    stage — pair-local keep-first, not transitive closure (the
+    *    [[clusters]] query exists for closure; pair-local never drops
+    *    a doc without a direct verified duplicate, and two docs kept
+    *    together are never themselves a verified pair). Pairs are
+    *    generated ONCE on the full corpus and gated to survivors —
+    *    at 100 TB the banding passes are the expensive stages, and
+    *    restriction to survivors commutes with candidate generation
+    *    (signatures and band keys are per-doc; verification is
+    *    pair-local), so the one-pass form is exact, not an
+    *    approximation. Docs without an embedding pass the semantic
+    *    stage untouched.
+    *  - decontam: drop a TRAIN survivor when any eval/valid doc's
+    *    3-gram containment in it reaches [[contamination]]'s 0.5 —
+    *    the flipped (train-side) form of the registered eval scan.
+    *  - mix: [[ProfileQueries.temperatureMix]]'s τ=0.5 weights over
+    *    SURVIVOR token counts become per-source keep rates
+    *    (rate_s = oversample_s / max oversample — the most
+    *    under-represented source keeps everything), applied by
+    *    deterministic content hash. Downsample-only: temperature
+    *    mixing without replication.
+    *  - pack: survivor tokens greedily packed per source into
+    *    [[CurateBin]]-token sequences (the [[TextQueries.packSequences]]
+    *    prefix-sum rule); the row reports sequences out.
+    *
+    * Scale shape: stage gating is semi/anti joins on doc_id (one
+    * shuffle each, all map-side combinable); the heavy passes are the
+    * already-banded pair generators and the capped contamination
+    * self-join, each reused verbatim from its standalone query. The
+    * per-stage survivor frames are eagerly checkpointed — exactly the
+    * stage materialization a production curation run persists anyway. */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(col("toks")).cast(LongType)
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"),
+        md5(col("text")).as("h"),
+        (pmod(h60(col("text")), lit(100L)) < 80).as("is_train"),
+        pmod(h60(concat(col("text"), lit(":mix"))), lit(MixScale)).as("mix_u"))
+      .select(col("doc_id"), col("source"), col("h"), col("is_train"),
+        col("mix_u"), nTok.as("n_tokens"),
+        (TextQueries.qualityScore(nTok,
+          size(array_distinct(col("toks"))).cast(LongType),
+          TextQueries.stopwordCount(col("toks"))) >= 0.5 &&
+          nTok >= 16L).as("is_qual"))
+      .localCheckpoint(true)
+    val s1 = base.filter(col("is_train"))
+    val s2 = s1.filter(col("is_qual"))
+    val keepExact = s2.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val mhDrop = minhashPairsBody(spark, dir)
+      .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = s3.join(mhDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val cosDrop = cosineLsh(spark, dir)
+      .join(s4.select(col("doc_id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .select(col("vec_b").as("doc_id")).distinct()
+    val s5 = s4.join(cosDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    // decontamination: the contamination query's capped posting join,
+    // train side keyed by the drop decision instead of the eval report
+    val sh = shingles(spark, dir).persist()
+    sh.count()
+    val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxPostingList).select(col("s"))
+    val post = withSizes(sh).join(cold, "s")
+      .join(base.select(col("doc_id"), col("is_train")), "doc_id")
+      .persist()
+    post.count()
+    sh.unpersist(false)
+    val contamDrop = post.as("e").filter(!col("e.is_train"))
+      .join(post.as("t").filter(col("t.is_train")), col("e.s") === col("t.s"))
+      .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
+        col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast(DoubleType) / col("n_eval").cast(DoubleType)
+        >= 0.5)
+      .select(col("doc_id")).distinct()
+    val s6 = s5.join(contamDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // temperature mix-down: τ=0.5 weights over survivor tokens
+    val mixSrc = s6.groupBy(col("source")).agg(sum(col("n_tokens")).as("nt"))
+      .select(col("source"),
+        (round(sqrt(col("nt").cast(DoubleType)) * lit(1e6)).cast(LongType)
+          .cast(DoubleType) / col("nt").cast(DoubleType)).as("o"))
+    val omax = mixSrc.agg(max(col("o")).as("omax"))
+    val rates = mixSrc.crossJoin(broadcast(omax)) // 1-row scalar
+      .select(col("source"),
+        round(col("o") / col("omax") * MixScale).cast(LongType)
+          .as("rate_micro"))
+    val s7 = s6.join(broadcast(rates), "source")
+      .filter(col("mix_u") < col("rate_micro"))
+      .localCheckpoint(true)
+    val lw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = s7
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(lw), lit(0L)))
+      .select(col("source"), expr(s"cum_before div $CurateBin").as("seq_id"))
+      .distinct()
+      .agg(count(lit(1)).as("n_seq"))
+    def stat(df: DataFrame, i: Int): DataFrame =
+      df.agg(count(lit(1)).as(s"n$i"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as(s"t$i"))
+    val all = Seq(stat(base, 0), stat(s1, 1), stat(s2, 2), stat(s3, 3),
+      stat(s4, 4), stat(s5, 5), stat(s6, 6), stat(s7, 7), packed)
+      .reduce((a, b) => a.crossJoin(broadcast(b))) // all 1-row scalars
+    val stages = Seq((1L, "split"), (2L, "quality"), (3L, "exact"),
+      (4L, "near_dup"), (5L, "semantic"), (6L, "decontam"), (7L, "mix"))
+    val rows = stages.map { case (i, nm) =>
+      all.select(lit(i).as("stage"), lit(nm).as("stage_name"),
+        col(s"n${i - 1}").as("n_in"),
+        (col(s"n${i - 1}") - col(s"n$i")).as("n_dropped"),
+        col(s"n$i").as("n_out"), col(s"t$i").as("tokens_out"))
+    } :+ all.select(lit(8L).as("stage"), lit("pack").as("stage_name"),
+      col("n7").as("n_in"), lit(0L).as("n_dropped"),
+      col("n_seq").as("n_out"), col("t7").as("tokens_out"))
+    Tables.released(rows.reduce(_ unionByName _).orderBy(col("stage")), post)
+  }
+
+  val pipelineCurateSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    val nTokSql = "CAST(len(string_split(text,' ')) AS BIGINT)"
+    val qualSql = TextQueries.qualityScoreSql(nTokSql,
+      "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)",
+      TextQueries.stopwordCountSql("string_split(text,' ')"))
+    val statCtes = (0 to 7).map(i =>
+      s"""c$i AS (SELECT count(*) AS n$i,
+         |  COALESCE(CAST(sum(n_tokens) AS BIGINT), 0) AS t$i FROM s$i)"""
+        .stripMargin.replaceAll("\n\\s*", " ")).mkString(",\n")
+    val stageRows = Seq((1, "split"), (2, "quality"), (3, "exact"),
+      (4, "near_dup"), (5, "semantic"), (6, "decontam"), (7, "mix"))
+      .map { case (i, nm) =>
+        s"""SELECT CAST($i AS BIGINT) AS stage, '$nm' AS stage_name,
+           |       n${i - 1} AS n_in, n${i - 1} - n$i AS n_dropped,
+           |       n$i AS n_out, t$i AS tokens_out
+           |FROM c${i - 1}, c$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH s0 AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |         $nTokSql AS n_tokens,
+       |         ($qualSql) >= 0.5 AND $nTokSql >= 16 AS is_qual,
+       |         ${h60Sql("text")} % 100 < 80 AS is_train,
+       |         ${h60Sql("text || ':mix'")} % $MixScale AS mix_u
+       |  FROM documents),
+       |s1 AS (SELECT * FROM s0 WHERE is_train),
+       |s2 AS (SELECT * FROM s1 WHERE is_qual),
+       |keep_exact AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+       |s3 AS (SELECT * FROM s2
+       |       WHERE doc_id IN (SELECT doc_id FROM keep_exact)),
+       |mpairs AS ($minhashPairsSql),
+       |mh_drop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM mpairs
+       |  WHERE doc_a IN (SELECT doc_id FROM s3)),
+       |s4 AS (SELECT * FROM s3
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM mh_drop)),
+       |cpairs AS ($cosineLshSql),
+       |cos_drop AS (
+       |  SELECT DISTINCT vec_b AS doc_id FROM cpairs
+       |  WHERE vec_a IN (SELECT doc_id FROM s4)),
+       |s5 AS (SELECT * FROM s4
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cos_drop)),
+       |csh AS ($shinglesCte),
+       |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+       |ccold AS (SELECT s FROM csh GROUP BY s
+       |          HAVING count(*) <= $MaxPostingList),
+       |cpost AS (
+       |  SELECT csh.doc_id, csh.s, csizes.n, s0.is_train
+       |  FROM csh JOIN ccold USING (s) JOIN csizes USING (doc_id)
+       |  JOIN s0 USING (doc_id)),
+       |contam_pairs AS (
+       |  SELECT t.doc_id, e.n AS n_eval, count(*) AS common
+       |  FROM cpost e JOIN cpost t ON e.s = t.s
+       |  WHERE NOT e.is_train AND t.is_train
+       |  GROUP BY e.doc_id, t.doc_id, e.n),
+       |contam_drop AS (
+       |  SELECT DISTINCT doc_id FROM contam_pairs
+       |  WHERE CAST(common AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.5),
+       |s6 AS (SELECT * FROM s5
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM contam_drop)),
+       |mix_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt
+       |            FROM s6 GROUP BY 1),
+       |mix_o AS (
+       |  SELECT source,
+       |         CAST(CAST(round(sqrt(CAST(nt AS DOUBLE)) * 1e6) AS BIGINT)
+       |           AS DOUBLE) / CAST(nt AS DOUBLE) AS o
+       |  FROM mix_src),
+       |mix_rate AS (
+       |  SELECT source,
+       |         CAST(round(o / (SELECT max(o) FROM mix_o) * $MixScale)
+       |           AS BIGINT) AS rate_micro
+       |  FROM mix_o),
+       |s7 AS (SELECT s6.* FROM s6 JOIN mix_rate USING (source)
+       |       WHERE mix_u < rate_micro),
+       |packed AS (
+       |  SELECT count(*) AS n_seq FROM (
+       |    SELECT DISTINCT source, cum_before // $CurateBin AS seq_id FROM (
+       |      SELECT source,
+       |             COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+       |               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+       |      FROM s7))),
+       |$statCtes
+       |$stageRows
+       |UNION ALL
+       |SELECT CAST(8 AS BIGINT) AS stage, 'pack' AS stage_name,
+       |       n7 AS n_in, CAST(0 AS BIGINT) AS n_dropped,
+       |       CAST(n_seq AS BIGINT) AS n_out, t7 AS tokens_out
+       |FROM c7, packed
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("pipeline_curate", pipelineCurate _, pipelineCurateSql),
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     ("dedup_prefix_jaccard", prefixJaccard _, prefixJaccardSql),

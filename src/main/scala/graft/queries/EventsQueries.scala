@@ -2267,6 +2267,52 @@ object EventsQueries {
       grain)
   }
 
+  /** HLL sketch precision for [[activeUsersApprox]]: 2^14 registers →
+    * rsd ≈ 1.04/√2^14 ≈ 0.8% (spec allows 3σ). 16 KiB per sketch, and
+    * there are only |days| + |months| sketches alive at once. */
+  private val AuLgK = 14
+
+  /** [[activeUsers]] as the documented 100 TB swap — and more than a
+    * count swap: DAU/WAU/MAU from MERGEABLE HLL sketches
+    * (hll_sketch_agg / hll_union_agg, the Spark 4 DataSketches
+    * surface). The exact form must materialize the corpus-sized
+    * (day, user) distinct grain, explode it 7× for WAU, and pay a
+    * count_distinct shuffle per rollup. Here the ONLY corpus-grain
+    * stage is one groupBy(day) building |days| daily sketches
+    * (map-side-combinable merge, constant memory per group); WAU is a
+    * calendar-sized union of ≤7 daily sketches per target day (the
+    * explode multiplies |days| sketch ROWS, never user rows) and MAU a
+    * union per month — the sliding-window union trick sketches exist
+    * for: distinct counts don't sum across days, sketches do.
+    *
+    * No DuckDB oracle (sketch estimates aren't cross-engine
+    * reproducible); ApproxSpec bounds every day's DAU/WAU/MAU against
+    * the exact twin. */
+  def activeUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(AuLgK)).as("sk"))
+    val dau = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("dau"))
+    val wau = daily
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+      .join(broadcast(daily.select(col("day"))), "day") // real days only
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau"))
+    val mau = daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("mau"))
+    dau.join(wau, "day")
+      .withColumn("month", date_trunc("month", col("day")).cast("date"))
+      .join(broadcast(mau), "month") // months are calendar-bounded
+      .select(epochUs(col("day").cast("timestamp")).as("day_us"),
+        col("dau"), col("wau"), col("mau"),
+        ratio(col("dau"), col("wau")).as("stickiness"))
+      .orderBy(col("day_us"))
+  }
+
   val activeUsersSql: String =
     """WITH grain AS (
       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
@@ -2686,5 +2732,6 @@ object EventsQueries {
     ("ev_dow_type_cube", dowTypeCube _, dowTypeCubeSql),
     // sketch estimates aren't cross-engine reproducible -> no oracle
     // (driver records rows-only); error bounded vs exact in specs
-    ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null))
+    ("ev_hourly_metrics_approx", hourlyMetricsApprox _, null),
+    ("ev_active_users_approx", activeUsersApprox _, null))
 }

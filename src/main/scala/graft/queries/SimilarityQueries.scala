@@ -915,14 +915,22 @@ object SimilarityQueries {
     * composite scale path buckets on a signature prefix exactly as
     * [[lshTopK]] does. Determinism: distances are exact ints; ties
     * break on n_id. */
-  def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The 64-bit sign signature grain — (vec_id, sig_lo, sig_hi) —
+    * shared by the exact-tier [[hammingTopK]] and the bucketed scale
+    * tier [[hammingBucketed]]: one signature definition, so the two
+    * tiers can never disagree about what "the signature" is. */
+  private def hammingSigs(spark: SparkSession, dir: String): DataFrame = {
     def half(lo: Int): Column =
       (0 until 32).map { j =>
         when(col("embedding").getItem(lo + j) > 0.0f,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val sigs = embs(spark, dir).select(col("vec_id"),
+    embs(spark, dir).select(col("vec_id"),
       half(0).as("sig_lo"), half(32).as("sig_hi"))
+  }
+
+  def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = hammingSigs(spark, dir)
       .persist() // materialize: 16 bytes/vector ONCE, never per pair
     sigs.count()
     val q = sigs.filter(isQuery)
@@ -956,6 +964,94 @@ object SimilarityQueries {
        |            + bit_count(xor(q.sig_hi, c.sig_hi)) AS BIGINT) AS hamming
        |  FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id
        |  WHERE q.vec_id % 50 = 0),
+       |ranked AS (
+       |  SELECT q_id, n_id, hamming,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY hamming, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, hamming, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // ann_hamming_bucketed: signature-prefix bucketed Hamming tier
+  // ---------------------------------------------------------------------
+
+  /** Bucket-key width: the low [[HamPrefixBits]] bits of sig_lo.
+    * 2^8 = 256 buckets; with the Hamming-1 probe ring each query
+    * touches 9 of them — a candidate set of ~9/256 ≈ 3.5% of the
+    * corpus vs [[hammingTopK]]'s all-pairs. Interpolated into BOTH
+    * engines. */
+  private val HamPrefixBits = 8
+
+  /** The scale tier [[hammingTopK]]'s doc promises: bucket every
+    * signature on a [[HamPrefixBits]]-bit prefix, probe a query's own
+    * prefix plus its Hamming-1 flips (the [[lshMultiProbe]] ring
+    * applied to the signature domain), and rank ONLY the bucket-join
+    * candidates by full 64-bit distance. A true neighbor is missed
+    * when ≥2 of its differing bits land in the 8-bit prefix, so this
+    * is a NEAR-DUP tier: recall ~1 at small distance (sign-identical
+    * clusters provably share the bucket — HammingRecallSpec's planted
+    * case), falling to a measured 0.10-0.18 for the synthetic
+    * corpus's mid-distance (d≥16/64) top-10 — the honest low end of
+    * the S-curve, same division of labor as dedup_recall_audit's
+    * banding curve; mid-distance top-k belongs to the exact tier or
+    * the cosine-LSH family. Same signature definition ([[hammingSigs]]),
+    * same distance, same tie-breaks; the join is an equi-join on the
+    * prefix, never a =!= pair join, so candidate generation scales as
+    * corpus/2^b per probe — and b grows with the corpus exactly like
+    * the LSH plane count ([[lshTopKPlanes]] note). */
+  def hammingBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << HamPrefixBits) - 1
+    val sigs = hammingSigs(spark, dir)
+      .withColumn("pfx", col("sig_lo").bitwiseAND(lit(mask)))
+      .persist() // one signature pass feeds the query and corpus sides
+    sigs.count()
+    val q = sigs.filter(isQuery)
+      .select(col("vec_id").as("q_id"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
+        explode(array(col("pfx") +:
+          (0 until HamPrefixBits).map(p =>
+            col("pfx").bitwiseXOR(lit(1L << p))): _*)).as("pfx"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    Tables.released(
+      q.join(sigs, Seq("pfx"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (bit_count(col("q_lo").bitwiseXOR(col("sig_lo"))) +
+            bit_count(col("q_hi").bitwiseXOR(col("sig_hi"))))
+            .cast(LongType).as("hamming"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .orderBy(col("q_id"), col("rank")),
+      sigs)
+  }
+
+  val hammingBucketedSql: String = {
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, 32),
+         |  i -> CASE WHEN embedding[i + $off] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        .replaceAll("\n\\s*", " ")
+    val mask = (1L << HamPrefixBits) - 1
+    val probes = ("pfx" +:
+      (0 until HamPrefixBits).map(p => s"xor(pfx, ${1L << p})"))
+      .mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, sig_lo, sig_hi, sig_lo & $mask AS pfx FROM (
+       |    SELECT vec_id, ${half(0)} AS sig_lo, ${half(32)} AS sig_hi
+       |    FROM embeddings)),
+       |q AS (
+       |  SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi,
+       |         unnest([$probes]) AS pfx
+       |  FROM sigs WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |         CAST(bit_count(xor(q.q_lo, c.sig_lo))
+       |            + bit_count(xor(q.q_hi, c.sig_hi)) AS BIGINT) AS hamming
+       |  FROM q JOIN sigs c ON q.pfx = c.pfx AND q.q_id != c.vec_id),
        |ranked AS (
        |  SELECT q_id, n_id, hamming,
        |         CAST(row_number() OVER (PARTITION BY q_id
@@ -2598,6 +2694,7 @@ object SimilarityQueries {
     ("emb_ood_audit", oodAudit _, oodAuditSql),
     ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
     ("ann_hamming_topk", hammingTopK _, hammingTopKSql),
+    ("ann_hamming_bucketed", hammingBucketed _, hammingBucketedSql),
     ("emb_threshold_calibration", thresholdCalibration _, thresholdCalibrationSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),
