@@ -39,7 +39,17 @@ object Bench {
     // the first pass always completes (full coverage), extra passes
     // only tighten the minimum
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toLong
-    val names = SparkEntry.queries.keys.toSeq
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... isolates a subset — the tool for
+    // distinguishing a real plan regression from whole-suite JVM
+    // contention (162 min-of-3 queries share one JVM: GC pressure and
+    // codegen-cache thrash inflate heavy queries uniformly)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        want.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))
+        want.toSeq
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val best = scala.collection.mutable.Map[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val wall0 = System.nanoTime()
