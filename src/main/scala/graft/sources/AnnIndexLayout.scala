@@ -166,8 +166,11 @@ object AnnIndexLayout {
     * and after (CompactIndexSpec), and further deltas keep working
     * against the compacted table. Run with index writers stopped. */
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
-    BucketedTables.compact(spark, s"${prefix}_cells", "cell", buckets)
-    BucketedTables.compact(spark, s"${prefix}_codes", "n_id", buckets)
+    BucketedTables.compact(spark, s"${prefix}_cells", "cell", buckets,
+      df => Tombstones.filter(spark, prefix, df, "n_id"))
+    BucketedTables.compact(spark, s"${prefix}_codes", "n_id", buckets,
+      df => Tombstones.filter(spark, prefix, df, "n_id"))
+    Tombstones.clear(spark, prefix)
   }
 
   /** Serve the registered query set from the persisted index: must
@@ -179,10 +182,22 @@ object AnnIndexLayout {
     val (cents, pqcb) = geometry(spark, prefix)
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir,
       SimilarityQueries.registeredQueryFrame(spark, dir), cents, pqcb,
-      BucketedTables.read(spark, s"${prefix}_cells"),
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_cells"), "n_id"),
       BucketedTables.read(spark, s"${prefix}_codes"),
       excludeSelf = true)
   }
+
+  /** Right-to-be-forgotten against the SERVING index: tombstone the
+    * given vector ids — [[serve]]/[[query]] exclude them from
+    * candidate generation immediately (a purged id never reaches the
+    * ADC scan: the cells filter is upstream of every probe); the next
+    * [[compact]] erases their cell and code rows physically.
+    * Idempotent; the companion of `util_gdpr_purge`'s fact-table
+    * accounting. */
+  def purgeVectors(spark: SparkSession, prefix: String,
+      ids: DataFrame): Unit =
+    Tombstones.purge(spark, prefix, ids)
 
   /** Serve an ARBITRARY query set — (vec_id BIGINT, embedding
     * ARRAY<FLOAT>) — from the persisted index: probe window over the
@@ -200,7 +215,8 @@ object AnnIndexLayout {
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
     val (cents, pqcb) = geometry(spark, prefix)
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir, q, cents, pqcb,
-      BucketedTables.read(spark, s"${prefix}_cells"),
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_cells"), "n_id"),
       BucketedTables.read(spark, s"${prefix}_codes"), excludeSelf)
   }
 

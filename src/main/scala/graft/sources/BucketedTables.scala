@@ -88,7 +88,7 @@ object BucketedTables {
     * see identical rows before and after (spec'd for both index
     * layouts). */
   def compact(spark: SparkSession, table: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int, transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.hadoop.fs.Path
     val catalog = spark.sessionState.catalog
     def loc(t: String): Path = new Path(catalog.getTableMetadata(
@@ -102,7 +102,9 @@ object BucketedTables {
     // bucket files — the exact many-files layout compaction removes.
     // The plain path scan has no partitioning claim, so the
     // repartition stands and each bucket lands as one file.
-    writeBucketed(spark.read.parquet(loc(table).toString),
+    // `transform` lets a layout apply its row-dropping maintenance
+    // (tombstone erasure) inside the same crash-safe rewrite.
+    writeBucketed(transform(spark.read.parquet(loc(table).toString)),
       tmpTable, key, buckets)
     val live = loc(table)
     val tmp = loc(tmpTable)

@@ -80,11 +80,22 @@ object HybridIndexLayout {
   }
 
   /** Rewrite the delta-accumulated signatures back to one file per
-    * bucket (rows and bucket spec unchanged). Run with writers
-    * stopped. */
+    * bucket, erasing any tombstoned vectors' rows in the same rewrite
+    * and clearing the tombstone list. Run with writers stopped. */
   def compactDense(spark: SparkSession, prefix: String,
-      buckets: Int = 8): Unit =
-    BucketedTables.compact(spark, s"${prefix}_sigs", "bucket", buckets)
+      buckets: Int = 8): Unit = {
+    BucketedTables.compact(spark, s"${prefix}_sigs", "bucket", buckets,
+      df => Tombstones.filter(spark, prefix, df, "vec_id"))
+    Tombstones.clear(spark, prefix)
+  }
+
+  /** Right-to-be-forgotten against the dense leg: tombstone the given
+    * vector ids — [[serveDense]]/[[serveHybrid]] exclude them from the
+    * candidate buckets immediately; the next [[compactDense]] erases
+    * their signature rows physically. Idempotent. */
+  def purgeDense(spark: SparkSession, prefix: String,
+      ids: DataFrame): Unit =
+    Tombstones.purge(spark, prefix, ids)
 
   /** Serve an ARBITRARY dense query set — (vec_id, embedding) — from
     * the persisted signatures: request-side signature + Hamming-1
@@ -94,7 +105,9 @@ object HybridIndexLayout {
   def serveDense(spark: SparkSession, dir: String, prefix: String,
       queries: DataFrame, excludeSelf: Boolean = false): DataFrame =
     SimilarityQueries.lshServeQueriesWith(spark, dir, queries,
-      BucketedTables.read(spark, s"${prefix}_sigs"), excludeSelf)
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_sigs"), "vec_id"),
+      excludeSelf)
 
   // ---- fused serving --------------------------------------------------
 

@@ -145,12 +145,28 @@ object TextIndexLayout {
 
   /** Maintenance pass for a delta-accumulating index: every
     * [[appendDelta]] adds one file set per bucket; rewrite the
-    * postings back to ONE file per bucket (rows and bucket spec
-    * unchanged — [[BucketedTables.compact]]'s write-aside +
-    * checked-rename swap). Serve results are byte-identical before
-    * and after (CompactIndexSpec). Run with index writers stopped. */
-  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit =
-    BucketedTables.compact(spark, s"${prefix}_postings", "term", buckets)
+    * postings back to ONE file per bucket ([[BucketedTables.compact]]'s
+    * write-aside + checked-rename swap), ERASING any tombstoned
+    * documents' rows in the same rewrite, then clear the tombstone
+    * list — after which the purged data is physically gone and the
+    * doc_id may re-enter via a future delta. Serve results are
+    * byte-identical before and after (CompactIndexSpec;
+    * IndexPurgeSpec for the purge interaction). Run with index
+    * writers stopped. */
+  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
+    BucketedTables.compact(spark, s"${prefix}_postings", "term", buckets,
+      df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    Tombstones.clear(spark, prefix)
+  }
+
+  /** Right-to-be-forgotten against the SERVING index: tombstone the
+    * given doc_ids — [[serve]]/[[servePrf]] exclude them from results
+    * and from feedback harvesting immediately; the next [[compact]]
+    * erases their postings physically. Idempotent; the companion of
+    * `util_gdpr_purge`'s fact-table accounting. */
+  def purgeDocs(spark: SparkSession, prefix: String,
+      docIds: DataFrame): Unit =
+    Tombstones.purge(spark, prefix, docIds)
 
   /** Serve the registered query set (every 50th document) from the
     * persisted index: must equal `txt_bm25_topk` row-for-row without
@@ -171,7 +187,9 @@ object TextIndexLayout {
   def serve(spark: SparkSession, prefix: String, queries: DataFrame,
       excludeSelf: Boolean = false): DataFrame =
     TextQueries.bm25Score(queryTerms(queries),
-      BucketedTables.read(spark, s"${prefix}_postings"), excludeSelf)
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_postings"), "doc_id"),
+      excludeSelf)
 
   /** ONLINE serving: a stream of (q_id, text) queries answered from
     * the persisted index, micro-batch at a time through [[serve]]
@@ -217,7 +235,8 @@ object TextIndexLayout {
       kFb: Int = 3, nExp: Int = 5,
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val postings = BucketedTables.read(spark, s"${prefix}_postings")
+    val postings = Tombstones.filter(spark, prefix,
+      BucketedTables.read(spark, s"${prefix}_postings"), "doc_id")
     // qt is request-sized: recomputing the tokenize per consumer is
     // cheaper than owning cached blocks on a long-lived serving session
     val qt = queryTerms(queries)

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Deletion lifecycle for the persisted index layouts — the missing
+  * half of `util_gdpr_purge`'s accounting: the purge that reaches the
+  * SERVING indexes, not just the fact tables.
+  *
+  * Plain-parquet bucketed tables cannot delete in place, so deletes
+  * are TOMBSTONES: `<prefix>_tombstones` (id) is a small managed
+  * table; every serve path anti-joins it out (the id list is
+  * regulator-bounded — the gdprPurge broadcast argument — so the
+  * filter is a broadcast hash anti-join under the probe, never an
+  * index-side shuffle), and the next compaction pass rewrites the
+  * index without the tombstoned rows and clears the list — at which
+  * point the data is physically gone and the id may legitimately
+  * re-enter via a future delta.
+  *
+  * Contracts:
+  *  - purge is IDEMPOTENT at rest: re-purging an already-tombstoned
+  *    (or never-indexed) id changes nothing;
+  *  - serve excludes a purged id from results AND from candidate
+  *    generation the moment the purge commits — no compaction needed
+  *    for correctness, only for space reclamation;
+  *  - a delta append CANNOT resurrect a tombstoned id: the tombstone
+  *    out-filters it at serve time until compaction clears both the
+  *    rows and the tombstone (IndexPurgeSpec pins all three).
+  *
+  * When no tombstone table exists the filter is the IDENTITY — a
+  * never-purged index keeps its exact original serve plan (the
+  * byte-equality specs of all three layouts run unchanged). */
+object Tombstones {
+
+  private def table(prefix: String): String = s"${prefix}_tombstones"
+
+  private def exists(spark: SparkSession, prefix: String): Boolean =
+    spark.catalog.tableExists(table(prefix))
+
+  /** Tombstone every id in `ids` (a 1-column frame, any column name).
+    * Appends only the ids not already tombstoned — idempotent under
+    * retries and under overlapping request batches. */
+  def purge(spark: SparkSession, prefix: String, ids: DataFrame): Unit = {
+    val incoming = ids.toDF("id").distinct()
+    val fresh =
+      if (!exists(spark, prefix)) incoming
+      else incoming.join(spark.table(table(prefix)), Seq("id"), "left_anti")
+    fresh.write.mode("append").format("parquet").saveAsTable(table(prefix))
+    spark.catalog.refreshTable(table(prefix))
+  }
+
+  /** The current tombstone set (empty frame if never purged). */
+  def ids(spark: SparkSession, prefix: String): DataFrame =
+    if (exists(spark, prefix)) spark.table(table(prefix))
+    else spark.emptyDataFrame.selectExpr("CAST(NULL AS BIGINT) AS id")
+      .limit(0)
+
+  /** Filter `idCol` of `df` against the tombstones — identity when the
+    * index has never seen a purge, broadcast anti-join otherwise. */
+  def filter(spark: SparkSession, prefix: String, df: DataFrame,
+      idCol: String): DataFrame =
+    if (!exists(spark, prefix)) df
+    else df.join(broadcast(spark.table(table(prefix))),
+      df(idCol) === col("id"), "left_anti")
+
+  /** Drop the tombstone list — called by the layouts' compaction after
+    * the rows are physically gone. */
+  def clear(spark: SparkSession, prefix: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${table(prefix)}")
+}
