@@ -299,6 +299,46 @@ object TextIndexLayout {
     * (the build's own pass), a vocabulary-sized full-outer join (the
     * frozen vocab broadcasts), two 1-row broadcast stat frames, and a
     * TakeOrdered top-k. */
+  /** The ALERTABLE scalars behind [[driftAudit]]: one row of
+    * (oov_mass_ppm, avgdl_shift_ppm, n_docs_frozen, n_docs_now) for a
+    * live corpus vs the frozen geometry. oov_mass is the fraction of
+    * live-corpus token OCCURRENCES whose term has no frozen-vocabulary
+    * entry — exactly the mass delta documents currently drop at scoring
+    * time; avgdl_shift is |avgdl_now/avgdl_frozen − 1| (the audit doc's
+    * own "10% already moves every score" callout). One tokenize pass +
+    * a broadcast vocab join; consumed by
+    * [[graft.streaming.IndexStalenessMonitor]] the way the ingest
+    * counters feed [[graft.streaming.AlertMonitor]]. */
+  def stalenessMetrics(spark: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val grain = TextQueries.bm25TermGrain(docsOf(spark, dir)).persist()
+    grain.count()
+    val known = spark.table(s"${prefix}_vocab")
+      .select(col("term"), lit(1L).as("known"))
+    val mass = grain.join(broadcast(known), Seq("term"), "left")
+      .agg(sum(col("tf")).as("tot"),
+        coalesce(sum(when(col("known").isNull, col("tf"))), lit(0L))
+          .as("oov"))
+    val now = TextQueries.bm25DocLens(grain).agg(
+      count(lit(1)).as("n_docs_now"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl_now"))
+    val frozen = spark.table(s"${prefix}_stats")
+      .select(col("n_docs").as("n_docs_frozen"),
+        col("avgdl").as("avgdl_frozen"))
+    Tables.released(
+      mass.crossJoin(broadcast(now)).crossJoin(broadcast(frozen))
+        .select(
+          round(col("oov").cast("double") / col("tot").cast("double") * 1e6)
+            .cast(LongType).as("oov_mass_ppm"),
+          round(abs(col("avgdl_now") / col("avgdl_frozen") - 1.0) * 1e6)
+            .cast(LongType).as("avgdl_shift_ppm"),
+          col("n_docs_frozen"), col("n_docs_now")),
+      grain)
+  }
+
   def driftAudit(spark: SparkSession, dir: String, prefix: String,
       topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.functions._
