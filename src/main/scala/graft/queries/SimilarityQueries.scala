@@ -975,6 +975,78 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------
+  // emb_hard_negatives: retrieval-training negative mining
+  // ---------------------------------------------------------------------
+
+  /** Hard-negative cosine band [lo, hi): similar enough to be
+    * confusable, below the near-positive region. Interpolated into
+    * BOTH engines. */
+  private val NegLo = 0.30
+  private val NegHi = 0.80
+
+  /** Negatives mined per anchor. */
+  private val NegK = 5
+
+  /** Hard-negative mining (the DPR/Contriever training-data pass): for
+    * every anchor in the registered query set, the [[NegK]] HARDEST
+    * negatives — highest cosine inside [[NegLo]]..[[NegHi]]) — from
+    * the multi-probe LSH candidate set. Random negatives are easy and
+    * teach a retriever nothing; near-positives (cosine ≥ hi) would
+    * poison the contrastive loss as false negatives; the band between
+    * is where the training signal lives.
+    *
+    * Scale shape: candidate generation is [[lshMultiProbe]]'s bucket
+    * equi-join verbatim (request-sized probe ring, no corpus pair
+    * join); the band filter and per-anchor top-k run on the
+    * already-bounded candidate grain. Mining BENEFITS from LSH bias:
+    * bucket-colliding vectors skew toward high cosine, which is
+    * exactly the hard end of the band. Determinism: IEEE cosine
+    * compares, ties on n_id. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
+        explode(probeSet(NPlanes)).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    q.as("q").join(e.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col("c.vec_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        cosine("q", "c").as("cosine"))
+      .filter(col("cosine") >= NegLo && col("cosine") < NegHi)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= NegK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String = {
+    val probes = probeSetSql(NPlanes)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
+       |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding, nrm,
+       |         unnest([$probes]) AS bucket
+       |  FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |         ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cosine
+       |  FROM probes p JOIN e c ON p.bucket = c.bucket AND p.q_id != c.vec_id),
+       |banded AS (
+       |  SELECT q_id, n_id, cosine FROM scored
+       |  WHERE cosine >= $NegLo AND cosine < $NegHi),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+       |  FROM banded)
+       |SELECT q_id, n_id, cosine, rank
+       |FROM ranked WHERE rank <= $NegK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ann_hamming_bucketed: signature-prefix bucketed Hamming tier
   // ---------------------------------------------------------------------
 
@@ -2695,6 +2767,7 @@ object SimilarityQueries {
     ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
     ("ann_hamming_topk", hammingTopK _, hammingTopKSql),
     ("ann_hamming_bucketed", hammingBucketed _, hammingBucketedSql),
+    ("emb_hard_negatives", hardNegatives _, hardNegativesSql),
     ("emb_threshold_calibration", thresholdCalibration _, thresholdCalibrationSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),

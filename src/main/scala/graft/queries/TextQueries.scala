@@ -2352,6 +2352,87 @@ object TextQueries {
     * re-tokenization, as in [[stats]]); the rollup is one shuffle on
     * source with all conditional counts map-side combined. At 100 TB
     * this is a single pass + a |sources|-row result. */
+  // ---------------------------------------------------------------------
+  // txt_blocklist_scrub: wordlist masking + drop policy (C4 badwords shape)
+  // ---------------------------------------------------------------------
+
+  /** The scrub wordlist — a stand-in for a deployment's sensitive-term
+    * or badword list (C4 dropped any page containing a listed word;
+    * RefinedWeb and Dolma mask or drop by RATIO, which is the policy
+    * here). Interpolated into BOTH engines. */
+  private val Blocklist = Seq("customer", "vector", "spark")
+
+  /** Fraction of blocked tokens above which the document is dropped
+    * rather than masked. Interpolated into BOTH engines. */
+  private val BlockDropFrac = 0.10
+
+  /** Wordlist scrubbing as a CURATION stage with attrition-style
+    * accounting: every document counts its [[Blocklist]] occurrences
+    * in the same single tokenize pass as its length; documents whose
+    * blocked fraction exceeds [[BlockDropFrac]] are DROPPED (a page
+    * that is mostly sensitive terms is not salvageable by masking),
+    * the rest are MASKED (occurrences replaced, document kept). The
+    * per-source rollup reports both actions and the surviving token
+    * mass, masked occurrences excluded — the numbers a pipeline
+    * operator reads to judge whether the list is eating the corpus.
+    *
+    * Scale shape: one tokenize pass, no explode — the blocked count
+    * is a higher-order filter over the token array (codegen'd, no
+    * shuffle before the |sources|-keyed rollup). Exact-token match,
+    * not regex: bit-identical across engines and immune to
+    * regex-dialect drift. */
+  def blocklistScrub(spark: SparkSession, dir: String): DataFrame = {
+    val inList = Blocklist.map(w => s"'$w'").mkString(", ")
+    val d = docs(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        expr(s"size(filter(toks, x -> x IN ($inList)))")
+          .cast(LongType).as("n_blocked"))
+      .withColumn("dropped",
+        col("n_blocked").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+          > BlockDropFrac)
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Tables.countIf(col("n_blocked") > 0L).as("n_docs_hit"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_blocked")).as("n_blocked"),
+        Tables.countIf(col("dropped")).as("n_dropped"),
+        Tables.countIf(!col("dropped")).as("n_kept"),
+        coalesce(sum(when(!col("dropped"),
+          col("n_tokens") - col("n_blocked"))), lit(0L))
+          .as("kept_tokens_after_mask"))
+      .orderBy(col("source"))
+  }
+
+  val blocklistScrubSql: String = {
+    val inList = Blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |           x -> x IN ($inList))) AS BIGINT) AS n_blocked
+       |  FROM documents),
+       |flagged AS (
+       |  SELECT *, CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |           > $BlockDropFrac AS dropped
+       |  FROM d)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       count(CASE WHEN n_blocked > 0 THEN 1 END) AS n_docs_hit,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_blocked) AS BIGINT) AS n_blocked,
+       |       count(CASE WHEN dropped THEN 1 END) AS n_dropped,
+       |       count(CASE WHEN NOT dropped THEN 1 END) AS n_kept,
+       |       COALESCE(CAST(sum(CASE WHEN NOT dropped
+       |                 THEN n_tokens - n_blocked END) AS BIGINT), 0)
+       |         AS kept_tokens_after_mask
+       |FROM flagged
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(LongType)
@@ -2486,5 +2567,6 @@ object TextQueries {
     ("txt_heavy_hitters", heavyHitters _, heavyHittersSql),
     ("txt_kneser_ney", kneserNey _, kneserNeySql),
     ("txt_quality_lr", qualityLr _, qualityLrSql),
-    ("txt_quality_gate", qualityGate _, qualityGateSql))
+    ("txt_quality_gate", qualityGate _, qualityGateSql),
+    ("txt_blocklist_scrub", blocklistScrub _, blocklistScrubSql))
 }

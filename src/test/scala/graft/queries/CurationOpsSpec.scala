@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** txt_blocklist_scrub and emb_hard_negatives: the mask/drop policy
+  * must fire on planted documents exactly, and the mined negatives
+  * must sit strictly inside the cosine band — near-positives excluded,
+  * hardest first. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blocklist scrub: planted mask and drop cases account exactly") {
+    val d = tmpDir("graft-scrub")
+    // doc 1: 2 blocked of 20 (10% == threshold, NOT above -> masked)
+    // doc 2: 3 blocked of 20 (15% > 10% -> dropped)
+    // doc 3: clean
+    val filler = (1 to 18).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, "s1", "en", 1L, s"customer spark $filler"),
+      (2L, "s1", "en", 1L, s"customer spark vector ${(1 to 17).map(i => s"w$i").mkString(" ")}"),
+      (3L, "s1", "en", 1L, filler + " w19 w20"))
+    writeFixture(d, "documents",
+      rows.toDF("doc_id", "source", "lang", "n_chars", "text"))
+    val out = TextQueries.blocklistScrub(spark, d.toString).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_docs_hit") == 2L)
+    assert(r.getAs[Long]("n_blocked") == 5L)
+    assert(r.getAs[Long]("n_dropped") == 1L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    // kept after mask: doc1 (20-2=18) + doc3 (20-0=20) = 38
+    assert(r.getAs[Long]("kept_tokens_after_mask") == 38L)
+  }
+
+  test("blocklist scrub: real-corpus accounting is internally consistent") {
+    val rows = TextQueries.blocklistScrub(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept")
+        == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_blocked") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("kept_tokens_after_mask")
+        <= r.getAs[Long]("n_tokens"))
+    }
+    // the stand-in wordlist is chosen to actually fire on the corpus
+    assert(rows.map(_.getAs[Long]("n_blocked")).sum > 0L)
+  }
+
+  test("hard negatives: band excludes near-positives, hardest ranked first") {
+    val rnd = new scala.util.Random(17)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val anchor = unit(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    // blend toward a second random direction to hit a target cosine
+    val other = unit(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def blend(c: Double): Array[Float] = {
+      // construct a vector at cosine ~c from anchor inside the
+      // anchor/other plane (Gram-Schmidt)
+      val dot = anchor.zip(other).map { case (a, b) => a.toDouble * b }.sum
+      val orth = unit(other.zip(anchor).map { case (o, a) =>
+        (o - (dot * a).toFloat) })
+      val s = math.sqrt(1 - c * c)
+      anchor.zip(orth).map { case (a, o) => (c * a + s * o).toFloat }
+    }
+    val rows = Seq(
+      (0L, "q", anchor), // the anchor (vec_id % 50 == 0 -> query)
+      (101L, "pos", blend(0.95)), // near-positive: excluded
+      (102L, "hn1", blend(0.70)), // hardest negative
+      (103L, "hn2", blend(0.50)),
+      (104L, "hn3", blend(0.35)),
+      (105L, "easy", blend(0.05))) // too easy: excluded
+    val d = tmpDir("graft-hardneg")
+    writeFixture(d, "embeddings", rows.toDF("vec_id", "label", "embedding"))
+    val out = SimilarityQueries.hardNegatives(spark, d.toString)
+      .filter(col("q_id") === 0L).collect()
+    val ids = out.map(_.getAs[Long]("n_id")).toSeq
+    assert(!ids.contains(101L), s"near-positive mined: $ids")
+    assert(!ids.contains(105L), s"easy negative mined: $ids")
+    // LSH buckets may drop a band member, but whatever is mined must
+    // be ranked hardest-first and 102 (cos .70, bucket-biased to
+    // collide with the anchor) must be present
+    assert(ids.contains(102L), s"hardest negative missed: $ids")
+    val cosines = out.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+    assert(cosines.forall(c => c >= 0.30 && c < 0.80))
+  }
+
+  test("hard negatives: real-corpus output respects the band per anchor") {
+    val out = SimilarityQueries.hardNegatives(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.30 && c < 0.80, r.toString)
+    }
+    // ranks are 1..k dense per anchor
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq
+        == (1L to rs.length.toLong).toSeq)
+    }
+  }
+}
