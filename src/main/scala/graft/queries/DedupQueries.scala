@@ -353,6 +353,15 @@ object DedupQueries {
     // count() serializes the cache builds (see ngramJaccard).
     val sh = shingles(spark, dir).persist()
     sh.count()
+    minhashPairsFrom(sh)
+  }
+
+  /** [[minhashPairsBody]] over an ALREADY persisted shingle index —
+    * for composites ([[pipelineCurate]]) that feed several stages from
+    * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
+    * cache once its sized copy is built, so a caller sharing `sh`
+    * must materialize its other consumers FIRST. */
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val sig = minhashSigFrom(sh).persist()
     sig.count()
     val bands = sig.select(col("doc_id"),
@@ -1377,6 +1386,13 @@ object DedupQueries {
       .select(col("doc_id"))
     val s3 = s2.join(keepExact, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
+    // Stage isolation measured, not assumed: sharing ONE persisted
+    // shingle pass with decontamination (postings materialized first,
+    // minhashPairsFrom after) showed no benefit at sf0.1 (9.8 s vs
+    // 8.9-10.5 s across runs — inside the host's window variance, see
+    // BENCH_SF1.md round 10) while forcing four caches to co-reside
+    // (capped postings + raw shingles + signatures + sized index).
+    // Stages therefore build their own passes and release as they go.
     val mhDrop = minhashPairsBody(spark, dir)
       .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .select(col("doc_b").as("doc_id")).distinct()
