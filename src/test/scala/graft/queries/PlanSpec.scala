@@ -647,4 +647,57 @@ class PlanSpec extends SparkSpec {
         assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
     }
   }
+
+  test("hamming bucketed: prefix equi-join, never the exact tier's pair loop") {
+    val p = plan("ann_hamming_bucketed")
+    // the whole point of the tier: candidates come from the 9-probe
+    // bucket equi-join — a nested-loop or cartesian pair join here
+    // would silently recreate the exact tier's queries x corpus cost
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("sketch active users: one corpus pass, no user-grain expand") {
+    val p = plan("ev_active_users_approx")
+    // the exact twin must explode the (day,user) grain 7x for WAU;
+    // the sketch twin's explode multiplies |days| sketch ROWS only —
+    // the corpus-grain stage is exactly one hll_sketch_agg aggregate
+    assert("hll_sketch_agg".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // a user-grain distinct would appear as an Expand or a
+    // count(distinct) aggregate; neither may exist here
+    assert(!p.contains("Expand"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
+  }
+
+  test("blocklist scrub: single pass — no explode, no pre-rollup shuffle") {
+    val p = plan("txt_blocklist_scrub")
+    // blocked counts come from a higher-order filter over the token
+    // array inside the scan projection; a Generate here means the
+    // one-pass claim regressed to an exploded token grain
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // exactly one exchange: the |sources|-keyed rollup
+    assert("hashpartitioning\\(".r.findAllIn(p).length == 1, p)
+  }
+
+  test("hard negatives: candidates ride the bucket equi-join") {
+    val p = plan("emb_hard_negatives")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("pipeline curate: the visible plan is stats-only; no cartesian anywhere") {
+    // the stage gating (semi/anti joins) executes INSIDE the eagerly
+    // checkpointed survivor frames, so the final plan is the 1-row
+    // stat crosses + union + sort — gating-join correctness is pinned
+    // by the oracle hash and PipelineCurateSpec's reconciliation
+    // instead. What the final plan CAN regress on: a row-by-row
+    // cartesian in the stat combination.
+    val p = plan("pipeline_curate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
 }
