@@ -136,6 +136,38 @@ class IndexPurgeSpec extends SparkSpec {
     }
   }
 
+  test("hybrid serving: a purge lands through BOTH legs of the fusion") {
+    TextIndexLayout.build(spark, dir, "purge_hyb_txt", buckets = 4)
+    HybridIndexLayout.buildDense(spark, dir, "purge_hyb_ann", buckets = 4)
+    try {
+      val baseline = HybridIndexLayout.queryHybrid(spark, dir,
+        "purge_hyb_txt", "purge_hyb_ann").collect()
+      // victims: docs the fusion actually returns (strongest case)
+      val victims = baseline.take(8).map(_.getAs[Long]("doc_id"))
+        .distinct.toSeq
+      assert(victims.nonEmpty)
+      TextIndexLayout.purgeDocs(spark, "purge_hyb_txt",
+        victims.toDF("doc_id"))
+      HybridIndexLayout.purgeDense(spark, "purge_hyb_ann",
+        victims.toDF("vec_id"))
+      val served = HybridIndexLayout.queryHybrid(spark, dir,
+        "purge_hyb_txt", "purge_hyb_ann").collect()
+      assert(served.nonEmpty)
+      assert(!served.exists(r => victims.contains(r.getAs[Long]("doc_id"))))
+      // and the purge survives compaction of both legs
+      TextIndexLayout.compact(spark, "purge_hyb_txt", buckets = 4)
+      HybridIndexLayout.compactDense(spark, "purge_hyb_ann", buckets = 4)
+      assert(HybridIndexLayout.queryHybrid(spark, dir,
+        "purge_hyb_txt", "purge_hyb_ann").collect()
+        .map(_.toString).toSeq == served.map(_.toString).toSeq)
+    } finally {
+      Seq("postings", "vocab", "stats", "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS purge_hyb_txt_$t"))
+      Seq("sigs", "tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS purge_hyb_ann_$t"))
+    }
+  }
+
   test("an unpurged index's serve plan carries no tombstone join") {
     TextIndexLayout.build(spark, dir, "purge_none", buckets = 4)
     try {
