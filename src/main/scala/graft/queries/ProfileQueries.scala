@@ -377,6 +377,117 @@ object ProfileQueries {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // util_epoch_plan: replication plan for the temperature-mix budget
+  // ---------------------------------------------------------------------
+
+  /** Token budget drawn per mixing epoch — [[temperatureMix]]'s own
+    * Budget, restated. Interpolated into BOTH engines. */
+  private val EpochBudget = 1000000.0
+
+  /** The REPLICATION half of temperature mixing ([[temperatureMix]]
+    * reports oversample factors; `pipeline_curate` applies the
+    * DOWN-sample side): turn each source's τ=0.5 target share of the
+    * token budget into an executable plan — `full_epochs` whole
+    * passes over the source plus a deterministic FRACTIONAL epoch
+    * (each doc draws a content-hash uniform; draws below the
+    * fractional part's micro-threshold replicate once more). This is
+    * how real mixes oversample small high-value sources (the LLaMA /
+    * Pile recipe tables): repetition counts per source, not
+    * per-document lottery at load time. The plan's realized token
+    * count is reported against its target so the residual is visible
+    * (planned = full·n_tokens + extra_tokens reconciles exactly —
+    * spec'd).
+    *
+    * Scale shape: one corpus pass to the per-doc (source, tokens,
+    * draw) grain, a |sources| rollup, 1-row broadcast total, and one
+    * map-side per-doc threshold compare re-aggregated to |sources| —
+    * no explode, no replication materialized (the plan is the
+    * OUTPUT; the training loader executes it). Determinism: draws are
+    * content-hash integers, thresholds micro-quantized. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.h60
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        pmod(h60(concat(col("text"), lit(":epoch"))), lit(1000000L))
+          .as("draw"))
+      .persist() // (source, n_tok, draw) grain: one tokenizing corpus
+                 // pass feeds both the rollup and the fractional-epoch
+                 // draw filter (text itself never cached)
+    val bySource = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("w_q"))
+    val tot = bySource.agg(sum(col("w_q")).as("w_tot"))
+    val target = lit(EpochBudget) * col("w_q").cast(DoubleType) /
+      col("w_tot").cast(DoubleType)
+    val plan = bySource.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        target.as("target_tokens"),
+        floor(target / col("n_tokens").cast(DoubleType)).cast(LongType)
+          .as("full_epochs"))
+      .withColumn("frac_micro",
+        round((col("target_tokens") / col("n_tokens").cast(DoubleType) -
+          col("full_epochs").cast(DoubleType)) * 1e6).cast(LongType))
+    val extra = perDoc.join(broadcast(plan.select(col("source"),
+        col("frac_micro"))), "source")
+      .filter(col("draw") < col("frac_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("extra_docs"), sum(col("n_tok")).as("extra_tokens"))
+    Tables.released(
+      plan.join(extra, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("full_epochs"), col("frac_micro"),
+          coalesce(col("extra_docs"), lit(0L)).as("extra_docs"),
+          coalesce(col("extra_tokens"), lit(0L)).as("extra_tokens"),
+          (col("full_epochs") * col("n_tokens") +
+            coalesce(col("extra_tokens"), lit(0L))).as("planned_tokens"))
+        .orderBy(col("source")),
+      perDoc)
+  }
+
+  val epochPlanSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ${h60Sql("text || ':epoch'")} % 1000000 AS draw
+       |  FROM documents),
+       |by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |         CAST(round(sqrt(CAST(sum(n_tok) AS DOUBLE)) * 1e6) AS BIGINT) AS w_q
+       |  FROM per_doc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_tot FROM by_source),
+       |plan AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         $EpochBudget * CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE)
+       |           AS target_tokens,
+       |         CAST(floor(($EpochBudget * CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE))
+       |           / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS full_epochs
+       |  FROM by_source, tot),
+       |plan2 AS (
+       |  SELECT *, CAST(round((target_tokens / CAST(n_tokens AS DOUBLE)
+       |           - CAST(full_epochs AS DOUBLE)) * 1e6) AS BIGINT) AS frac_micro
+       |  FROM plan),
+       |extra AS (
+       |  SELECT p.source, count(*) AS extra_docs,
+       |         CAST(sum(p.n_tok) AS BIGINT) AS extra_tokens
+       |  FROM per_doc p JOIN plan2 ON p.source = plan2.source
+       |  WHERE p.draw < plan2.frac_micro
+       |  GROUP BY 1)
+       |SELECT plan2.source, n_docs, n_tokens, target_tokens, full_epochs,
+       |       frac_micro,
+       |       COALESCE(extra_docs, 0) AS extra_docs,
+       |       COALESCE(extra_tokens, 0) AS extra_tokens,
+       |       full_epochs * n_tokens + COALESCE(extra_tokens, 0)
+       |         AS planned_tokens
+       |FROM plan2 LEFT JOIN extra ON plan2.source = extra.source
+       |ORDER BY plan2.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // util_weighted_sample: deterministic weighted per-stratum sampling
   // ---------------------------------------------------------------------
 
@@ -1026,6 +1137,7 @@ object ProfileQueries {
     ("util_pseudonymize", pseudonymize _, pseudonymizeSql),
     ("util_skew_profile", skewProfile _, skewProfileSql),
     ("util_temperature_mix", temperatureMix _, temperatureMixSql),
+    ("util_epoch_plan", epochPlan _, epochPlanSql),
     ("util_weighted_sample", weightedSample _, weightedSampleSql),
     ("util_scd2_merge", scd2Merge _, scd2MergeSql),
     ("util_k_anonymity", kAnonymity _, kAnonymitySql),

@@ -91,6 +91,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(cosines.forall(c => c >= 0.30 && c < 0.80))
   }
 
+  test("epoch plan: replication arithmetic reconciles; budget approached") {
+    val rows = ProfileQueries.epochPlan(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(planned == r.getAs[Long]("full_epochs") * r.getAs[Long]("n_tokens")
+        + r.getAs[Long]("extra_tokens"))
+      assert(r.getAs[Long]("extra_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("frac_micro") >= 0L
+        && r.getAs[Long]("frac_micro") <= 1000000L)
+      // the fractional-epoch draw lands the plan near its target: the
+      // residual is bounded by the longest doc's tokens on either side
+      // in expectation; allow a loose 25% band per source
+      val target = r.getAs[Double]("target_tokens")
+      assert(math.abs(planned - target) <= math.max(64.0, target * 0.25),
+        s"${r.getAs[String]("source")}: planned $planned target $target")
+    }
+    // the whole point of temperature mixing: small sources get MORE
+    // epochs than large ones (sqrt weighting)
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.head.getAs[Long]("full_epochs")
+      >= byTokens.last.getAs[Long]("full_epochs"))
+  }
+
   test("hard negatives: real-corpus output respects the band per anchor") {
     val out = SimilarityQueries.hardNegatives(spark, "/root/testdata/sf0.001")
       .collect()
