@@ -700,4 +700,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Union"), p)
   }
+
+  test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
+    val p = plan("util_epoch_plan")
+    // the fractional-epoch pass re-reads the corpus-sized grain; the
+    // |sources| threshold table must come to IT by broadcast — a
+    // shuffle of the corpus grain keyed by source would be the skewed
+    // full exchange this query exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the persisted grain is (source, n_tok, draw) only — caching text
+    // would pin the whole corpus in executor memory
+    assert(p.contains("InMemoryTableScan"), p)
+    assert("InMemoryTableScan \\[source#\\d+, n_tok#\\d+L, draw#\\d+L\\]".r
+      .findFirstIn(p).isDefined, p)
+  }
 }
