@@ -412,6 +412,132 @@ object SimilarityQueries {
        |ORDER BY b.q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ann_ir_metrics: label-relevance IR metrics (nDCG/MRR/P@k) per tier
+  // ---------------------------------------------------------------------
+
+  /** Micro-quantized DCG rank weights `round(1e6 / log2(r+1))` for
+    * r = 1..[[TopK]], computed ONCE here and interpolated into both
+    * engines as integer literals — nDCG becomes exact int64
+    * arithmetic, immune to cross-engine log/float drift. */
+  private val DcgW: Seq[Long] =
+    (1 to TopK).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Prefix sums of [[DcgW]]: `DcgCum(k-1)` is the ideal DCG of k
+    * relevant results in the top k positions. */
+  private val DcgCum: Seq[Long] = DcgW.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval QUALITY eval as an operator — [[recallAudit]] asks "does
+    * the index return what exact search would"; this asks the question
+    * before it: "does exact search return anything RELEVANT" — the
+    * encoder-eval table (label of neighbor == label of query as the
+    * relevance judgment, the kNN-classify cousin). Per query and per
+    * tier (exact brute force, deployed multi-probe LSH): relevant-in-
+    * top-k, P@k, MRR, nDCG@k. The exact columns grade the EMBEDDING;
+    * the LSH deltas price the index in user-facing relevance terms, a
+    * stricter currency than recall-vs-exact.
+    *
+    * Determinism: DCG weights are int64 micro-literals ([[DcgW]]);
+    * ideal DCG is a prefix-sum lookup capped by the corpus relevant
+    * count; P@k/MRR/nDCG are published in integer bp/micro.
+    *
+    * Scale: all joins are on the k-bounded (q_id, n_id) pair grain
+    * (|Q|·k rows) or the |labels| rollup; the only corpus passes are
+    * the tier generators themselves — the audit adds nothing
+    * corpus-sized, so it runs wherever the tiers run. */
+  def irMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val labels = embs(spark, dir).select(col("vec_id"), col("label"))
+    val qLab = labels.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val labCnt = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val wArr = array(DcgW.map(lit(_)): _*)
+    val cumArr = array(DcgCum.map(lit(_)): _*)
+
+    // (q_id, n_rel, dcg_micro, first_rel) for one tier's ranked pairs
+    def tier(pairs: DataFrame): DataFrame =
+      pairs.select(col("q_id"), col("n_id"), col("rank"))
+        .join(labels.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), "n_id")
+        .join(qLab, "q_id")
+        .select(col("q_id"),
+          (col("n_label") === col("q_label")).cast(LongType).as("rel"),
+          col("rank"))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(col("rel")).as("n_rel"),
+          coalesce(sum(when(col("rel") === 1L,
+            element_at(wArr, col("rank").cast(IntegerType)))), lit(0L))
+            .as("dcg_micro"),
+          min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+
+    val ex = tier(bruteTopK(spark, dir))
+    val ls = tier(lshMultiProbe(spark, dir))
+    def cols(t: String): Seq[Column] = Seq(
+      coalesce(col(s"$t.n_rel"), lit(0L)).as(s"n_rel_$t"),
+      floor(coalesce(col(s"$t.n_rel"), lit(0L)) * lit(10000L) / lit(TopK.toLong))
+        .cast(LongType).as(s"p10_bp_$t"),
+      coalesce(floor(lit(1000000L) / col(s"$t.first_rel")), lit(0L))
+        .cast(LongType).as(s"mrr_micro_$t"),
+      floor(coalesce(col(s"$t.dcg_micro"), lit(0L)) * lit(10000L) /
+        element_at(cumArr, least(col("n_rel_corpus"), lit(TopK.toLong))
+          .cast(IntegerType)))
+        .cast(LongType).as(s"ndcg_bp_$t"))
+    qLab
+      .join(labCnt, col("q_label") === col("label"))
+      .select(col("q_id"), col("q_label"),
+        (col("n_label") - 1L).as("n_rel_corpus")) // minus self
+      .join(ex.as("exact"), Seq("q_id"), "left_outer")
+      .join(ls.as("lsh"), Seq("q_id"), "left_outer")
+      .select(Seq(col("q_id"), col("q_label"), col("n_rel_corpus")) ++
+        cols("exact") ++ cols("lsh"): _*)
+      .orderBy(col("q_id"))
+  }
+
+  val irMetricsSql: String = {
+    val wList = DcgW.mkString("[", ", ", "]")
+    val cumList = DcgCum.mkString("[", ", ", "]")
+    def tierSql(src: String): String =
+      s"""SELECT e.q_id,
+         |       CAST(sum(CASE WHEN l.label = q.q_label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_rel,
+         |       CAST(COALESCE(sum(CASE WHEN l.label = q.q_label
+         |         THEN ($wList)[e.rank] END), 0) AS BIGINT) AS dcg_micro,
+         |       min(CASE WHEN l.label = q.q_label THEN e.rank END) AS first_rel
+         |FROM $src e
+         |JOIN lab l ON e.n_id = l.vec_id
+         |JOIN q ON e.q_id = q.q_id
+         |GROUP BY e.q_id""".stripMargin
+    def colsSql(t: String): String =
+      s"""COALESCE($t.n_rel, 0) AS n_rel_$t,
+         |       CAST(floor(COALESCE($t.n_rel, 0) * 10000 / $TopK) AS BIGINT)
+         |         AS p10_bp_$t,
+         |       CAST(COALESCE(floor(1000000 / $t.first_rel), 0) AS BIGINT)
+         |         AS mrr_micro_$t,
+         |       CAST(floor(COALESCE($t.dcg_micro, 0) * 10000 /
+         |         ($cumList)[CAST(least(b.n_rel_corpus, $TopK) AS INTEGER)])
+         |         AS BIGINT) AS ndcg_bp_$t""".stripMargin
+    s"""WITH exact_pairs AS ($bruteTopKSql),
+       |lsh_pairs AS ($lshMultiProbeSql),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |      WHERE vec_id % 50 = 0),
+       |exact AS (${tierSql("exact_pairs")}),
+       |lsh AS (${tierSql("lsh_pairs")}),
+       |lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+       |b AS (
+       |  SELECT q.q_id, q.q_label,
+       |         CAST(lc.n_label - 1 AS BIGINT) AS n_rel_corpus
+       |  FROM q JOIN lc ON q.q_label = lc.label)
+       |SELECT b.q_id, b.q_label, b.n_rel_corpus,
+       |       ${colsSql("exact")},
+       |       ${colsSql("lsh")}
+       |FROM b
+       |LEFT JOIN exact ON b.q_id = exact.q_id
+       |LEFT JOIN lsh ON b.q_id = lsh.q_id
+       |ORDER BY b.q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ann_ivf_topk: inverted-file (IVF) bucketed ANN
   // ---------------------------------------------------------------------
 
@@ -2758,6 +2884,7 @@ object SimilarityQueries {
       lshTopKSqlPlanes(12)),
     ("ann_lsh_multiprobe", lshMultiProbe _, lshMultiProbeSql),
     ("ann_recall_audit", recallAudit _, recallAuditSql),
+    ("ann_ir_metrics", irMetrics _, irMetricsSql),
     ("ann_ivf_topk", ivfTopK _, ivfTopKSql),
     ("ann_int8_topk", int8TopK _, int8TopKSql),
     ("ann_knn_join", knnJoin _, knnJoinSql),
