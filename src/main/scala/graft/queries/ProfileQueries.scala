@@ -548,6 +548,67 @@ object ProfileQueries {
   }
 
   // ---------------------------------------------------------------------
+  // util_domain_cap: per-source quota keeping the highest-quality docs
+  // ---------------------------------------------------------------------
+
+  /** Max documents kept per source. Interpolated into BOTH engines. */
+  private val DomainCapK = 15
+
+  /** Per-domain capping (the RefinedWeb/Dolma anti-over-representation
+    * pass): no single domain may contribute more than [[DomainCapK]]
+    * documents, and when a domain is over quota the KEPT subset is the
+    * highest-quality slice, not a random one — rank within source by a
+    * deterministic quality score (type-token ratio, micro-quantized)
+    * and keep the top K. Complements [[weightedSample]] (a random
+    * race) and [[stratifiedSample]] (proportional): this is the
+    * quality-ORDERED quota real curation stacks apply to SEO-spam
+    * domains.
+    *
+    * Scale shape: one tokenize pass to a 4-column grain, then a
+    * per-source top-K window — Spark plans a WindowGroupLimit, so each
+    * partition keeps only its local top K before the single
+    * |sources|-keyed shuffle (plan-pinned). Determinism: score is
+    * int64 micro TTR; ties break by doc_id. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_uniq"))
+      .filter(col("n_tok") > 0L)
+      .withColumn("score_micro",
+        floor(col("n_uniq") * lit(1000000L) / col("n_tok")).cast(LongType))
+      .withColumn("src_rank", row_number().over(w).cast(LongType))
+      .filter(col("src_rank") <= DomainCapK)
+      .select(col("source"), col("src_rank"), col("doc_id"),
+        col("n_tok"), col("score_micro"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
+  val domainCapSql: String =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |           AS n_uniq
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, n_tok,
+       |         CAST(floor(n_uniq * 1000000 / n_tok) AS BIGINT) AS score_micro
+       |  FROM scored WHERE n_tok > 0),
+       |topk AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |              ORDER BY score_micro DESC, doc_id) AS BIGINT) AS src_rank
+       |  FROM ranked)
+       |SELECT source, src_rank, doc_id, n_tok, score_micro
+       |FROM topk WHERE src_rank <= $DomainCapK
+       |ORDER BY source, src_rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // util_scd2_merge: slowly-changing-dimension type-2 snapshot merge
   // ---------------------------------------------------------------------
 
@@ -1139,6 +1200,7 @@ object ProfileQueries {
     ("util_temperature_mix", temperatureMix _, temperatureMixSql),
     ("util_epoch_plan", epochPlan _, epochPlanSql),
     ("util_weighted_sample", weightedSample _, weightedSampleSql),
+    ("util_domain_cap", domainCap _, domainCapSql),
     ("util_scd2_merge", scd2Merge _, scd2MergeSql),
     ("util_k_anonymity", kAnonymity _, kAnonymitySql),
     ("util_mix_kl", mixKl _, mixKlSql),

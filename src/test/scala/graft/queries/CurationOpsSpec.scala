@@ -116,6 +116,43 @@ class CurationOpsSpec extends SparkSpec {
       >= byTokens.last.getAs[Long]("full_epochs"))
   }
 
+  test("domain cap: quota held; kept slice dominates dropped slice by score") {
+    import org.apache.spark.sql.functions._
+    val kept = ProfileQueries.domainCap(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(kept.nonEmpty)
+    val bySrc = kept.groupBy(_.getAs[String]("source"))
+    for ((src, rows) <- bySrc) {
+      assert(rows.length <= 15, src)
+      // ranks are contiguous from 1 (no holes from the cap filter)
+      assert(rows.map(_.getAs[Long]("src_rank")).sorted
+        .sameElements(1L to rows.length.toLong), src)
+      // descending score along rank, doc_id tie-break ascending
+      val sorted = rows.sortBy(_.getAs[Long]("src_rank"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("score_micro"), b.getAs[Long]("score_micro"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")), src)
+      case _ => ()
+      }
+    }
+    // the kept slice must dominate the dropped slice: per source, the
+    // worst kept score >= the best score among docs NOT kept
+    val all = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"),
+        floor(size(array_distinct(split(col("text"), " "))).cast("long") * lit(1000000L) /
+          size(split(col("text"), " ")).cast("long")).cast("long").as("score_micro"))
+      .collect()
+    val keptIds = kept.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    for ((src, rows) <- bySrc) {
+      val worstKept = rows.map(_.getAs[Long]("score_micro")).min
+      val dropped = all.filter(r => r.getAs[String]("source") == src &&
+        !keptIds((src, r.getAs[Long]("doc_id"))))
+      if (dropped.nonEmpty)
+        assert(dropped.map(_.getAs[Long]("score_micro")).max <= worstKept, src)
+    }
+  }
+
   test("hard negatives: real-corpus output respects the band per anchor") {
     val out = SimilarityQueries.hardNegatives(spark, "/root/testdata/sf0.001")
       .collect()

@@ -701,6 +701,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("domain cap: partitions keep only their local top-K before the shuffle") {
+    val p = plan("util_domain_cap")
+    // the per-source quota must plan as WindowGroupLimit — without it
+    // every doc of an over-quota domain rides the shuffle and the skew
+    // this operator exists to cut comes back as shuffle skew
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
     val p = plan("util_epoch_plan")
     // the fractional-epoch pass re-reads the corpus-sized grain; the
