@@ -936,6 +936,106 @@ object ProfileQueries {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // util_ks_drift: per-source two-sample Kolmogorov–Smirnov drift
+  // ---------------------------------------------------------------------
+
+  /** Distribution drift as a TEST, not just a divergence number
+    * ([[mixKl]] reports KL of the source MIX; this asks whether each
+    * source's per-document length DISTRIBUTION differs from the rest
+    * of the corpus): the two-sample Kolmogorov–Smirnov statistic of
+    * every source against its complement, with the α=0.05 critical
+    * value next to it so the row IS the accept/reject decision. The
+    * max |ECDF_s − ECDF_rest| is exact int64 arithmetic — ECDFs are
+    * compared by cross-multiplication on the common denominator
+    * n_s·(N−n_s), so no float CDF ever exists; only the final micro
+    * ratios divide. The achieving length is reported (min length on
+    * ties) — where to LOOK when the test fires.
+    *
+    * Scale shape: one tokenize pass to a (source, len) count grain,
+    * then everything runs on the |sources|×|distinct lens| evaluation
+    * grid (jump points of either ECDF — bounded: quantize lengths
+    * before the grain if doc lengths are unbounded); the complement's
+    * cumulative counts come from the global cumulative minus the
+    * source's own, so no second corpus pass. Overflow bound: the
+    * cross-multiplied numerator times 1e6 must fit int64 — holds to
+    * ~3e6 docs per side; rescale the micro factor beyond that. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("x"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("num").desc, col("x"))
+    val cnt = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+      .persist() // (source, len) grain: feeds per-source totals, the
+                 // global length marginal, and the evaluation grid
+    val nSrc = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val gx = cnt.groupBy(col("x")).agg(sum(col("c")).as("g"))
+    val tot = gx.agg(sum(col("g")).as("n"))
+    val grid = nSrc.crossJoin(broadcast(gx)) // |sources| × |jump points|
+      .join(cnt, Seq("source", "x"), "left_outer")
+      .select(col("source"), col("n_s"), col("x"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum_g", sum(col("g")).over(w))
+    val scored = grid.crossJoin(broadcast(tot)) // 1-row scalar
+      .withColumn("m", col("n") - col("n_s"))
+      .withColumn("num", abs(col("cum_s") * col("m") -
+        (col("cum_g") - col("cum_s")) * col("n_s")))
+    Tables.released(
+      scored.withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("m").as("n_rest"), col("x").as("at_len"),
+          floor(col("num") * lit(1000000L) / (col("n_s") * col("m")))
+            .cast(LongType).as("d_micro"),
+          floor(lit(1.358) * sqrt((col("n_s") + col("m")).cast(DoubleType) /
+            (col("n_s") * col("m")).cast(DoubleType)) * lit(1000000.0))
+            .cast(LongType).as("crit_micro"))
+        .withColumn("drifted", col("d_micro") > col("crit_micro"))
+        .orderBy(col("source")),
+      cnt)
+  }
+
+  val ksDriftSql: String =
+    """WITH lens AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT source, x, CAST(count(*) AS BIGINT) AS c
+      |  FROM lens GROUP BY 1, 2),
+      |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+      |gx AS (SELECT x, CAST(sum(c) AS BIGINT) AS g FROM cnt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gx),
+      |grid AS (
+      |  SELECT s.source, s.n_s, gx.x, gx.g, COALESCE(cnt.c, 0) AS c
+      |  FROM nsrc s CROSS JOIN gx
+      |  LEFT JOIN cnt ON cnt.source = s.source AND cnt.x = gx.x),
+      |cum AS (
+      |  SELECT source, n_s, x,
+      |         CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum_s,
+      |         CAST(sum(g) OVER (PARTITION BY source ORDER BY x) AS BIGINT) AS cum_g
+      |  FROM grid),
+      |scored AS (
+      |  SELECT source, n_s, tot.n - n_s AS m, x,
+      |         abs(cum_s * (tot.n - n_s) - (cum_g - cum_s) * n_s) AS num
+      |  FROM cum, tot),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |              ORDER BY num DESC, x) AS rn
+      |  FROM scored)
+      |SELECT source, n_s AS n_docs, m AS n_rest, x AS at_len,
+      |       CAST(floor(num * 1000000 / (n_s * m)) AS BIGINT) AS d_micro,
+      |       CAST(floor(1.358 * sqrt(CAST(n_s + m AS DOUBLE)
+      |         / (CAST(n_s AS DOUBLE) * m)) * 1000000) AS BIGINT) AS crit_micro,
+      |       CAST(floor(num * 1000000 / (n_s * m)) AS BIGINT) >
+      |         CAST(floor(1.358 * sqrt(CAST(n_s + m AS DOUBLE)
+      |           / (CAST(n_s AS DOUBLE) * m)) * 1000000) AS BIGINT) AS drifted
+      |FROM ranked WHERE rn = 1
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // util_importance_resample: DSIR-style data selection toward a target
   // distribution (hashed n-gram importance weights)
   // ---------------------------------------------------------------------
@@ -1204,6 +1304,7 @@ object ProfileQueries {
     ("util_scd2_merge", scd2Merge _, scd2MergeSql),
     ("util_k_anonymity", kAnonymity _, kAnonymitySql),
     ("util_mix_kl", mixKl _, mixKlSql),
+    ("util_ks_drift", ksDrift _, ksDriftSql),
     ("util_table_diff", tableDiff _, tableDiffSql),
     ("ev_user_cms", userCms _, null))
 }

@@ -710,6 +710,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ks drift: grid joins broadcast; argmax rides WindowGroupLimit") {
+    val p = plan("util_ks_drift")
+    // the |sources| x |jump points| evaluation grid is built by
+    // broadcasting the bounded length marginal — an unbroadcast cross
+    // would plan CartesianProduct and shuffle corpus-derived rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-source argmax (rn = 1) keeps only local winners per partition
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
     val p = plan("util_epoch_plan")
     // the fractional-epoch pass re-reads the corpus-sized grain; the
