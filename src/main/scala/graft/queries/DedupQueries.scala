@@ -418,6 +418,69 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_source_overlap: source×source near-dup contamination matrix
+  // ---------------------------------------------------------------------
+
+  /** WHERE the near-dups live, not just that they exist: the verified
+    * MinHash pair graph rolled up to a directional source×source
+    * matrix — row (A, B) reads "this many of A's docs have a verified
+    * near-dup in B, this share of A". The diagonal is each source's
+    * internal duplication rate; off-diagonal mass is cross-source
+    * contamination (mirrored syndicated content, a crawl eating
+    * another crawl) — the table that decides WHICH source to drop
+    * when two overlap, next to [[contamination]]'s train-vs-eval
+    * special case.
+    *
+    * Scale shape: pairs come from the banded candidate join (never
+    * all-pairs); the rollup output is bounded by |sources|²; the two
+    * label attachments are doc_id equi-joins on the k-bounded pair
+    * grain. share_bp is exact integer arithmetic. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsBody(spark, dir)
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    val nSrc = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs_a"))
+    val directed = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .union(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    directed
+      .join(src.select(col("doc_id").as("d"), col("source").as("src_a")), "d")
+      .join(src.select(col("doc_id").as("o"), col("source").as("src_b")), "o")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("d")).as("n_docs_hit"))
+      .join(nSrc, col("src_a") === col("source"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("n_docs_hit"), col("n_docs_a"),
+        floor(col("n_docs_hit") * lit(10000L) / col("n_docs_a"))
+          .cast(LongType).as("share_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $minhashPairsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |nsrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_a
+       |  FROM src GROUP BY 1),
+       |directed AS (
+       |  SELECT doc_a AS d, doc_b AS o FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS d, doc_a AS o FROM pairs),
+       |lab AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b, dd.d
+       |  FROM directed dd
+       |  JOIN src sa ON dd.d = sa.doc_id
+       |  JOIN src sb ON dd.o = sb.doc_id),
+       |agg AS (
+       |  SELECT src_a, src_b,
+       |         CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs_hit
+       |  FROM lab GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_pairs, n_docs_hit, n_docs_a,
+       |       CAST(floor(n_docs_hit * 10000 / n_docs_a) AS BIGINT) AS share_bp
+       |FROM agg JOIN nsrc ON agg.src_a = nsrc.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_recall_audit: the banding S-curve against exact ground truth
   // ---------------------------------------------------------------------
 
@@ -1562,6 +1625,7 @@ object DedupQueries {
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
+    ("dedup_source_overlap", sourceOverlap _, sourceOverlapSql),
     ("dedup_recall_audit", dedupRecallAudit _, dedupRecallAuditSql),
     ("dedup_simhash", simhash _, simhashSql),
     ("dedup_simhash_pairs", simhashPairs _, simhashPairsSql),

@@ -139,4 +139,35 @@ class DedupSpec extends SparkSpec {
         r.getAs[Double]("cosine")))
     assert(pairs.exists(p => p._1 == 0L && p._2 == 50L && p._3 > 0.99), pairs.toSeq)
   }
+
+  test("source overlap matrix reconciles exactly with the verified pair graph") {
+    val sf = "/root/testdata/sf0.001"
+    val mat = DedupQueries.sourceOverlap(spark, sf).collect()
+    assert(mat.nonEmpty)
+    // independent recompute from the pair list + the raw source labels
+    val pairs = DedupQueries.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val srcOf = graft.util.Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val directed = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expPairs = directed.groupBy { case (d, o) => (srcOf(d), srcOf(o)) }
+      .view.mapValues(_.length).toMap
+    val expHits = directed.groupBy { case (d, o) => (srcOf(d), srcOf(o)) }
+      .view.mapValues(_.map(_._1).distinct.length).toMap
+    assert(mat.length == expPairs.size)
+    for (r <- mat) {
+      val key = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_pairs") == expPairs(key).toLong, key)
+      assert(r.getAs[Long]("n_docs_hit") == expHits(key).toLong, key)
+      assert(r.getAs[Long]("n_docs_hit") <= r.getAs[Long]("n_docs_a"), key)
+      assert(r.getAs[Long]("share_bp") ==
+        r.getAs[Long]("n_docs_hit") * 10000L / r.getAs[Long]("n_docs_a"), key)
+    }
+    // pair symmetry: the (A,B) and (B,A) rows count the same pair set
+    val byKey = mat.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+      r.getAs[Long]("n_pairs")).toMap
+    for (((a, b), n) <- byKey if a != b) assert(byKey((b, a)) == n, (a, b))
+  }
 }
