@@ -2433,6 +2433,81 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // txt_pii_scrub: regex PII detection + mask accounting
+  // ---------------------------------------------------------------------
+
+  /** PII pattern classes, one (class, regex) each — the conservative
+    * common subset of Java regex and RE2 (char classes, bounded
+    * repetition, `\b`; no lookaround, no backrefs) so BOTH engines
+    * compile them identically. Interpolated into BOTH engines.
+    * Cross-engine parity is additionally checked on a PLANTED fixture
+    * dir through the same Verify/compare harness (the shipped corpus
+    * contains no PII, so the production oracle row only proves the
+    * all-zero case). */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b"),
+    ("digit_run", "\\b\\d{13,19}\\b"))
+
+  /** The PII pass every released corpus goes through (the C4/Dolma
+    * mask step): count regex hits per class per document in ONE scan,
+    * roll up per (source, class) — occurrences, documents hit, and the
+    * masked character mass (what `regexp_replace` with a fixed token
+    * would delete) so the operator prices the scrub before running it.
+    * Long-form output: one row per (source, class), the shape a
+    * compliance dashboard reads.
+    *
+    * Scale shape: all four class counts compute inside the single
+    * scan projection (codegen'd regexp over the text column, no
+    * explode of matches); the only shuffle is the |sources|×|classes|
+    * rollup after a bounded 4-way class unpivot of per-doc counters.
+    * Masked mass is exact: sum of match lengths, no replace
+    * materialized. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir).select(
+      Seq(col("source")) ++ PiiPatterns.flatMap { case (cls, pat) =>
+        val hits = regexp_extract_all(col("text"), lit(pat), lit(0))
+        Seq(size(hits).cast(LongType).as(s"n_$cls"),
+          coalesce(aggregate(transform(hits, m => length(m).cast(LongType)),
+            lit(0L), (acc, x) => acc + x), lit(0L)).as(s"chars_$cls"))
+      }: _*)
+    val unpivoted = perDoc.select(col("source"),
+      explode(array(PiiPatterns.map { case (cls, _) =>
+        struct(lit(cls).as("pii_class"), col(s"n_$cls").as("n"),
+          col(s"chars_$cls").as("chars"))
+      }: _*)).as("p"))
+      .select(col("source"), col("p.pii_class"), col("p.n"), col("p.chars"))
+    unpivoted.groupBy(col("source"), col("pii_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_hits"),
+        Tables.countIf(col("n") > 0L).as("n_docs_hit"),
+        sum(col("chars")).as("masked_chars"))
+      .orderBy(col("source"), col("pii_class"))
+  }
+
+  val piiScrubSql: String = {
+    val perClass = PiiPatterns.map { case (cls, pat) =>
+      s"""SELECT source, '$cls' AS pii_class,
+         |       CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n,
+         |       CAST(COALESCE(list_sum(list_transform(
+         |         regexp_extract_all(text, '$pat'), m -> len(m))), 0) AS BIGINT)
+         |         AS chars
+         |FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH per_doc AS (
+       |  $perClass)
+       |SELECT source, pii_class,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS n_hits,
+       |       count(CASE WHEN n > 0 THEN 1 END) AS n_docs_hit,
+       |       CAST(sum(chars) AS BIGINT) AS masked_chars
+       |FROM per_doc
+       |GROUP BY 1, 2
+       |ORDER BY source, pii_class""".stripMargin
+  }
+
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(LongType)
@@ -2568,5 +2643,6 @@ object TextQueries {
     ("txt_kneser_ney", kneserNey _, kneserNeySql),
     ("txt_quality_lr", qualityLr _, qualityLrSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql),
-    ("txt_blocklist_scrub", blocklistScrub _, blocklistScrubSql))
+    ("txt_blocklist_scrub", blocklistScrub _, blocklistScrubSql),
+    ("txt_pii_scrub", piiScrub _, piiScrubSql))
 }

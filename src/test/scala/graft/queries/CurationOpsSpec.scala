@@ -153,6 +153,41 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii scrub: planted classes count exactly; edge strings excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "contact me at alice.smith+spam@example-mail.co.uk or bob@x.io today", "en", "srcA"),
+      (2L, "server at 10.0.255.7 and 192.168.1.1 responded", "en", "srcA"),
+      (3L, "call 555-867-5309 re card 4111111111111111 now", "en", "srcB"),
+      (4L, "clean document with no personal data at all", "en", "srcB"),
+      (5L, "edge: not-an-ip 1.2.3 and short 12345 digits", "en", "srcB"))
+    val d = tmpDir("graft-pii")
+    writeFixture(d, "documents", rows.toDF("doc_id", "text", "lang", "source"))
+    val out = TextQueries.piiScrub(spark, d.toString).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("pii_class")) ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_docs_hit"),
+          r.getAs[Long]("masked_chars")))).toMap
+    assert(out.size == 8) // 2 sources x 4 classes, zero rows included
+    assert(out(("srcA", "email")) == ((2L, 1L,
+      "alice.smith+spam@example-mail.co.uk".length + "bob@x.io".length)))
+    assert(out(("srcA", "ipv4")) == ((2L, 1L,
+      "10.0.255.7".length + "192.168.1.1".length)))
+    assert(out(("srcB", "phone")) == ((1L, 1L, "555-867-5309".length.toLong)))
+    assert(out(("srcB", "digit_run")) == ((1L, 1L, 16L)))
+    // the near-miss strings (1.2.3, 12345) must NOT count
+    assert(out(("srcB", "ipv4")) == ((0L, 0L, 0L)))
+    assert(out(("srcA", "phone")) == ((0L, 0L, 0L)))
+  }
+
+  test("pii scrub: shipped corpus is pii-free — every class reports zero") {
+    val out = TextQueries.piiScrub(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_hits") == 0L, r)
+      assert(r.getAs[Long]("masked_chars") == 0L, r)
+    }
+  }
+
   test("hard negatives: real-corpus output respects the band per anchor") {
     val out = SimilarityQueries.hardNegatives(spark, "/root/testdata/sf0.001")
       .collect()

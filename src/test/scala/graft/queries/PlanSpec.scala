@@ -710,6 +710,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pii scrub: one corpus scan; match grain never materializes") {
+    val p = plan("txt_pii_scrub")
+    // all four class counters compute in the projection of a single
+    // documents scan; a second scan would mean per-pattern passes
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    // the only Generate is the bounded 4-struct class unpivot — a
+    // match-grain explode would multiply rows by hit count instead
+    assert("Generate explode".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ks drift: grid joins broadcast; argmax rides WindowGroupLimit") {
     val p = plan("util_ks_drift")
     // the |sources| x |jump points| evaluation grid is built by
