@@ -264,6 +264,97 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_containment_pairs: EXACT asymmetric-containment join
+  // ---------------------------------------------------------------------
+
+  /** Asymmetric CONTAINMENT ≥ τ pairs — the boilerplate/superset
+    * detector Jaccard machinery structurally misses: a 10-shingle doc
+    * fully embedded in a 100-shingle doc has containment 1.0 but
+    * Jaccard 0.1, below every symmetric threshold (this is how quote
+    * farms and template expansions survive near-dup passes).
+    * [[contamination]] applies containment across the train/eval
+    * split; this is the intra-corpus form, exact via the ASYMMETRIC
+    * prefix filter: if |A∩B| ≥ τ|A| then |A\B| ≤ (1−τ)|A|, so A must
+    * share one of its ⌊(1−τ)·n⌋+1 globally-rarest shingles with B —
+    * only that probe prefix is indexed on the contained side, joined
+    * against the full index (zero false negatives proven in
+    * ContainmentPairsSpec). No size-ratio pruning, by design: wild
+    * size asymmetry is exactly the target.
+    *
+    * Scale: the probe side indexes ~(1−τ) of each doc's shingles, and
+    * rare-first ordering gives those the SHORTEST postings (the
+    * [[prefixJaccard]] argument); verification touches candidate
+    * pairs only. Output is directional: doc_a is the CONTAINED doc. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val shN = withSizes(shingles(spark, dir)).persist()
+    shN.count()
+    val dfs = shN.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // probe length ⌊(1−τ)n⌋+1 = n − ⌈τn⌉ + 1 in PURE int64 (⌈4n/5⌉ =
+    // (4n+4) div 5): a float (1−τ) here is 0.19999..96 in one engine
+    // and exact decimal 0.2 in the other — one probe short on docs
+    // with n divisible by 5, which cost a pair at sf0.1
+    val probe = shN.join(dfs, "s")
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      .select(col("doc_id"), col("s"))
+    val cand = probe.as("a").join(shN.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(shN.select(col("doc_id").as("doc_a"), col("s"),
+        col("n").as("n_a")), "doc_a")
+      .join(shN.select(col("doc_id").as("doc_b"), col("s"),
+        col("n").as("n_b")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+    Tables.released(
+      common
+        // threshold as the exact rational 5·common ≥ 4·n_a — the
+        // double is for display only, never compared
+        .filter(col("common") * lit(5L) >= col("n_a") * lit(4L))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          (col("common").cast(DoubleType) / col("n_a").cast(DoubleType))
+            .as("containment"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      shN)
+  }
+
+  private[queries] val ContainTau = 0.8
+
+  val containmentPairsSql: String =
+    s"""WITH sh AS ($shinglesCte),
+       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |sized AS (
+       |  SELECT doc_id, s,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM sh),
+       |probe AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT z.doc_id, z.s, z.n,
+       |           row_number() OVER (PARTITION BY z.doc_id
+       |                              ORDER BY d.df, z.s) AS rn
+       |    FROM sized z JOIN dfs d USING (s))
+       |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS doc_a, f.doc_id AS doc_b
+       |  FROM probe p JOIN sh f ON p.s = f.s AND p.doc_id != f.doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
+       |         count(*) AS common
+       |  FROM cand c
+       |  JOIN sized sa ON c.doc_a = sa.doc_id
+       |  JOIN sized sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, n_a, n_b,
+       |       CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+       |FROM common
+       |WHERE common * 5 >= n_a * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_posting_audit: what does the posting-list cap cost?
   // ---------------------------------------------------------------------
 
@@ -1622,6 +1713,7 @@ object DedupQueries {
     ("dedup_exact", exact _, exactSql),
     ("dedup_ngram_jaccard", ngramJaccard _, ngramJaccardSql),
     ("dedup_prefix_jaccard", prefixJaccard _, prefixJaccardSql),
+    ("dedup_containment_pairs", containmentPairs _, containmentPairsSql),
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
