@@ -291,25 +291,41 @@ object DedupQueries {
     val dfs = shN.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // every posting carries (n, rn) — rn is the shingle's position in
+    // the doc's globally-consistent rarest-first order (df, s); the
+    // SAME order in every doc is what makes the positional bound valid
+    val ranked = shN.join(dfs, "s")
+      .withColumn("rn", row_number().over(rw)).persist()
     // probe length ⌊(1−τ)n⌋+1 = n − ⌈τn⌉ + 1 in PURE int64 (⌈4n/5⌉ =
     // (4n+4) div 5): a float (1−τ) here is 0.19999..96 in one engine
     // and exact decimal 0.2 in the other — one probe short on docs
-    // with n divisible by 5, which cost a pair at sf0.1
-    val probe = shN.join(dfs, "s")
-      .withColumn("rn", row_number().over(rw))
-      .filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
-      .select(col("doc_id"), col("s"))
-    val cand = probe.as("a").join(shN.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+    // with n divisible by 5, which cost a pair at sf0.1.
+    // Candidate row filters, all EXACT (no qualifying pair lost):
+    //  - size: containment needs |B| ≥ τ|A| (5·n_b ≥ 4·n_a)
+    //  - positional (ppjoin lemma on the pair's rarest COMMON shingle,
+    //    always inside A's probe for qualifying pairs): common ≤
+    //    1 + min(n_a − rn_a, n_b − rn_b) must still reach ⌈τ·n_a⌉
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          expr("a.rn <= a.n - ((4 * a.n + 4) div 5) + 1") &&
+          expr("5 * b.n >= 4 * a.n") &&
+          expr("1 + least(a.n - a.rn, b.n - b.rn) >= (4 * a.n + 4) div 5"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // verify on doc-grain sorted shingle ARRAYS: candidate pairs pull
+    // two bounded arrays and intersect map-side — no pair×posting
+    // explode, no billion-row shuffle+agg (the exploded verify was the
+    // @10× wall: see BENCH_SF1.md round 10)
+    val arrs = shN.groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
     val common = cand
-      .join(shN.select(col("doc_id").as("doc_a"), col("s"),
-        col("n").as("n_a")), "doc_a")
-      .join(shN.select(col("doc_id").as("doc_b"), col("s"),
-        col("n").as("n_b")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("common"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("arr").as("arr_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("arr").as("arr_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast(LongType).as("common"))
     Tables.released(
       common
         // threshold as the exact rational 5·common ≥ 4·n_a — the
@@ -319,7 +335,7 @@ object DedupQueries {
           (col("common").cast(DoubleType) / col("n_a").cast(DoubleType))
             .as("containment"))
         .orderBy(col("doc_a"), col("doc_b")),
-      shN)
+      shN, ranked)
   }
 
   private[queries] val ContainTau = 0.8
@@ -331,23 +347,27 @@ object DedupQueries {
        |  SELECT doc_id, s,
        |         count(*) OVER (PARTITION BY doc_id) AS n
        |  FROM sh),
-       |probe AS (
-       |  SELECT doc_id, s FROM (
-       |    SELECT z.doc_id, z.s, z.n,
-       |           row_number() OVER (PARTITION BY z.doc_id
-       |                              ORDER BY d.df, z.s) AS rn
-       |    FROM sized z JOIN dfs d USING (s))
-       |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+       |ranked AS (
+       |  SELECT z.doc_id, z.s, z.n,
+       |         row_number() OVER (PARTITION BY z.doc_id
+       |                            ORDER BY d.df, z.s) AS rn
+       |  FROM sized z JOIN dfs d USING (s)),
        |cand AS (
-       |  SELECT DISTINCT p.doc_id AS doc_a, f.doc_id AS doc_b
-       |  FROM probe p JOIN sh f ON p.s = f.s AND p.doc_id != f.doc_id),
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.s = b.s AND a.doc_id != b.doc_id
+       |   AND a.rn <= a.n - ((4 * a.n + 4) // 5) + 1
+       |   AND 5 * b.n >= 4 * a.n
+       |   AND 1 + least(a.n - a.rn, b.n - b.rn) >= (4 * a.n + 4) // 5),
+       |arrs AS (
+       |  SELECT doc_id, n, list_sort(list(s)) AS arr
+       |  FROM sized GROUP BY doc_id, n),
        |common AS (
        |  SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
-       |         count(*) AS common
+       |         CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS common
        |  FROM cand c
-       |  JOIN sized sa ON c.doc_a = sa.doc_id
-       |  JOIN sized sb ON c.doc_b = sb.doc_id AND sa.s = sb.s
-       |  GROUP BY 1, 2, 3, 4)
+       |  JOIN arrs sa ON c.doc_a = sa.doc_id
+       |  JOIN arrs sb ON c.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, n_a, n_b,
        |       CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
        |FROM common

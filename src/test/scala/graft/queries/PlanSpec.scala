@@ -710,6 +710,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("containment pairs: equi-join candidates; array verify, no pair explode") {
+    val p = plan("dedup_containment_pairs")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the verify must intersect doc-grain sorted arrays map-side — a
+    // regression to the pair×posting exploded join re-creates the
+    // billion-row shuffle+agg measured at 8.1× @10× (BENCH_SF1.md r10)
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("pii scrub: one corpus scan; match grain never materializes") {
     val p = plan("txt_pii_scrub")
     // all four class counters compute in the projection of a single
