@@ -2434,6 +2434,66 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------------
+  // txt_novelty: per-source novel-content share in arrival order
+  // ---------------------------------------------------------------------
+
+  /** How much NEW content each source contributes, in arrival
+    * (doc_id) order: a shingle is novel iff this document is its
+    * first occurrence in the corpus; the per-source novel share is
+    * the number every data-scaling discussion leans on (recycled
+    * shingle mass is what dedup removes and what repeated-data
+    * scaling laws discount). Low novelty_bp = the source mostly
+    * re-says what earlier documents already said — the first source
+    * to drop when the token budget binds.
+    *
+    * Scale shape: one shingle pass to the (doc, s) grain, one
+    * s-keyed groupBy for first occurrences (the standard inverted-
+    * index build), one linear join back, one |sources| rollup —
+    * nothing pairwise anywhere. novelty_bp is exact int64. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingleHashesOfToks
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // projection barrier: keep `toks` an
+                                  // attribute so the shingle lambda
+                                  // doesn't re-tokenize per element
+      .select(col("doc_id"), col("source"),
+        explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
+      .persist() // feeds the first-occurrence index and the join back
+    val firstOcc = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    Tables.released(
+      sh.join(firstOcc, "s")
+        .select(col("source"),
+          (col("doc_id") === col("first_doc")).cast(LongType).as("novel"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_postings"),
+          sum(col("novel")).as("n_novel"))
+        .select(col("source"), col("n_postings"), col("n_novel"),
+          floor(col("n_novel") * lit(10000L) / col("n_postings"))
+            .cast(LongType).as("novelty_bp"))
+        .orderBy(col("source")),
+      sh)
+  }
+
+  val noveltySql: String = {
+    import graft.functions.TextFunctions.shingleHashesSql
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, unnest(${shingleHashesSql(3)}) AS s
+       |  FROM documents),
+       |first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |j AS (
+       |  SELECT sh.source,
+       |         CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+       |  FROM sh JOIN first f ON sh.s = f.s)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_postings,
+       |       CAST(sum(novel) AS BIGINT) AS n_novel,
+       |       CAST(floor(sum(novel) * 10000 / count(*)) AS BIGINT) AS novelty_bp
+       |FROM j GROUP BY 1
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // txt_pii_scrub: regex PII detection + mask accounting
   // ---------------------------------------------------------------------
 
@@ -2644,5 +2704,6 @@ object TextQueries {
     ("txt_quality_lr", qualityLr _, qualityLrSql),
     ("txt_quality_gate", qualityGate _, qualityGateSql),
     ("txt_blocklist_scrub", blocklistScrub _, blocklistScrubSql),
-    ("txt_pii_scrub", piiScrub _, piiScrubSql))
+    ("txt_pii_scrub", piiScrub _, piiScrubSql),
+    ("txt_novelty", novelty _, noveltySql))
 }

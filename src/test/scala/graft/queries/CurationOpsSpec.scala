@@ -188,6 +188,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("novelty: copies count zero novel; novel mass sums to distinct shingles") {
+    import org.apache.spark.sql.functions._
+    // srcA doc 1 is first with its content; srcB doc 2 is an exact
+    // copy (zero novel), doc 3 is fresh (all novel)
+    val t1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val t3 = (1 to 25).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (1L, t1, "en", "srcA"), (2L, t1, "en", "srcB"), (3L, t3, "en", "srcB"))
+    val d = tmpDir("graft-novelty")
+    writeFixture(d, "documents", rows.toDF("doc_id", "text", "lang", "source"))
+    val out = TextQueries.novelty(spark, d.toString).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_postings"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_bp")))).toMap
+    assert(out("srcA") == ((28L, 28L, 10000L)), out)   // 30 tokens → 28 shingles
+    assert(out("srcB") == ((51L, 23L, 23L * 10000L / 51L)), out) // copy 0 + fresh 23
+    // real corpus: total novel rows == number of distinct shingles
+    val real = TextQueries.novelty(spark, "/root/testdata/sf0.001").collect()
+    val totNovel = real.map(_.getAs[Long]("n_novel")).sum
+    import graft.functions.TextFunctions.{shingleHashesOfToks, tokens}
+    val distinctShingles = graft.util.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(shingleHashesOfToks(tokens(col("text")), 3)).as("s"))
+      .agg(count_distinct(col("s"))).head().getLong(0)
+    assert(totNovel == distinctShingles, s"$totNovel != $distinctShingles")
+    for (r <- real)
+      assert(r.getAs[Long]("novelty_bp") >= 0L &&
+        r.getAs[Long]("novelty_bp") <= 10000L, r)
+  }
+
   test("hard negatives: real-corpus output respects the band per anchor") {
     val out = SimilarityQueries.hardNegatives(spark, "/root/testdata/sf0.001")
       .collect()
