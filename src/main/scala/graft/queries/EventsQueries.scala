@@ -2167,6 +2167,116 @@ object EventsQueries {
       |ORDER BY event_type, next_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ev_markov_steady: steady-state of the event-type transition chain
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point unit (pico) and iteration count for the steady-state
+    * power iteration. Interpolated into BOTH engines. 12 because the
+    * oracle UNROLLS the iterations as CTEs and DuckDB's planner goes
+    * exponential past ~15 (measured: 12 → 0.96 s, 15 → 2 s, 18 →
+    * 11.7 s); the damped chain converges to fixed-point stability by
+    * iteration 6 on this corpus (spec-pinned π₁₂ = π₁₁), so 12 buys a
+    * 2× convergence margin inside the planner budget. */
+  private val MsUnit = 1000000000000L
+  private val MsIters = 12
+
+  /** Where does the event stream SETTLE — the stationary distribution
+    * of [[transitionMatrix]]'s first-order chain, the long-run share
+    * of attention each event type commands (what "equilibrium mix"
+    * capacity planning assumes). Power iteration with PageRank-style
+    * 15% uniform teleport: the raw chain need not be ergodic (types
+    * that only ever END sessions have no outgoing row and would leak
+    * mass), damping makes the fixed point exist and the iteration
+    * geometric. Same int64 pico fixed-point discipline as
+    * [[DedupQueries.pagerank]] — per-state contribution is
+    * (π div n_from)·n_trans, so both engines truncate identically and
+    * the result is bit-identical, never float-summed.
+    *
+    * Scale shape: ONE corpus pass builds the exact transition counts
+    * (the same lead-over-user window as the matrix query); the
+    * iteration then runs on the |types|² grain — constant-size frames,
+    * localCheckpoint per round to keep lineage flat. */
+  def markovSteady(spark: SparkSession, dir: String): DataFrame =
+    markovSteadyIters(spark, dir, MsIters)
+
+  /** [[markovSteady]] at an explicit iteration count — the spec runs
+    * consecutive counts to pin that the published depth has already
+    * reached fixed-point stability. */
+  private[queries] def markovSteadyIters(
+      spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+      .localCheckpoint(true)
+    val outSum = trans.groupBy(col("src")).agg(sum(col("n_trans")).as("n_from"))
+    val states = trans.select(col("src").as("t"))
+      .union(trans.select(col("dst").as("t"))).distinct()
+      .localCheckpoint(true)
+    val k = math.max(states.count(), 1L)
+    val base = (MsUnit * 15L / 100L) / k
+    var pi = states.select(col("t"), lit(MsUnit / k).as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = trans
+        .join(pi.select(col("t").as("src"), col("pi")), "src")
+        .join(outSum, "src")
+        .groupBy(col("dst").as("t"))
+        .agg(sum(expr("(pi div n_from) * n_trans")).as("inflow"))
+      pi = states.join(inflow, Seq("t"), "left")
+        .select(col("t"),
+          (lit(base) + expr("(coalesce(inflow, 0L) * 85) div 100")).as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("t").as("event_type"), col("pi").as("pi_pico"))
+      .orderBy(col("pi_pico").desc, col("event_type"))
+  }
+
+  val markovSteadySql: String = {
+    val iters = (1 to MsIters).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS t,
+         |         CAST(sum((p.pi // o.n_from) * e.n_trans) AS BIGINT) AS inflow
+         |  FROM trans e
+         |  JOIN pi${r - 1} p ON e.src = p.t
+         |  JOIN outsum o ON e.src = o.src
+         |  GROUP BY 1),
+         |pi$r AS (
+         |  SELECT s.t,
+         |         ((${MsUnit * 15L / 100L} // kk.k)
+         |           + (COALESCE(c.inflow, 0) * 85) // 100) AS pi
+         |  FROM states s CROSS JOIN kk LEFT JOIN c$r c ON s.t = c.t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seqx AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_us(ts), event_id) AS next_type
+       |  FROM events),
+       |trans AS (
+       |  SELECT event_type AS src, next_type AS dst,
+       |         CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM seqx WHERE next_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |outsum AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS n_from
+       |           FROM trans GROUP BY 1),
+       |states AS (
+       |  SELECT DISTINCT t FROM (
+       |    SELECT src AS t FROM trans UNION SELECT dst AS t FROM trans)),
+       |kk AS (SELECT greatest(count(*), 1) AS k FROM states),
+       |pi0 AS (SELECT t, $MsUnit // kk.k AS pi FROM states CROSS JOIN kk),
+       |$iters
+       |SELECT t AS event_type, CAST(pi AS BIGINT) AS pi_pico
+       |FROM pi$MsIters
+       |ORDER BY pi_pico DESC, event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // ev_streaks: gaps-and-islands — longest consecutive same-type runs
   // ---------------------------------------------------------------------
 
@@ -2719,6 +2829,7 @@ object EventsQueries {
     ("ev_hourly_bookends", hourlyBookends _, hourlyBookendsSql),
     ("ev_funnel_sequences", funnelSequences _, funnelSequencesSql),
     ("ev_transition_matrix", transitionMatrix _, transitionMatrixSql),
+    ("ev_markov_steady", markovSteady _, markovSteadySql),
     ("ev_sequence_entropy", sequenceEntropy _, sequenceEntropySql),
     ("ev_bootstrap_ci", bootstrapCi _, bootstrapCiSql),
     ("ev_ewma_forecast", ewmaForecast _, ewmaForecastSql),
