@@ -542,6 +542,13 @@ object DedupQueries {
     * when two overlap, next to [[contamination]]'s train-vs-eval
     * special case.
     *
+    * n_pairs convention: each undirected pair is counted once per
+    * DIRECTION, so an intra-source pair contributes 2 to its diagonal
+    * cell while a cross-source pair contributes 1 to each of its two
+    * off-diagonal cells — every cell is "directed edges out of src_a",
+    * symmetric by construction. n_docs_hit/share_bp count distinct
+    * docs and are unaffected.
+    *
     * Scale shape: pairs come from the banded candidate join (never
     * all-pairs); the rollup output is bounded by |sources|²; the two
     * label attachments are doc_id equi-joins on the k-bounded pair
@@ -573,6 +580,9 @@ object DedupQueries {
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_a
        |  FROM src GROUP BY 1),
        |directed AS (
+       |  -- one row per DIRECTION: an intra-source pair lands twice in
+       |  -- its diagonal cell, a cross-source pair once per off-diagonal
+       |  -- cell (n_pairs = directed edges out of src_a)
        |  SELECT doc_a AS d, doc_b AS o FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS d, doc_a AS o FROM pairs),

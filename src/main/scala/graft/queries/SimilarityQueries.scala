@@ -478,9 +478,16 @@ object SimilarityQueries {
         .cast(LongType).as(s"p10_bp_$t"),
       coalesce(floor(lit(1000000L) / col(s"$t.first_rel")), lit(0L))
         .cast(LongType).as(s"mrr_micro_$t"),
-      floor(coalesce(col(s"$t.dcg_micro"), lit(0L)) * lit(10000L) /
-        element_at(cumArr, least(col("n_rel_corpus"), lit(TopK.toLong))
-          .cast(IntegerType)))
+      // n_rel_corpus = 0 (a query whose label appears nowhere else)
+      // would index the prefix-sum array at 0 — a runtime error in
+      // Spark (SQL arrays are 1-based) and NULL in DuckDB. Define
+      // nDCG as 0 when there are no relevant results to find, and
+      // clamp the index to >= 1 so the division path is total.
+      when(col("n_rel_corpus") === 0L, lit(0L))
+        .otherwise(floor(coalesce(col(s"$t.dcg_micro"), lit(0L)) * lit(10000L) /
+          element_at(cumArr,
+            greatest(lit(1L), least(col("n_rel_corpus"), lit(TopK.toLong)))
+              .cast(IntegerType))))
         .cast(LongType).as(s"ndcg_bp_$t"))
     qLab
       .join(labCnt, col("q_label") === col("label"))
@@ -513,8 +520,10 @@ object SimilarityQueries {
          |         AS p10_bp_$t,
          |       CAST(COALESCE(floor(1000000 / $t.first_rel), 0) AS BIGINT)
          |         AS mrr_micro_$t,
-         |       CAST(floor(COALESCE($t.dcg_micro, 0) * 10000 /
-         |         ($cumList)[CAST(least(b.n_rel_corpus, $TopK) AS INTEGER)])
+         |       CAST(CASE WHEN b.n_rel_corpus = 0 THEN 0
+         |         ELSE floor(COALESCE($t.dcg_micro, 0) * 10000 /
+         |           ($cumList)[CAST(greatest(1, least(b.n_rel_corpus, $TopK))
+         |             AS INTEGER)]) END
          |         AS BIGINT) AS ndcg_bp_$t""".stripMargin
     s"""WITH exact_pairs AS ($bruteTopKSql),
        |lsh_pairs AS ($lshMultiProbeSql),

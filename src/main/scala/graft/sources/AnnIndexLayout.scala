@@ -111,8 +111,11 @@ object AnnIndexLayout {
     * anti-join drops them, so the stream-built index equals the
     * batch-built one over the same data (StreamDeltaIndexSpec). */
   def appendDeltaVectors(spark: SparkSession, prefix: String,
-      vecs: DataFrame, buckets: Int = 8): Unit = {
+      vecs0: DataFrame, buckets: Int = 8): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the per-table anti-joins dedup only against PERSISTED rows; a
+    // batch carrying the same vec_id twice would file it twice
+    val vecs = vecs0.dropDuplicates("vec_id")
     val (cents, pqcb) = geometry(spark, prefix)
     BucketedTables.appendBucketed(
       SimilarityQueries.ivfAssignWith(cents,

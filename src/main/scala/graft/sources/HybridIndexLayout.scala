@@ -71,8 +71,12 @@ object HybridIndexLayout {
     * time. */
   def appendDeltaVectorsDense(spark: SparkSession, prefix: String,
       vecs: DataFrame, buckets: Int = 8): Unit = {
+    // the anti-join dedups only against the PERSISTED signatures; a
+    // batch carrying the same vec_id twice would pass it twice and
+    // file duplicate signature rows — dedup within the batch first
     BucketedTables.appendBucketed(
-      SimilarityQueries.lshSignaturesOf(SimilarityQueries.normedVectors(vecs))
+      SimilarityQueries.lshSignaturesOf(SimilarityQueries.normedVectors(
+          vecs.dropDuplicates("vec_id")))
         .join(BucketedTables.read(spark, s"${prefix}_sigs")
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"),
       s"${prefix}_sigs", "bucket", buckets)
@@ -111,12 +115,30 @@ object HybridIndexLayout {
 
   // ---- fused serving --------------------------------------------------
 
+  /** Right-to-be-forgotten against the FUSED surface: tombstones are
+    * per-prefix, so a purge against only one leg would keep serving
+    * the document into fused results through the other leg. This
+    * helper tombstones the ids on BOTH legs (text postings under
+    * `textPrefix`, dense signatures under `densePrefix`) in one call —
+    * the only purge entry point a [[serveHybrid]] caller should use.
+    * Assumes the hybrid deployment's shared id space (doc_id ==
+    * vec_id, the `txt_hybrid_rrf` convention). Idempotent per leg. */
+  def purgeHybrid(spark: SparkSession, textPrefix: String,
+      densePrefix: String, ids: DataFrame): Unit = {
+    TextIndexLayout.purgeDocs(spark, textPrefix, ids)
+    purgeDense(spark, densePrefix, ids)
+  }
+
   /** Serve an ARBITRARY hybrid request frame — (q_id BIGINT,
     * text STRING, embedding ARRAY<FLOAT>) — with RRF fusion of the two
     * persisted legs. A request whose text is all-OOV (or null) simply
     * gets no sparse rows and fuses dense-only, and vice versa — the
     * full-outer fusion tolerates a missing leg per query by
-    * construction ([[TextQueries.rrfFuse]]). */
+    * construction ([[TextQueries.rrfFuse]]).
+    *
+    * Deletion: purge through [[purgeHybrid]], never a single leg — a
+    * half-purged document would still reach fused results via the
+    * leg that was skipped. */
   def serveHybrid(spark: SparkSession, dir: String, textPrefix: String,
       densePrefix: String, queries: DataFrame,
       excludeSelf: Boolean = false): DataFrame = {

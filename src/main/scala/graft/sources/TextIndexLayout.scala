@@ -112,7 +112,9 @@ object TextIndexLayout {
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs: DataFrame, buckets: Int = 8): Unit = {
     val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
-    val perDoc = TextQueries.bm25TermGrain(docs)
+    // within-batch duplicates would pass the persisted-postings
+    // anti-join together and double-file their term rows
+    val perDoc = TextQueries.bm25TermGrain(docs.dropDuplicates("doc_id"))
     BucketedTables.appendBucketed(
       TextQueries.bm25Postings(perDoc, frozen, TextQueries.bm25DocLens(perDoc))
         .join(BucketedTables.read(spark, s"${prefix}_postings")

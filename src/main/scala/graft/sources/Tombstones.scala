@@ -56,12 +56,15 @@ object Tombstones {
       .limit(0)
 
   /** Filter `idCol` of `df` against the tombstones — identity when the
-    * index has never seen a purge, broadcast anti-join otherwise. */
+    * index has never seen a purge, broadcast anti-join otherwise.
+    * The tombstone side is aliased so a caller frame that itself
+    * carries an `id` column can never make the join key ambiguous. */
   def filter(spark: SparkSession, prefix: String, df: DataFrame,
       idCol: String): DataFrame =
     if (!exists(spark, prefix)) df
-    else df.join(broadcast(spark.table(table(prefix))),
-      df(idCol) === col("id"), "left_anti")
+    else df.join(
+      broadcast(spark.table(table(prefix)).select(col("id").as("__tomb_id"))),
+      df(idCol) === col("__tomb_id"), "left_anti")
 
   /** Drop the tombstone list — called by the layouts' compaction after
     * the rows are physically gone. */
