@@ -42,7 +42,15 @@ object DedupQueries {
     * generator references a token-array attribute — inlining the split
     * would re-tokenize once per shingle (see shingleHashesOfToks). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    shinglesOf(docs(spark, dir))
+
+  /** [[shingles]] for an ARBITRARY (doc_id, text) frame — shared with
+    * the persisted dedup index ([[graft.sources.DedupIndexLayout]]),
+    * whose deltas must shingle EXACTLY like the corpus build (the
+    * shingle/minhash constants are fixed code, so a signature can
+    * never drift between build and delta — the structural freeze). */
+  private[graft] def shinglesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingleHashesOfToks(col("toks"), 3)).as("s"))
 
@@ -55,7 +63,7 @@ object DedupQueries {
     * lets Jaccard be computed directly in the pair group-by — no
     * separate sizes table and no post-aggregation re-joins (removing
     * those three joins measured ~1.7x on the ngram query at sf0.1). */
-  private def withSizes(sh: DataFrame): DataFrame =
+  private[graft] def withSizes(sh: DataFrame): DataFrame =
     sh.withColumn("n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))))
@@ -423,7 +431,7 @@ object DedupQueries {
   // ---------------------------------------------------------------------
 
   /** Unsorted signature (partial-agg'd map-side, one shuffle on doc_id). */
-  private def minhashSigFrom(sh: DataFrame): DataFrame =
+  private[graft] def minhashSigFrom(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
         min(minHash(0, col("s"))).as("m0"),
@@ -472,15 +480,23 @@ object DedupQueries {
     * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
     * cache once its sized copy is built, so a caller sharing `sh`
     * must materialize its other consumers FIRST. */
-  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
-    val sig = minhashSigFrom(sh).persist()
-    sig.count()
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, band_id, key) LSH band rows of a signature frame — 4
+    * bands of 4 consecutive minhash values each. ONE definition shared
+    * by the online pair queries and the persisted dedup index
+    * ([[graft.sources.DedupIndexLayout]]): a banding change edited here
+    * cannot desynchronize the index from the queries it serves. */
+  private[graft] def minhashBandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),
           concat_ws(":", (0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
+    val sig = minhashSigFrom(sh).persist()
+    sig.count()
+    val bands = minhashBandsOf(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1738,6 +1754,164 @@ object DedupQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // dedup_delta_pairs / dedup_delta_accounting: incremental dedup at ingest
+  // ---------------------------------------------------------------------
+
+  /** The delta split: every doc with doc_id % 5 == 3 plays "today's
+    * crawl snapshot" (~20%), the rest the already-indexed corpus.
+    * Interpolated into BOTH engines. */
+  private val DeltaMod = 5L
+  private val DeltaRes = 3L
+  private[graft] val DeltaPred: Column = col("doc_id") % DeltaMod === DeltaRes
+  private val deltaPredSql: String = s"doc_id % $DeltaMod = $DeltaRes"
+
+  /** Verified near-dup pairs TOUCHING a delta of new documents — the
+    * incremental shape a continuous-crawl corpus runs DAILY instead of
+    * re-deduping 100 TB per snapshot: candidate generation starts from
+    * the DELTA's band rows only (delta × (corpus ∪ delta) equi-join on
+    * the band key — never corpus × corpus), and exact-Jaccard
+    * verification runs through the union shingle index on the
+    * candidate grain. Because a doc's shingles/signature/bands depend
+    * on nothing but its own text, and band-collision candidacy is
+    * symmetric per pair, the result equals the full-corpus
+    * [[minhashPairs]] restricted to pairs with ≥1 delta member —
+    * DedupIndexLayoutSpec asserts byte-equality in both directions.
+    *
+    * `corpusSized` (doc_id, s, n) / `corpusBands` (doc_id, band_id,
+    * key) are computed on the fly by the registered query and read
+    * from the persisted bucketed tables by
+    * [[graft.sources.DedupIndexLayout.dedupDelta]]. Both are
+    * anti-joined against the delta's ids first, so a REPLAYED delta
+    * (docs already appended to the index) dedups identically instead
+    * of double-counting its own shingle rows — the idempotence the
+    * streaming twin leans on. The delta is request-sized relative to
+    * the corpus, so the id anti-joins broadcast. */
+  private[graft] def deltaPairsCore(corpusSized: DataFrame,
+      corpusBands: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    val ids = deltaDocs.select(col("doc_id")).distinct()
+    // eager pin: the delta shingle pass feeds bands + both verify legs;
+    // localCheckpoint (not persist) so micro-batch callers leak no
+    // cache entries across batches
+    val shD = withSizes(shinglesOf(deltaDocs)).localCheckpoint(true)
+    val bD = minhashBandsOf(minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    val bAll = corpusBands.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(bD)
+    val cand = bD.as("a").join(bAll.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val shAll = corpusSized.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(shD)
+    verifyJaccardSized(cand, shAll).filter(col("jaccard") >= 0.3)
+  }
+
+  /** Registered incremental-dedup query: the [[DeltaPred]] split run
+    * through [[deltaPairsCore]], tagged with where each pair lands
+    * (new-vs-corpus or new-vs-new). Oracle: the FULL-corpus pairs CTE
+    * restricted to delta members — the equality that makes incremental
+    * dedup trustworthy. */
+  def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val shC = withSizes(shinglesOf(d.filter(!DeltaPred))).persist()
+    shC.count()
+    val bC = minhashBandsOf(minhashSigFrom(shC.select(col("doc_id"), col("s"))))
+    Tables.released(
+      deltaPairsCore(shC, bC, d.filter(DeltaPred))
+        .withColumn("pair_kind",
+          when(col("doc_a") % DeltaMod === DeltaRes &&
+              col("doc_b") % DeltaMod === DeltaRes, "delta_delta")
+            .otherwise("delta_corpus"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      shC)
+  }
+
+  val deltaPairsSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard,
+       |       CASE WHEN doc_a % $DeltaMod = $DeltaRes
+       |              AND doc_b % $DeltaMod = $DeltaRes THEN 'delta_delta'
+       |            ELSE 'delta_corpus' END AS pair_kind
+       |FROM pairs
+       |WHERE doc_a % $DeltaMod = $DeltaRes OR doc_b % $DeltaMod = $DeltaRes
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The table an ingest operator actually reads: per source of the
+    * NEW docs, how much of today's snapshot is already in the corpus
+    * (n_dup_vs_corpus), self-duplicated within the snapshot
+    * (n_dup_in_delta), and genuinely new (n_unique_new) — the
+    * keep/drop decision for the append. Rollup over the delta-pair
+    * grain; the heavy work is [[deltaPairsCore]] unchanged. */
+  def deltaAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val shC = withSizes(shinglesOf(d.filter(!DeltaPred))).persist()
+    shC.count()
+    val bC = minhashBandsOf(minhashSigFrom(shC.select(col("doc_id"), col("s"))))
+    val pairs = deltaPairsCore(shC, bC, d.filter(DeltaPred))
+    val hits = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .unionByName(
+        pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+      .filter(col("doc_id") % DeltaMod === DeltaRes)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("other") % DeltaMod =!= DeltaRes).cast(LongType))
+          .as("hit_corpus"),
+        max((col("other") % DeltaMod === DeltaRes).cast(LongType))
+          .as("hit_delta"))
+    Tables.released(
+      d.filter(DeltaPred).select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_new_docs"),
+          coalesce(sum(col("hit_corpus")), lit(0L)).as("n_dup_vs_corpus"),
+          coalesce(sum(col("hit_delta")), lit(0L)).as("n_dup_in_delta"),
+          coalesce(sum(greatest(col("hit_corpus"), col("hit_delta"))), lit(0L))
+            .as("n_dup_any"))
+        .select(col("source"), col("n_new_docs"), col("n_dup_vs_corpus"),
+          col("n_dup_in_delta"), col("n_dup_any"),
+          (col("n_new_docs") - col("n_dup_any")).as("n_unique_new"),
+          floor(col("n_dup_any") * lit(10000L) / col("n_new_docs"))
+            .cast(LongType).as("dup_share_bp"))
+        .orderBy(col("source")),
+      shC)
+  }
+
+  val deltaAccountingSql: String =
+    s"""WITH $minhashPairsCtes,
+       |dpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a % $DeltaMod = $DeltaRes OR doc_b % $DeltaMod = $DeltaRes),
+       |hits0 AS (
+       |  SELECT doc_a AS doc_id, doc_b AS other FROM dpairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS other FROM dpairs),
+       |hits AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN other % $DeltaMod != $DeltaRes THEN 1 ELSE 0 END)
+       |           AS hit_corpus,
+       |         max(CASE WHEN other % $DeltaMod = $DeltaRes THEN 1 ELSE 0 END)
+       |           AS hit_delta
+       |  FROM hits0 WHERE doc_id % $DeltaMod = $DeltaRes GROUP BY 1),
+       |new_docs AS (
+       |  SELECT doc_id, source FROM documents WHERE $deltaPredSql)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_new_docs,
+       |       CAST(COALESCE(sum(hit_corpus), 0) AS BIGINT) AS n_dup_vs_corpus,
+       |       CAST(COALESCE(sum(hit_delta), 0) AS BIGINT) AS n_dup_in_delta,
+       |       CAST(COALESCE(sum(greatest(hit_corpus, hit_delta)), 0) AS BIGINT)
+       |         AS n_dup_any,
+       |       CAST(count(*) - COALESCE(sum(greatest(hit_corpus, hit_delta)), 0)
+       |         AS BIGINT) AS n_unique_new,
+       |       CAST(floor(COALESCE(sum(greatest(hit_corpus, hit_delta)), 0)
+       |         * 10000 / count(*)) AS BIGINT) AS dup_share_bp
+       |FROM new_docs LEFT JOIN hits USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("pipeline_curate", pipelineCurate _, pipelineCurateSql),
     ("dedup_exact", exact _, exactSql),
@@ -1747,6 +1921,8 @@ object DedupQueries {
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
+    ("dedup_delta_pairs", deltaPairs _, deltaPairsSql),
+    ("dedup_delta_accounting", deltaAccounting _, deltaAccountingSql),
     ("dedup_source_overlap", sourceOverlap _, sourceOverlapSql),
     ("dedup_recall_audit", dedupRecallAudit _, dedupRecallAuditSql),
     ("dedup_simhash", simhash _, simhashSql),

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.queries.DedupQueries
+import graft.util.Tables
+
+/** Build-once / check-many persistence for MinHash near-dup detection —
+  * incremental dedup AT INGEST, the operator a continuous-crawl corpus
+  * runs daily: instead of re-banding and re-verifying 100 TB per
+  * snapshot (`dedup_minhash_pairs` recomputes full-corpus pairs every
+  * run), the corpus's band rows and sized shingle index are persisted
+  * ONCE and each snapshot of NEW documents is checked against them —
+  * delta × (corpus ∪ delta) only, never corpus × corpus.
+  *
+  * Tables under `prefix`:
+  *  - `<prefix>_bands` (doc_id, band_id, key), bucketed + sorted by
+  *    `key` — the candidate-generation equi-join key, so a delta's
+  *    band rows probe only the matching buckets with NO shuffle of the
+  *    corpus side;
+  *  - `<prefix>_shingles` (doc_id, s, n), bucketed + sorted by
+  *    `doc_id` — the exact-Jaccard verification grain (per-doc shingle
+  *    count `n` denormalized onto every row, the [[DedupQueries]]
+  *    sized-index shape), read by candidate-driven doc_id point
+  *    lookups.
+  *
+  * There is NO trained geometry to freeze: the shingle width, hash
+  * constants, and band layout are fixed code
+  * ([[graft.functions.TextFunctions]], [[DedupQueries.minhashBandsOf]]),
+  * so a delta's band rows can never drift from their build-time values
+  * — the freeze [[AnnIndexLayout]] persists as `_coarse`/`_pqcb` is
+  * structural here, exactly like [[HybridIndexLayout]]'s hyperplanes.
+  *
+  * Checking and appending share the online query's own code paths
+  * ([[DedupQueries.deltaPairsCore]]), so [[dedupDelta]]'s result is
+  * byte-identical to the full-corpus `dedup_minhash_pairs` restricted
+  * to pairs touching the delta (DedupIndexLayoutSpec asserts it in
+  * both directions).
+  *
+  * Reference point: the reference maintains derived state
+  * incrementally ahead of reads — the consumer's upsert-merge of
+  * partial aggregates per micro-batch (consumer/consumer.py:321-367) —
+  * rather than recomputing from history; this is that discipline
+  * applied to dedup state.
+  */
+object DedupIndexLayout {
+
+  /** Build the index over the documents matching `where`: one
+    * tokenize+shingle pass feeds both tables (the expensive stage —
+    * md5 per shingle — runs once). */
+  def build(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int = 8, where: Column = lit(true)): Unit =
+    buildDocs(spark, prefix,
+      Tables.load(spark, dir, "documents").filter(where)
+        .select(col("doc_id"), col("text")), buckets)
+
+  /** [[build]] for an ARBITRARY (doc_id, text) frame. */
+  def buildDocs(spark: SparkSession, prefix: String, docs: DataFrame,
+      buckets: Int = 8): Unit = {
+    val sh = DedupQueries.shinglesOf(docs.dropDuplicates("doc_id"))
+      .persist()
+    sh.count()
+    BucketedTables.writeBucketed(DedupQueries.withSizes(sh),
+      s"${prefix}_shingles", "doc_id", buckets)
+    BucketedTables.writeBucketed(
+      DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh)),
+      s"${prefix}_bands", "key", buckets)
+    sh.unpersist(false)
+  }
+
+  /** Incremental maintenance: shingle + sign ONLY the given documents
+    * and append their rows into both tables. Idempotent under retries
+    * via per-table doc_id anti-joins (the [[AnnIndexLayout]]
+    * discipline): a replayed delta — or a partial failure where the
+    * shingle append landed and the band append died — files exactly
+    * the missing rows, never a duplicate (duplicated shingle rows
+    * would double `common` in every future Jaccard verification;
+    * duplicated band rows would re-propose the same candidates).
+    * Within-batch duplicate doc_ids collapse before the anti-joins. */
+  def appendDeltaDocs(spark: SparkSession, prefix: String,
+      docs0: DataFrame, buckets: Int = 8): Unit = {
+    val docs = docs0.dropDuplicates("doc_id")
+    val sh = DedupQueries.shinglesOf(docs).persist()
+    sh.count()
+    BucketedTables.appendBucketed(
+      DedupQueries.withSizes(sh)
+        .join(BucketedTables.read(spark, s"${prefix}_shingles")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      s"${prefix}_shingles", "doc_id", buckets)
+    BucketedTables.appendBucketed(
+      DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh))
+        .join(BucketedTables.read(spark, s"${prefix}_bands")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      s"${prefix}_bands", "key", buckets)
+    sh.unpersist(false)
+    // a foreachBatch clone's write must not leave the serving session
+    // reading the pre-delta file listing (see AnnIndexLayout)
+    spark.catalog.refreshTable(s"${prefix}_shingles")
+    spark.catalog.refreshTable(s"${prefix}_bands")
+  }
+
+  /** Check a delta of NEW documents against corpus + delta: verified
+    * (doc_a, doc_b, jaccard) near-dup pairs with ≥1 delta member —
+    * [[DedupQueries.deltaPairsCore]] fed from the persisted tables
+    * (tombstone-filtered, so a purged doc stops matching immediately).
+    * Does NOT append; call [[appendDeltaDocs]] after acting on the
+    * result. Safe to re-run after the append: the core anti-joins the
+    * index against the delta's own ids, so the already-filed copies
+    * are invisible and a replay returns the identical pair set. */
+  def dedupDelta(spark: SparkSession, prefix: String,
+      newDocs: DataFrame): DataFrame =
+    DedupQueries.deltaPairsCore(
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_shingles"), "doc_id"),
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_bands"), "doc_id"),
+      newDocs.dropDuplicates("doc_id"))
+
+  /** CONTINUOUS ingest: a stream of (doc_id, text) rows is deduped
+    * against the corpus-so-far and then filed into it, one micro-batch
+    * at a time — check first ([[dedupDelta]] through `sink`), then
+    * append ([[appendDeltaDocs]]) — inside `foreachBatch` (the pair
+    * join + verification are batch plans Structured Streaming forbids
+    * on unbounded input; same stream-to-batch bridge as
+    * [[AnnIndexLayout.maintainStream]]).
+    *
+    * Restart safety: a replayed batch re-emits its pair rows (the
+    * check runs before the append and the core's delta-id anti-join
+    * hides the already-filed copies, so the pairs are IDENTICAL, not
+    * doubled) while the append files nothing — at-least-once pair
+    * emission over an exactly-once index, so the sink's usual
+    * idempotent-upsert contract (keyed on (doc_a, doc_b) or batchId)
+    * completes exactly-once end to end. */
+  def ingestStream(spark: SparkSession, prefix: String,
+      docStream: DataFrame, buckets: Int = 8,
+      checkpoint: Option[String] = None)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(dedupDelta(spark, prefix, batch), batchId)
+        appendDeltaDocs(spark, prefix, batch, buckets)
+      }
+      .start()
+  }
+
+  /** Right-to-be-forgotten against the dedup state: tombstone the
+    * given doc_ids — [[dedupDelta]] stops matching them immediately
+    * (both the band probe and the verification read through the
+    * tombstone filter); the next [[compact]] erases their rows
+    * physically. Idempotent. */
+  def purgeDocs(spark: SparkSession, prefix: String,
+      docIds: DataFrame): Unit =
+    Tombstones.purge(spark, prefix, docIds)
+
+  /** Rewrite both tables back to one file per bucket, erasing
+    * tombstoned docs' rows in the same pass and clearing the tombstone
+    * list ([[BucketedTables.compact]]'s write-aside + checked-rename
+    * swap). Run with ingest writers stopped. */
+  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
+    BucketedTables.compact(spark, s"${prefix}_shingles", "doc_id", buckets,
+      df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    BucketedTables.compact(spark, s"${prefix}_bands", "key", buckets,
+      df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    Tombstones.clear(spark, prefix)
+  }
+}

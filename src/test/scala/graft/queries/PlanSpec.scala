@@ -743,6 +743,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("delta dedup: candidates ride the band equi-join off the delta side") {
+    val p = plan("dedup_delta_pairs")
+    // incremental shape: delta bands probe (corpus ∪ delta) bands as
+    // an equi-join on the band tuple — never a corpus×corpus pair
+    // loop, and no unkeyed join anywhere in the chain
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("band_id"), p)
+    // the corpus's shingle+size pass is built once and reused via the
+    // cache across the band build and both verify legs
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
     val p = plan("util_epoch_plan")
     // the fractional-epoch pass re-reads the corpus-sized grain; the

@@ -69,6 +69,66 @@ class StreamDeltaIndexSpec extends SparkSpec {
     } finally drop()
   }
 
+  test("streamed dedup ingest: pairs dedup exactly-once end to end") {
+    val drop = () => Seq("shingles", "bands").foreach(t =>
+      Seq("dd_sd", "dd_sd_ref").foreach(p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
+    drop()
+    val predA = col("doc_id") < 300L
+    // reference: batch build over A, the rest as one batch append
+    DedupIndexLayout.buildDocs(spark, "dd_sd_ref",
+      graft.util.Tables.load(spark, dir, "documents").filter(predA)
+        .select(col("doc_id"), col("text")), buckets = 4)
+    DedupIndexLayout.appendDeltaDocs(spark, "dd_sd_ref",
+      graft.util.Tables.load(spark, dir, "documents").filter(!predA)
+        .select(col("doc_id"), col("text")), buckets = 4)
+    // ground truth for the EMITTED pairs: full-corpus pairs touching
+    // any streamed (delta) doc
+    val truth = graft.queries.DedupQueries.minhashPairs(spark, dir)
+      .filter(col("doc_a") >= 300L || col("doc_b") >= 300L)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(truth.nonEmpty)
+
+    DedupIndexLayout.buildDocs(spark, "dd_sd",
+      graft.util.Tables.load(spark, dir, "documents").filter(predA)
+        .select(col("doc_id"), col("text")), buckets = 4)
+    try {
+      val delta = graft.util.Tables.load(spark, dir, "documents")
+        .filter(!predA).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      // the sink's usual contract: idempotent upsert keyed on the pair
+      val upserted = scala.collection.mutable.Map[(Long, Long), Double]()
+      val mem = MemoryStream[(Long, String)]
+      val q = DedupIndexLayout.ingestStream(spark, "dd_sd",
+        mem.toDF().toDF("doc_id", "text"), buckets = 4) { (pairs, _) =>
+        pairs.collect().foreach(r => upserted.update(
+          (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+          r.getAs[Double]("jaccard")))
+      }
+      try {
+        mem.addData(b1.toSeq)
+        q.processAllAvailable()
+        mem.addData((b1.takeRight(10) ++ b2).toSeq) // replay tail of b1
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // at-least-once pair emission + idempotent upsert == the exact
+      // full-corpus pair set touching the streamed docs
+      assert(upserted.toMap == truth)
+      // and the index itself is byte-equal to the batch-built twin
+      assert(spark.table("dd_sd_shingles").collect().toSet ==
+        spark.table("dd_sd_ref_shingles").collect().toSet)
+      assert(spark.table("dd_sd_shingles").count() ==
+        spark.table("dd_sd_ref_shingles").count())
+      assert(spark.table("dd_sd_bands").collect().toSet ==
+        spark.table("dd_sd_ref_bands").collect().toSet)
+      assert(spark.table("dd_sd_bands").count() ==
+        spark.table("dd_sd_ref_bands").count())
+    } finally drop()
+  }
+
   test("streamed text deltas equal the batch delta; replays append nothing") {
     val drop = () => Seq("postings", "vocab", "stats").foreach(t =>
       Seq("txt_sd", "txt_sd_ref").foreach(p =>
