@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -178,8 +178,369 @@ object MultimodalQueries {
       |FROM per_digest GROUP BY media_format
       |ORDER BY media_format""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_perceptual_sig: tile-banded perceptual signature
+  // ---------------------------------------------------------------------
+
+  /** Perceptual-signature geometry: [[PTiles]] length-relative content
+    * tiles, a [[PTileBits]]-bit SimHash per tile over width-[[PWin]]
+    * stride-1 byte windows, concatenated into one 60-bit signature.
+    * Interpolated into BOTH engines.
+    *
+    * Why tiles (the pHash block idea), not one flat SimHash: a flat
+    * vote's Hamming distance is proportional to the FRACTION of
+    * content changed, so no fixed banding radius survives a realistic
+    * re-encode (measured: a 2-byte edit on a 400-byte payload lands
+    * at Hamming 4-12 of 60 — past any pigeonhole-banded radius). A
+    * locally-confined edit instead leaves every untouched tile's
+    * 15-bit signature BIT-IDENTICAL, so candidacy via exact
+    * tile-signature equality is guaranteed by construction for any
+    * edit confined to ≤ [[PTiles]]-1 tiles — recall comes from the
+    * geometry, not from a probabilistic S-curve. */
+  private val PTiles = 4
+  private val PTileBits = 15
+  private val PWin = 8
+
+  /** Verify bound: keep candidate pairs whose full signatures differ
+    * in at most one tile's worth of bits — "same asset up to a
+    * region-confined re-encode". Measured separation on the corpus:
+    * exact copies 0, near-dup twins ≤12, unrelated assets ~22-30. */
+  private val PRadius = 15
+
+  /** Window hashes of tile q: window starts i ∈ [⌊qL/4⌋,
+    * min(⌊(q+1)L/4⌋-1, L-8)], full-width windows only; empty array
+    * for tiles of too-short payloads (signature contribution 0). */
+  private def tileWins(text: Column, q: Int): Column = {
+    val L = length(text)
+    val lo = floor(L.cast(LongType) * q / lit(PTiles.toDouble)).cast(LongType)
+    val hi = least(
+      floor(L.cast(LongType) * (q + 1) / lit(PTiles.toDouble)).cast(LongType) - 1L,
+      (L - PWin).cast(LongType))
+    when(L >= PWin && hi >= lo,
+      transform(sequence(lo, hi),
+        i => h60(text.substr((i + 1L).cast(IntegerType), lit(PWin)))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  private def tileWinsSql(t: String, q: Int): String = {
+    val lo = s"(length($t)*$q)//$PTiles"
+    val hi = s"least((length($t)*${q + 1})//$PTiles - 1, length($t)-$PWin)"
+    s"""CASE WHEN length($t) >= $PWin AND $hi >= $lo THEN
+       | list_transform(generate_series($lo, $hi),
+       |   i -> ${h60Sql(s"substr($t, CAST(i+1 AS INTEGER), $PWin)")})
+       | ELSE CAST([] AS BIGINT[]) END""".stripMargin.replaceAll("\n\\s*", " ")
+  }
+
+  /** 15-bit majority-vote SimHash of an (already-projected) window
+    * array column — per-row HOFs, zero shuffles. PERF: pass an array
+    * ATTRIBUTE, never the tileWins expression inline (Catalyst
+    * substitutes the argument into all 30 bit references — the
+    * shingleHashesOfToks lesson). */
+  private def tileSim(wins: Column): Column =
+    (0 until PTileBits).map { b =>
+      when(size(filter(wins, w => shiftright(w, b) % 2 === 1)) * 2
+        > size(wins), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def tileSimSql(winsExpr: String): String =
+    s"""list_sum(list_transform(generate_series(0, ${PTileBits - 1}),
+       |  b -> CASE WHEN 2 * len(list_filter($winsExpr, s -> (s >> b) & 1 = 1)) > len($winsExpr)
+       |            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"""
+      .stripMargin.replaceAll("\n\\s*", " ")
+
+  private def psigSql(t: String): String =
+    (0 until PTiles)
+      .map(q => s"(${tileSimSql(tileWinsSql(t, q))} << ${PTileBits * q})")
+      .mkString("(", " + ", ")")
+
+  /** (doc_id, media_format, digest, psig) for an arbitrary (doc_id,
+    * text) frame — one scan, per-row expression work only; the
+    * signature grain every perceptual query (and the planted spec)
+    * shares. */
+  private[graft] def perceptualSigOf(d: DataFrame): DataFrame =
+    d.select(Seq(col("doc_id"),
+        graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+          .as("media_format"),
+        md5(col("text").cast(BinaryType)).as("digest")) ++
+        (0 until PTiles).map(q => tileWins(col("text"), q).as(s"w$q")): _*)
+      .select(col("doc_id"), col("media_format"), col("digest"),
+        (0 until PTiles)
+          .map(q => (tileSim(col(s"w$q")) * lit(1L << (PTileBits * q))))
+          .reduce(_ + _).as("psig"))
+
+  def perceptualSig(spark: SparkSession, dir: String): DataFrame =
+    perceptualSigOf(docs(spark, dir))
+      .select(col("doc_id"), col("media_format"), col("psig"))
+      .orderBy(col("doc_id"))
+
+  val perceptualSigSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |            WHEN doc_id % 3 = 1 THEN 'audio'
+       |            ELSE 'video' END AS media_format,
+       |       CAST(${psigSql("text")} AS BIGINT) AS psig
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mm_near_dup_pairs: perceptual near-dup pairs (tile-banded)
+  // ---------------------------------------------------------------------
+
+  /** The signature frame exploded to (…, tile_id, tile) rows — the
+    * banding grain; all input columns pass through. Modality-scoped
+    * like the CAS table: tiles only ever join within a format. */
+  private def tileRows(sig: DataFrame): DataFrame =
+    sig.select(sig.columns.map(col) :+
+        explode(array((0 until PTiles).map { q =>
+          struct(lit(q).as("tile_id"),
+            (shiftright(col("psig"), PTileBits * q) % (1L << PTileBits))
+              .as("tile"))
+        }: _*)).as("c"): _*)
+      .select(sig.columns.map(col) ++
+        Seq(col("c.tile_id"), col("c.tile")): _*)
+
+  /** Perceptual near-dup pairs: candidates share a (format, tile_id,
+    * tile) cell — an equi-join on the tile key, never an asset pair
+    * loop — verified by full-signature Hamming ≤ [[PRadius]].
+    * `same_bytes` marks the pairs the exact CAS table
+    * ([[mediaDedup]]) already collapses; false rows are the
+    * perceptual tier's value-add (re-encoded copies with different
+    * bytes). Unsorted core shared with the decontamination query. */
+  private def nearDupPairsBody(spark: SparkSession, dir: String): DataFrame = {
+    val sig = perceptualSigOf(docs(spark, dir)).persist()
+    sig.count()
+    val t = tileRows(sig)
+    Tables.released(
+      t.as("a").join(t.as("b"),
+          col("a.media_format") === col("b.media_format") &&
+            col("a.tile_id") === col("b.tile_id") &&
+            col("a.tile") === col("b.tile") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.media_format").as("media_format"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.psig").bitwiseXOR(col("b.psig")))
+            .cast(LongType).as("hamming"),
+          (col("a.digest") === col("b.digest")).as("same_bytes"))
+        .distinct()
+        .filter(col("hamming") <= PRadius)
+        .orderBy(col("media_format"), col("doc_a"), col("doc_b")),
+      sig)
+  }
+
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsBody(spark, dir)
+
+  /** CTE chain ending in `pairs` — shared by the pairs and accounting
+    * oracles. */
+  private val nearDupCtes: String = {
+    val tileRowsSql = (0 until PTiles)
+      .map(q => s"SELECT doc_id, media_format, digest, psig, $q AS tile_id, " +
+        s"(psig >> ${PTileBits * q}) % ${1L << PTileBits} AS tile FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_format,
+       |         md5(text) AS digest,
+       |         CAST(${psigSql("text")} AS BIGINT) AS psig
+       |  FROM documents),
+       |tiles AS (
+       |  $tileRowsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_format AS media_format,
+       |         a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.psig, b.psig)) AS BIGINT) AS hamming,
+       |         a.digest = b.digest AS same_bytes
+       |  FROM tiles a JOIN tiles b
+       |    ON a.media_format = b.media_format AND a.tile_id = b.tile_id
+       |   AND a.tile = b.tile AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.psig, b.psig)) <= $PRadius)""".stripMargin
+  }
+
+  val nearDupPairsSql: String =
+    s"""WITH $nearDupCtes
+       |SELECT media_format, doc_a, doc_b, hamming, same_bytes FROM pairs
+       |ORDER BY media_format, doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mm_near_dedup: perceptual-vs-CAS dedup accounting
+  // ---------------------------------------------------------------------
+
+  /** What the perceptual tier adds over exact CAS, per modality:
+    * n_pairs_beyond_cas counts verified near-dup pairs whose payload
+    * bytes DIFFER (re-encoded copies — invisible to
+    * [[mediaDedup]]'s digest collapse), n_docs_hit the distinct
+    * assets in any near-dup relation, share_bp that as a share of the
+    * modality. Rollup on the bounded pair grain. */
+  def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairsBody(spark, dir)
+    val fmtSizes = docs(spark, dir)
+      .select(graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+        .as("media_format"))
+      .groupBy(col("media_format")).agg(count(lit(1)).as("n_assets"))
+    val perFmt = pairs.groupBy(col("media_format"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Tables.countIf(!col("same_bytes")).as("n_pairs_beyond_cas"))
+    val docsHit = pairs
+      .select(col("media_format"), col("doc_a").as("d"))
+      .unionByName(pairs.select(col("media_format"), col("doc_b").as("d")))
+      .groupBy(col("media_format"))
+      .agg(count_distinct(col("d")).as("n_docs_hit"))
+    fmtSizes
+      .join(perFmt, Seq("media_format"), "left")
+      .join(docsHit, Seq("media_format"), "left")
+      .select(col("media_format"), col("n_assets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_pairs_beyond_cas"), lit(0L)).as("n_pairs_beyond_cas"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        floor(coalesce(col("n_docs_hit"), lit(0L)) * lit(10000L) /
+          col("n_assets")).cast(LongType).as("share_bp"))
+      .orderBy(col("media_format"))
+  }
+
+  val nearDedupSql: String =
+    s"""WITH $nearDupCtes,
+       |fmt AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_format,
+       |         CAST(count(*) AS BIGINT) AS n_assets
+       |  FROM documents GROUP BY 1),
+       |per_fmt AS (
+       |  SELECT media_format, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(COALESCE(count(CASE WHEN NOT same_bytes THEN 1 END), 0)
+       |           AS BIGINT) AS n_pairs_beyond_cas
+       |  FROM pairs GROUP BY 1),
+       |docs_hit AS (
+       |  SELECT media_format, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_hit
+       |  FROM (
+       |    SELECT media_format, doc_a AS d FROM pairs
+       |    UNION ALL
+       |    SELECT media_format, doc_b AS d FROM pairs)
+       |  GROUP BY 1)
+       |SELECT fmt.media_format, n_assets,
+       |       COALESCE(n_pairs, 0) AS n_pairs,
+       |       COALESCE(n_pairs_beyond_cas, 0) AS n_pairs_beyond_cas,
+       |       COALESCE(n_docs_hit, 0) AS n_docs_hit,
+       |       CAST(floor(COALESCE(n_docs_hit, 0) * 10000 / n_assets)
+       |         AS BIGINT) AS share_bp
+       |FROM fmt
+       |LEFT JOIN per_fmt USING (media_format)
+       |LEFT JOIN docs_hit USING (media_format)
+       |ORDER BY media_format""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mm_decontaminate: cross-modal eval decontamination (perceptual)
+  // ---------------------------------------------------------------------
+
+  /** The held-out eval asset set: every 10th asset by id — eval media
+    * sets are curated ID LISTS, not content-hash splits (unlike
+    * `dedup_contamination`'s text split), and an id predicate keeps
+    * the registered query deterministic in both engines. */
+  private val isEvalAsset: Column = col("doc_id") % 10 === 0
+  private val isEvalAssetSql: String = "doc_id % 10 = 0"
+
+  /** Train assets that are perceptual near-dups of a HELD-OUT eval
+    * asset — the media twin of `dedup_contamination`: an eval image
+    * that leaked into training as a re-encoded copy (different bytes,
+    * so digest matching misses it) is exactly what this catches. Per
+    * contaminated train asset, the closest eval match (min Hamming,
+    * tie on eval id). Candidates ride the same (format, tile_id,
+    * tile) equi-join as [[nearDupPairs]] — eval tiles × train tiles,
+    * never an asset pair loop; at 100 TB the eval side is the tiny
+    * one, so the join broadcasts it. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    mediaContamImpl(spark, dir, bloomPrune = false)
+
+  /** [[decontaminate]] with a Bloom runtime filter under the TRAIN
+    * side: the corpus-sized train tile rows are pre-filtered map-side
+    * against a Bloom sketch of the (format, tile_id, tile) keys the
+    * eval set actually holds — only might-match rows ride the join,
+    * the `dedup_contamination_bloom` discipline applied to media.
+    * False positives are harmless (the equi-join is exact), false
+    * negatives impossible — bit-identical output, same oracle. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    mediaContamImpl(spark, dir, bloomPrune = true)
+
+  /** One int64 key per tile row for the Bloom probe: format and
+    * tile_id in the high bits, the 15-bit tile signature low. */
+  private def tileKey: Column =
+    ((col("doc_id") % 3) * PTiles + col("tile_id")) * (1L << PTileBits) +
+      col("tile")
+
+  private def mediaContamImpl(spark: SparkSession, dir: String,
+      bloomPrune: Boolean): DataFrame = {
+    val sig = perceptualSigOf(docs(spark, dir)).persist()
+    sig.count()
+    val t = tileRows(sig)
+    val eval = t.filter(isEvalAsset)
+    val trainSide = {
+      val base = t.filter(!isEvalAsset)
+      if (!bloomPrune) base
+      else {
+        import graft.functions.SketchExpressions
+        SketchExpressions.ensureRegistered(spark)
+        val evalKeys = eval.select(tileKey.as("k"))
+        val n = math.max(evalKeys
+          .agg(approx_count_distinct(col("k")).as("nd"))
+          .head().getLong(0), 1024L)
+        val bloomBytes = SketchExpressions.buildLongBloom(
+          evalKeys, "k", n, 0.03)
+        base.filter(call_function("graft_bloom_mc",
+          lit(bloomBytes), tileKey))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_doc"))
+      .orderBy(col("hamming"), col("eval_doc"))
+    Tables.released(
+      eval.as("e").join(trainSide.as("t"),
+          col("e.media_format") === col("t.media_format") &&
+            col("e.tile_id") === col("t.tile_id") &&
+            col("e.tile") === col("t.tile"))
+        .select(col("t.media_format").as("media_format"),
+          col("t.doc_id").as("train_doc"), col("e.doc_id").as("eval_doc"),
+          bit_count(col("t.psig").bitwiseXOR(col("e.psig")))
+            .cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= PRadius)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("media_format"), col("train_doc"), col("eval_doc"),
+          col("hamming"))
+        .orderBy(col("train_doc")),
+      sig)
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $nearDupCtes,
+       |cand AS (
+       |  SELECT DISTINCT t.media_format AS media_format,
+       |         t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       |         CAST(bit_count(xor(t.psig, e.psig)) AS BIGINT) AS hamming
+       |  FROM tiles e JOIN tiles t
+       |    ON e.media_format = t.media_format AND e.tile_id = t.tile_id
+       |   AND e.tile = t.tile
+       |  WHERE e.$isEvalAssetSql AND NOT t.$isEvalAssetSql
+       |    AND bit_count(xor(t.psig, e.psig)) <= $PRadius),
+       |ranked AS (
+       |  SELECT media_format, train_doc, eval_doc, hamming,
+       |         row_number() OVER (PARTITION BY train_doc
+       |                            ORDER BY hamming, eval_doc) AS rn
+       |  FROM cand)
+       |SELECT media_format, train_doc, eval_doc, hamming
+       |FROM ranked WHERE rn = 1
+       |ORDER BY train_doc""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("mm_media_features", mediaFeatures _, mediaFeaturesSql),
     ("mm_frame_sample", frameSample _, frameSampleSql),
-    ("mm_media_dedup", mediaDedup _, mediaDedupSql))
+    ("mm_media_dedup", mediaDedup _, mediaDedupSql),
+    ("mm_perceptual_sig", perceptualSig _, perceptualSigSql),
+    ("mm_near_dup_pairs", nearDupPairs _, nearDupPairsSql),
+    ("mm_near_dedup", nearDedup _, nearDedupSql),
+    ("mm_decontaminate", decontaminate _, decontaminateSql),
+    // bloom prune is performance-transparent: same exact oracle
+    ("mm_decontaminate_bloom", decontaminateBloom _, decontaminateSql))
 }

@@ -756,6 +756,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("perceptual media pairs: tile equi-join; signature computed once") {
+    val p = plan("mm_near_dup_pairs")
+    // candidates ride the (format, tile_id, tile) equi-join — never an
+    // asset pair loop (the signature itself is pure per-row expression
+    // work: windows -> 4 tile votes, no shuffle before the join)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("tile_id"), p)
+    // both join sides read the cached signature frame, not a re-scan
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
     val p = plan("util_epoch_plan")
     // the fractional-epoch pass re-reads the corpus-sized grain; the
