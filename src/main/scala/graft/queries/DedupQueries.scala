@@ -1222,14 +1222,25 @@ object DedupQueries {
     * at B x index cost, the standard LSH tradeoff. The verify joins
     * the deduped candidate LIST (small) back to raw embeddings by id —
     * two equi-joins that shuffle candidates, never the corpus. */
-  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
+  def cosineLsh(spark: SparkSession, dir: String): DataFrame =
+    cosineLshConfig(spark, dir, CosineLshBands, CosineLshBandPlanes)
+
+  /** The (bands, planes-per-band) dial exposed ([[SimilarityQueries]]
+    * lshTopKPlanes note): band width W re-bounds per-bucket postings
+    * (~corpus/2^W) for a measured recall cost, band count B buys
+    * recall back at B× index cost — the two knobs a 100× corpus turns
+    * without touching the query shape. Bands draw disjoint plane sets
+    * (band b uses planes b·W..b·W+W−1), so any (B, W) pair keeps the
+    * OR-construction's independence. */
+  def cosineLshConfig(spark: SparkSession, dir: String,
+      nBands: Int, planesPerBand: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = embs(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("graft_norm2(embedding)")).as("nrm"))
       .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
-    val codes = (0 until CosineLshBands).map(b =>
-      SimilarityQueries.bucketCodeFrom(b * CosineLshBandPlanes, CosineLshBandPlanes))
+    val codes = (0 until nBands).map(b =>
+      SimilarityQueries.bucketCodeFrom(b * planesPerBand, planesPerBand))
     // the banded index feeds THREE consumers (bucket sizing, the pool
     // side, the candidate side) — size it once instead of recomputing
     // the 24 plane projections per consumer (the prefix-jaccard
@@ -1261,11 +1272,14 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val cosineLshSql: String = {
-    val bandCtes = (0 until CosineLshBands).map { b =>
+  val cosineLshSql: String =
+    cosineLshSqlConfig(CosineLshBands, CosineLshBandPlanes)
+
+  def cosineLshSqlConfig(bands: Int, planesPerBand: Int): String = {
+    val bandCtes = (0 until bands).map { b =>
       s"""SELECT vec_id, $b AS band,
          |         ${SimilarityQueries.bucketCodeFromSql("embedding",
-        b * CosineLshBandPlanes, CosineLshBandPlanes)} AS code
+        b * planesPerBand, planesPerBand)} AS code
          |  FROM e""".stripMargin
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (

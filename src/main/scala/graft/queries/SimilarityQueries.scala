@@ -987,9 +987,17 @@ object SimilarityQueries {
     * shortlists (never an all-pairs sweep); binning is exact integer
     * floor on the shared bit-identical cosines; the rollup is
     * ≤CalibBins+1 groups, map-side combined. */
-  def thresholdCalibration(spark: SparkSession, dir: String): DataFrame = {
+  def thresholdCalibration(spark: SparkSession, dir: String): DataFrame =
+    thresholdCalibrationPlanes(spark, dir, NPlanes)
+
+  /** The planes dial on the calibration consumer: the curve is only
+    * trustworthy if it is measured under the SAME index geometry the
+    * production pass will run — re-binding the plane count re-bins
+    * the same bit-identical cosines. */
+  def thresholdCalibrationPlanes(spark: SparkSession, dir: String,
+      nPlanes: Int): DataFrame = {
     val labels = embs(spark, dir).select(col("vec_id"), col("label"))
-    val pairs = lshMultiProbe(spark, dir)
+    val pairs = lshMultiProbePlanes(spark, dir, nPlanes)
       .join(labels.withColumnRenamed("vec_id", "q_id")
         .withColumnRenamed("label", "q_label"), "q_id")
       .join(labels.withColumnRenamed("vec_id", "n_id")
@@ -1008,8 +1016,10 @@ object SimilarityQueries {
       .orderBy(col("bin"))
   }
 
-  val thresholdCalibrationSql: String =
-    s"""WITH pairs AS ($lshMultiProbeSql),
+  val thresholdCalibrationSql: String = thresholdCalibrationSqlPlanes(NPlanes)
+
+  def thresholdCalibrationSqlPlanes(nPlanes: Int): String =
+    s"""WITH pairs AS (${lshMultiProbeSqlPlanes(nPlanes)}),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |binned AS (
        |  SELECT least(CAST(floor((p.cosine + 1.0) / 2.0 * $CalibBins) AS BIGINT),
@@ -1137,11 +1147,21 @@ object SimilarityQueries {
     * bucket-colliding vectors skew toward high cosine, which is
     * exactly the hard end of the band. Determinism: IEEE cosine
     * compares, ties on n_id. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesPlanes(spark, dir, NPlanes)
+
+  /** The planes dial on the mining consumer ([[lshTopKPlanes]] note):
+    * more planes shrink the candidate buckets exponentially while the
+    * multi-probe ring buys back recall — `emb_hard_negatives12` is
+    * the registered 12-plane scale point (16× bucket domain), the
+    * re-bound a 100× corpus applies to mining without touching the
+    * query shape. */
+  def hardNegativesPlanes(spark: SparkSession, dir: String,
+      nPlanes: Int): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"),
-        explode(probeSet(NPlanes)).as("bucket"))
+        explode(probeSet(nPlanes)).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("n_id"))
     q.as("q").join(e.as("c"),
@@ -1154,11 +1174,13 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val hardNegativesSql: String = {
-    val probes = probeSetSql(NPlanes)
+  val hardNegativesSql: String = hardNegativesSqlPlanes(NPlanes)
+
+  def hardNegativesSqlPlanes(nPlanes: Int): String = {
+    val probes = probeSetSql(nPlanes)
     s"""WITH e AS (
        |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
-       |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
+       |         ${bucketCodeSql("embedding", nPlanes)} AS bucket
        |  FROM embeddings),
        |probes AS (
        |  SELECT vec_id AS q_id, embedding, nrm,
@@ -1209,7 +1231,31 @@ object SimilarityQueries {
     * prefix, never a =!= pair join, so candidate generation scales as
     * corpus/2^b per probe — and b grows with the corpus exactly like
     * the LSH plane count ([[lshTopKPlanes]] note). */
-  def hammingBucketed(spark: SparkSession, dir: String): DataFrame = {
+  /** Probe masks for the Hamming-`radius` ring over the
+    * [[HamPrefixBits]]-bit prefix: 9 probes at radius 1, 37 at radius
+    * 2 (9 + C(8,2) double flips). The ring is the recall dial the
+    * `lshMultiProbe` note promises for the signature domain: radius 2
+    * buys back the mid-distance regime (a true neighbor is missed
+    * only when ≥3 of its differing bits land in the prefix) for a
+    * bounded 37/256 ≈ 14.5% candidate share per query — measured
+    * recall 0.10→0.41 at sf0.001, 0.18→0.42 at sf0.01
+    * (HammingRecallSpec) at ~4× the radius-1 candidate volume. */
+  private def hamProbeMasks(radius: Int): Seq[Long] = {
+    val single = (0 until HamPrefixBits).map(p => 1L << p)
+    val double =
+      if (radius < 2) Nil
+      else for {
+        p <- 0 until HamPrefixBits
+        r <- (p + 1) until HamPrefixBits
+      } yield (1L << p) | (1L << r)
+    0L +: (single ++ double)
+  }
+
+  def hammingBucketed(spark: SparkSession, dir: String): DataFrame =
+    hammingBucketedRadius(spark, dir, 1)
+
+  def hammingBucketedRadius(spark: SparkSession, dir: String,
+      radius: Int): DataFrame = {
     val mask = (1L << HamPrefixBits) - 1
     val sigs = hammingSigs(spark, dir)
       .withColumn("pfx", col("sig_lo").bitwiseAND(lit(mask)))
@@ -1218,9 +1264,8 @@ object SimilarityQueries {
     val q = sigs.filter(isQuery)
       .select(col("vec_id").as("q_id"),
         col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
-        explode(array(col("pfx") +:
-          (0 until HamPrefixBits).map(p =>
-            col("pfx").bitwiseXOR(lit(1L << p))): _*)).as("pfx"))
+        explode(array(hamProbeMasks(radius).map(m =>
+          col("pfx").bitwiseXOR(lit(m))): _*)).as("pfx"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("n_id"))
     Tables.released(
@@ -1236,15 +1281,17 @@ object SimilarityQueries {
       sigs)
   }
 
-  val hammingBucketedSql: String = {
+  val hammingBucketedSql: String = hammingBucketedSqlRadius(1)
+
+  def hammingBucketedSqlRadius(radius: Int): String = {
     def half(off: Int): String =
       s"""CAST(list_sum(list_transform(generate_series(1, 32),
          |  i -> CASE WHEN embedding[i + $off] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
          |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
         .replaceAll("\n\\s*", " ")
     val mask = (1L << HamPrefixBits) - 1
-    val probes = ("pfx" +:
-      (0 until HamPrefixBits).map(p => s"xor(pfx, ${1L << p})"))
+    val probes = hamProbeMasks(radius)
+      .map(m => if (m == 0L) "pfx" else s"xor(pfx, $m)")
       .mkString(", ")
     s"""WITH sigs AS (
        |  SELECT vec_id, sig_lo, sig_hi, sig_lo & $mask AS pfx FROM (
@@ -1553,12 +1600,18 @@ object SimilarityQueries {
     * drop out (at production scale: a second probe ring or the IVF
     * path picks them up). Determinism: neighbor ranking ties break on
     * seed id; vote ties break on (votes desc, label asc). */
-  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(NPlanes))
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyPlanes(spark, dir, NPlanes)
+
+  /** The planes dial on the labeling consumer — same re-bound as
+    * [[hardNegativesPlanes]]. */
+  def knnClassifyPlanes(spark: SparkSession, dir: String,
+      nPlanes: Int): DataFrame = {
+    val e = withNorm(embs(spark, dir)).withColumn("bucket", bucketCode(nPlanes))
     val seeds = e.filter(col("vec_id") % 5 === 0)
     val q = e.filter(col("vec_id") % 5 =!= 0)
       .select(col("vec_id").as("q_id"), col("label").as("label_true"),
-        col("embedding"), col("nrm"), explode(probeSet(NPlanes)).as("bucket"))
+        col("embedding"), col("nrm"), explode(probeSet(nPlanes)).as("bucket"))
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("s_id"))
     val top = q.as("q").join(seeds.as("s"), col("q.bucket") === col("s.bucket"))
@@ -1580,11 +1633,13 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  val knnClassifySql: String = {
-    val probes = probeSetSql(NPlanes)
+  val knnClassifySql: String = knnClassifySqlPlanes(NPlanes)
+
+  def knnClassifySqlPlanes(nPlanes: Int): String = {
+    val probes = probeSetSql(nPlanes)
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding, sqrt(${norm2Sql("embedding")}) AS nrm,
-       |         ${bucketCodeSql("embedding", NPlanes)} AS bucket
+       |         ${bucketCodeSql("embedding", nPlanes)} AS bucket
        |  FROM embeddings),
        |seeds AS (SELECT * FROM e WHERE vec_id % 5 = 0),
        |q AS (
@@ -2903,7 +2958,13 @@ object SimilarityQueries {
     ("emb_mrl_recall", mrlRecall _, mrlRecallSql),
     ("ann_hamming_topk", hammingTopK _, hammingTopKSql),
     ("ann_hamming_bucketed", hammingBucketed _, hammingBucketedSql),
+    ("ann_hamming_bucketed2",
+      (s: SparkSession, d: String) => hammingBucketedRadius(s, d, 2),
+      hammingBucketedSqlRadius(2)),
     ("emb_hard_negatives", hardNegatives _, hardNegativesSql),
+    ("emb_hard_negatives12",
+      (s: SparkSession, d: String) => hardNegativesPlanes(s, d, 12),
+      hardNegativesSqlPlanes(12)),
     ("emb_threshold_calibration", thresholdCalibration _, thresholdCalibrationSql),
     ("ann_filtered_topk", filteredTopK _, filteredTopKSql),
     ("emb_label_centroids", labelCentroids _, labelCentroidsSql),

@@ -31,6 +31,25 @@ class HammingRecallSpec extends SparkSpec {
     assert(recall >= 0.05, f"recall@10 $recall%.3f below floor")
   }
 
+  test("Hamming-2 probe ring lifts mid-distance recall at bounded cost") {
+    val exact = SimilarityQueries.hammingTopK(spark, dir)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallAt(radius: Int): Double = {
+      val got = SimilarityQueries.hammingBucketedRadius(spark, dir, radius)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    // the ring is the recall dial: radius 2 probes 37 of 256 buckets
+    // (~14.5% of the corpus, ~4x radius 1's 9/256) and must buy a
+    // real mid-distance lift, not noise
+    // measured 0.100 -> 0.410 at sf0.001 (0.18 -> 0.42 at sf0.01);
+    // floors pin regressions with margin, not the exact point
+    assert(r2 >= r1 + 0.2, f"radius-2 lift too small: $r1%.3f -> $r2%.3f")
+    assert(r2 >= 0.35, f"radius-2 recall $r2%.3f below floor")
+  }
+
   test("both tiers agree on the distance of every shared pair") {
     val exact = SimilarityQueries.hammingTopK(spark, dir)
       .select("q_id", "n_id", "hamming").as[(Long, Long, Long)]
