@@ -1577,7 +1577,18 @@ object DedupQueries {
     * self-join, each reused verbatim from its standalone query. The
     * per-stage survivor frames are eagerly checkpointed — exactly the
     * stage materialization a production curation run persists anyway. */
-  def pipelineCurate(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame =
+    curateChain(spark, dir)._2
+
+  /** The full curation chain, returning BOTH the survivor frame
+    * (doc_id, source, h, is_train, mix_u, n_tokens, is_qual,
+    * rate_micro — stage-7 survivors, eagerly checkpointed) and the
+    * attrition table the registered query publishes. The persisted
+    * artifact ([[graft.sources.CuratedCorpusLayout]]) builds from the
+    * SAME chain, so the written corpus can never drift from the
+    * attrition manifest that describes it. */
+  private[graft] def curateChain(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(col("toks")).cast(LongType)
     val base = docs(spark, dir)
@@ -1673,7 +1684,8 @@ object DedupQueries {
     } :+ all.select(lit(8L).as("stage"), lit("pack").as("stage_name"),
       col("n7").as("n_in"), lit(0L).as("n_dropped"),
       col("n_seq").as("n_out"), col("t7").as("tokens_out"))
-    Tables.released(rows.reduce(_ unionByName _).orderBy(col("stage")), post)
+    (s7,
+      Tables.released(rows.reduce(_ unionByName _).orderBy(col("stage")), post))
   }
 
   val pipelineCurateSql: String = {

@@ -89,12 +89,6 @@ object BucketedTables {
     * layouts). */
   def compact(spark: SparkSession, table: String, key: String,
       buckets: Int, transform: DataFrame => DataFrame = identity): Unit = {
-    import org.apache.hadoop.fs.Path
-    val catalog = spark.sessionState.catalog
-    def loc(t: String): Path = new Path(catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
-    val tmpTable = s"${table}__compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     // read the FILES, not the catalog table: a bucketed scan advertises
     // the target hash distribution, so the aligning repartition inside
     // writeBucketed would be elided as redundant and each scan task
@@ -104,10 +98,45 @@ object BucketedTables {
     // repartition stands and each bucket lands as one file.
     // `transform` lets a layout apply its row-dropping maintenance
     // (tombstone erasure) inside the same crash-safe rewrite.
-    writeBucketed(transform(spark.read.parquet(loc(table).toString)),
-      tmpTable, key, buckets)
-    val live = loc(table)
-    val tmp = loc(tmpTable)
+    replaceBucketed(spark, table, key, buckets,
+      transform(spark.read.parquet(location(spark, table).toString)))
+  }
+
+  private def location(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+
+  /** Crash-safe REPLACEMENT of a bucketed table's contents with a new
+    * frame — the write-aside + checked-rename swap [[compact]] uses,
+    * exposed for layouts whose refresh recomputes the rows (a
+    * re-curated corpus artifact) rather than rewriting them. First
+    * build (no existing table) degrades to a plain [[writeBucketed]].
+    *
+    * Crash-safe at every step: the replacement is a fully written
+    * managed table FIRST, then live -> aside, tmp -> live, aside
+    * deleted — a crash at any point leaves at least one complete
+    * directory on disk, and each rename result is checked (HDFS
+    * reports failure by returning false, not throwing). The tmp
+    * table's metadata is dropped only after its directory has been
+    * swapped into place (an empty placeholder dir keeps the catalog
+    * drop from ever touching live data). Run with writers stopped:
+    * plain parquet has no commit protocol, so an append landing
+    * between the source read and the swap would be lost. `df` may
+    * read from the live table itself (compaction does): it is fully
+    * materialized into tmp before the live directory moves. */
+  def replaceBucketed(spark: SparkSession, table: String, key: String,
+      buckets: Int, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!spark.catalog.tableExists(table)) {
+      writeBucketed(df, table, key, buckets)
+      return
+    }
+    val tmpTable = s"${table}__compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    writeBucketed(df, tmpTable, key, buckets)
+    val live = location(spark, table)
+    val tmp = location(spark, tmpTable)
     val aside = new Path(live.toString + ".compact.old")
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(aside, true) // stale leftover from a previous crash
