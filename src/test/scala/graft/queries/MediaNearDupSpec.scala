@@ -27,14 +27,14 @@ class MediaNearDupSpec extends SparkSpec {
     val twin = base.substring(0, 200) + "QQ" + base.substring(202)
     val copy = base // bit-exact duplicate
     val unrelated = rndText(8, 70)
-    // a HEAVY edit touching every tile: a 15-byte run replaced per
-    // quarter (~15% of the payload, spread everywhere) — recognizably
-    // the same asset to a human, but past "one tile's worth of bits"
+    // a HEAVY edit touching every tile: a 40-byte run replaced per
+    // quarter (~40% of the payload, spread everywhere) — a genuinely
+    // different asset, past "one tile's worth of bits"
     val l = base.length
     val everywhere = {
       val sb = new StringBuilder(base)
       Seq(l / 8, 3 * l / 8, 5 * l / 8, 7 * l / 8).foreach(i =>
-        (0 until 15).foreach(j =>
+        (0 until 40).foreach(j =>
           sb.setCharAt(i + j, if (base.charAt(i + j) == 'Q') 'R' else 'Q')))
       sb.toString
     }
@@ -85,7 +85,9 @@ class MediaNearDupSpec extends SparkSpec {
   }
 
   test("decontamination: zero false negatives vs brute force; bloom twin bit-identical") {
-    val dir = "/root/testdata/sf0.001"
+    // sf0.01: the sf0.001 corpus has no cross-split perceptual pair
+    // under the stride-2 signature (both dirs hold 500 docs)
+    val dir = "/root/testdata/sf0.01"
     val sigs = MultimodalQueries.perceptualSigOf(
       graft.util.Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text")))
