@@ -441,6 +441,72 @@ object MultimodalQueries {
        |ORDER BY media_format""".stripMargin
 
   // ---------------------------------------------------------------------
+  // mm_delta_pairs: incremental perceptual dedup at ingest
+  // ---------------------------------------------------------------------
+
+  /** Perceptual near-dup pairs TOUCHING a delta of new media — the
+    * media twin of [[DedupQueries.deltaPairsCore]]: candidates come
+    * from the DELTA's tile rows only (delta × (corpus ∪ delta)
+    * equi-join on the tile cell — never corpus × corpus), verified at
+    * the same Hamming bound. A doc's tile signature depends on
+    * nothing but its own bytes and tile-cell candidacy is symmetric
+    * per pair, so the result equals [[nearDupPairs]] restricted to
+    * pairs with ≥1 delta member (MediaIndexLayoutSpec, both
+    * directions). `corpusTiles` is tile-exploded signature rows —
+    * computed on the fly here, read from the persisted bucketed table
+    * by [[graft.sources.MediaIndexLayout.dedupDelta]]; anti-joined
+    * against the delta's ids first so a REPLAYED delta dedups
+    * identically. */
+  /** Tile-exploded signature rows of an arbitrary (doc_id, text)
+    * frame — the persisted grain of
+    * [[graft.sources.MediaIndexLayout]]. */
+  private[graft] def tileRowsOf(d: DataFrame): DataFrame =
+    tileRows(perceptualSigOf(d))
+
+  private[graft] def mediaDeltaPairsCore(corpusTiles: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val ids = deltaDocs.select(col("doc_id")).distinct()
+    val tD = tileRows(
+      perceptualSigOf(deltaDocs.dropDuplicates("doc_id"))
+        .localCheckpoint(true))
+    val tAll = corpusTiles.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(tD)
+    tD.as("a").join(tAll.as("b"),
+        col("a.media_format") === col("b.media_format") &&
+          col("a.tile_id") === col("b.tile_id") &&
+          col("a.tile") === col("b.tile") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.media_format").as("media_format"),
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.psig").bitwiseXOR(col("b.psig")))
+          .cast(LongType).as("hamming"),
+        (col("a.digest") === col("b.digest")).as("same_bytes"))
+      .distinct()
+      .filter(col("hamming") <= PRadius)
+  }
+
+  /** Registered incremental query: the dedup family's snapshot split
+    * (doc_id % 5 == 3, shared with `dedup_delta_pairs` so the two
+    * ingest operators describe the SAME snapshot) run through
+    * [[mediaDeltaPairsCore]]. Oracle: the full-corpus pairs CTE
+    * restricted to delta members. */
+  def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val corpusTiles = tileRows(
+      perceptualSigOf(d.filter(!(col("doc_id") % 5 === 3))))
+    Tables.released(
+      mediaDeltaPairsCore(corpusTiles, d.filter(col("doc_id") % 5 === 3))
+        .orderBy(col("media_format"), col("doc_a"), col("doc_b")))
+  }
+
+  val deltaPairsSql: String =
+    s"""WITH $nearDupCtes
+       |SELECT media_format, doc_a, doc_b, hamming, same_bytes FROM pairs
+       |WHERE doc_a % 5 = 3 OR doc_b % 5 = 3
+       |ORDER BY media_format, doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // mm_decontaminate: cross-modal eval decontamination (perceptual)
   // ---------------------------------------------------------------------
 
@@ -549,6 +615,7 @@ object MultimodalQueries {
     ("mm_media_dedup", mediaDedup _, mediaDedupSql),
     ("mm_perceptual_sig", perceptualSig _, perceptualSigSql),
     ("mm_near_dup_pairs", nearDupPairs _, nearDupPairsSql),
+    ("mm_delta_pairs", deltaPairs _, deltaPairsSql),
     ("mm_near_dedup", nearDedup _, nearDedupSql),
     ("mm_decontaminate", decontaminate _, decontaminateSql),
     // bloom prune is performance-transparent: same exact oracle

@@ -1317,6 +1317,134 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------------
+  // ann_hamming_recall: the probe-ring S-curve as an operator
+  // ---------------------------------------------------------------------
+
+  /** The Hamming probe-ring dial measured AS AN OPERATOR — the
+    * `ann_recall_audit` pattern applied to the signature tier: per
+    * ring radius, recall@10 of the bucketed tier against the exact
+    * Hamming tier AND the candidate volume that recall cost. This is
+    * the table that chooses the radius before a corpus-wide run: the
+    * ring multiplies candidates by a CONSTANT (9/256 → 37/256 of the
+    * corpus — never a corpus-dependent factor), and the recall lift
+    * it buys is measured here (0.10→0.41 at sf0.001), not assumed.
+    *
+    * Scale shape: the exact-truth side is the audit's deliberate
+    * Θ(|Q|·|N|) cost (run on a query SAMPLE at scale, like every
+    * audit in the family); the per-radius sides are the bucketed
+    * tier's own equi-join plans. All counts exact int64; recall in
+    * bp. */
+  def hammingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << HamPrefixBits) - 1
+    val sigs = hammingSigs(spark, dir)
+      .withColumn("pfx", col("sig_lo").bitwiseAND(lit(mask)))
+      .persist() // one signature pass feeds truth + every radius
+    sigs.count()
+    val q = sigs.filter(isQuery)
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    val truth = broadcast(q).as("q")
+      .join(sigs.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        (bit_count(expr("q.sig_lo ^ c.sig_lo")) +
+          bit_count(expr("q.sig_hi ^ c.sig_hi"))).cast(LongType).as("hamming"))
+      .withColumn("rank", row_number().over(wT).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("n_id"))
+      .persist()
+    truth.count()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = Seq(1, 2).map { radius =>
+      val probes = q.select(col("vec_id").as("q_id"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
+        explode(array(hamProbeMasks(radius).map(m =>
+          col("pfx").bitwiseXOR(lit(m))): _*)).as("pfx"))
+      val cand = probes.join(sigs, Seq("pfx"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (bit_count(col("q_lo").bitwiseXOR(col("sig_lo"))) +
+            bit_count(col("q_hi").bitwiseXOR(col("sig_hi"))))
+            .cast(LongType).as("hamming"))
+        .persist() // feeds the volume count and the ranked hits
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val hits = cand
+        .withColumn("rank", row_number().over(wT).cast(LongType))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val row = hits.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nCand))
+        .select(lit(radius.toLong).as("radius"), col("n_truth"),
+          col("n_hit"),
+          floor(col("n_hit") * lit(10000L) / col("n_truth"))
+            .cast(LongType).as("recall_bp"),
+          col("n_candidates"))
+      (row, cand)
+    }
+    Tables.released(
+      rows.map(_._1).reduce(_ unionByName _).orderBy(col("radius")),
+      Seq(sigs, truth) ++ rows.map(_._2): _*)
+  }
+
+  val hammingRecallSql: String = {
+    def half(off: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, 32),
+         |  i -> CASE WHEN embedding[i + $off] > 0 THEN CAST(1 AS BIGINT) << (i - 1)
+         |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        .replaceAll("\n\\s*", " ")
+    val mask = (1L << HamPrefixBits) - 1
+    def radiusCtes(r: Int): String = {
+      val probes = hamProbeMasks(r)
+        .map(m => if (m == 0L) "pfx" else s"xor(pfx, $m)").mkString(", ")
+      s"""q$r AS (
+         |  SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi,
+         |         unnest([$probes]) AS pfx
+         |  FROM sigs WHERE vec_id % 50 = 0),
+         |cand$r AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |         CAST(bit_count(xor(q.q_lo, c.sig_lo))
+         |            + bit_count(xor(q.q_hi, c.sig_hi)) AS BIGINT) AS hamming
+         |  FROM q$r q JOIN sigs c ON q.pfx = c.pfx AND q.q_id != c.vec_id),
+         |ncand$r AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand$r),
+         |hit$r AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+         |    SELECT q_id, n_id FROM (
+         |      SELECT q_id, n_id,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY hamming, n_id) AS rank
+         |      FROM cand$r)
+         |    WHERE rank <= $TopK) t
+         |  JOIN truth USING (q_id, n_id))""".stripMargin
+    }
+    def radiusRow(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) AS radius, n_truth, n_hit,
+         |       CAST(floor(n_hit * 10000 / n_truth) AS BIGINT) AS recall_bp,
+         |       n_candidates
+         |FROM hit$r, tcount, ncand$r""".stripMargin
+    s"""WITH sigs AS (
+       |  SELECT vec_id, sig_lo, sig_hi, sig_lo & $mask AS pfx FROM (
+       |    SELECT vec_id, ${half(0)} AS sig_lo, ${half(32)} AS sig_hi
+       |    FROM embeddings)),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY bit_count(xor(q.sig_lo, c.sig_lo))
+       |                    + bit_count(xor(q.sig_hi, c.sig_hi)), c.vec_id)
+       |             AS rank
+       |    FROM sigs q JOIN sigs c ON q.vec_id != c.vec_id
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE rank <= $TopK),
+       |tcount AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |${radiusCtes(1)},
+       |${radiusCtes(2)}
+       |${radiusRow(1)}
+       |UNION ALL
+       |${radiusRow(2)}
+       |ORDER BY radius""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // emb_mrl_recall: dimension-budget (Matryoshka) recall audit
   // ---------------------------------------------------------------------
 
@@ -2961,6 +3089,7 @@ object SimilarityQueries {
     ("ann_hamming_bucketed2",
       (s: SparkSession, d: String) => hammingBucketedRadius(s, d, 2),
       hammingBucketedSqlRadius(2)),
+    ("ann_hamming_recall", hammingRecall _, hammingRecallSql),
     ("emb_hard_negatives", hardNegatives _, hardNegativesSql),
     ("emb_hard_negatives12",
       (s: SparkSession, d: String) => hardNegativesPlanes(s, d, 12),

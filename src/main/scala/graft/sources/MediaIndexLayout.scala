@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.queries.MultimodalQueries
+import graft.util.Tables
+
+/** Build-once / check-many persistence for PERCEPTUAL media dedup —
+  * [[DedupIndexLayout]]'s discipline applied to the multimodal tier:
+  * instead of re-signing the whole asset store per snapshot
+  * (`mm_near_dup_pairs` recomputes every tile signature per run), the
+  * corpus's tile rows are persisted once and each delta of NEW media
+  * is checked delta × (corpus ∪ delta) on the tile cell.
+  *
+  * One table under `prefix`: `<prefix>_tiles` (doc_id, media_format,
+  * digest, psig, tile_id, tile), bucketed + sorted by `tile` — the
+  * candidate equi-join key (tile ⊂ the (format, tile_id, tile) join
+  * key set, so the bucketed distribution co-locates the join with no
+  * corpus-side shuffle). The full signature and digest ride on every
+  * row, so verification (Hamming + same-bytes flag) needs no second
+  * corpus lookup — the 8-byte psig is the whole "vector".
+  *
+  * No geometry to freeze: tile count, window width/stride, and hash
+  * constants are fixed code ([[MultimodalQueries]]), the structural
+  * freeze again. Check/append share the online query's code paths, so
+  * [[dedupDelta]] is byte-equal to `mm_near_dup_pairs` restricted to
+  * pairs touching the delta (MediaIndexLayoutSpec, both directions).
+  */
+object MediaIndexLayout {
+
+  def build(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int = 8, where: Column = lit(true)): Unit =
+    buildDocs(spark, prefix,
+      Tables.load(spark, dir, "documents").filter(where)
+        .select(col("doc_id"), col("text")), buckets)
+
+  /** [[build]] for an ARBITRARY (doc_id, text·payload) frame. */
+  def buildDocs(spark: SparkSession, prefix: String, docs: DataFrame,
+      buckets: Int = 8): Unit =
+    BucketedTables.writeBucketed(
+      MultimodalQueries.tileRowsOf(docs.dropDuplicates("doc_id")),
+      s"${prefix}_tiles", "tile", buckets)
+
+  /** Sign + tile ONLY the given media and append. Idempotent under
+    * retries and replays via the doc_id anti-join; within-batch
+    * duplicates collapse first. */
+  def appendDeltaDocs(spark: SparkSession, prefix: String,
+      docs: DataFrame, buckets: Int = 8): Unit = {
+    BucketedTables.appendBucketed(
+      MultimodalQueries.tileRowsOf(docs.dropDuplicates("doc_id"))
+        .join(BucketedTables.read(spark, s"${prefix}_tiles")
+          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      s"${prefix}_tiles", "tile", buckets)
+    spark.catalog.refreshTable(s"${prefix}_tiles")
+  }
+
+  /** Check a delta of NEW media against corpus + delta: verified
+    * (media_format, doc_a, doc_b, hamming, same_bytes) near-dup pairs
+    * with ≥1 delta member. Does NOT append; safe to re-run after the
+    * append (delta-id anti-join hides the filed copies). Tombstoned
+    * docs stop matching immediately. */
+  def dedupDelta(spark: SparkSession, prefix: String,
+      newDocs: DataFrame): DataFrame =
+    MultimodalQueries.mediaDeltaPairsCore(
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id"),
+      newDocs)
+
+  /** CONTINUOUS media ingest: check-then-append per micro-batch —
+    * at-least-once pair emission over an exactly-once index, the
+    * [[DedupIndexLayout.ingestStream]] contract verbatim. */
+  def ingestStream(spark: SparkSession, prefix: String,
+      docStream: DataFrame, buckets: Int = 8,
+      checkpoint: Option[String] = None)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(dedupDelta(spark, prefix, batch), batchId)
+        appendDeltaDocs(spark, prefix, batch, buckets)
+      }
+      .start()
+  }
+
+  /** Right-to-be-forgotten: tombstone the ids (immediate exclusion
+    * from checks), physical erasure at the next [[compact]]. */
+  def purgeDocs(spark: SparkSession, prefix: String,
+      docIds: DataFrame): Unit =
+    Tombstones.purge(spark, prefix, docIds)
+
+  def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
+    BucketedTables.compact(spark, s"${prefix}_tiles", "tile", buckets,
+      df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    Tombstones.clear(spark, prefix)
+  }
+}
