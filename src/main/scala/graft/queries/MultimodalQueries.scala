@@ -441,6 +441,73 @@ object MultimodalQueries {
        |ORDER BY media_format""".stripMargin
 
   // ---------------------------------------------------------------------
+  // mm_crossmodal_pairs: caption-vs-media near-dup agreement
+  // ---------------------------------------------------------------------
+
+  /** WHICH modality duplicates: for same-modality asset pairs, the
+    * text near-dup verdict (banded MinHash, `dedup_minhash_pairs`)
+    * full-outer-joined with the perceptual media verdict
+    * ([[nearDupPairs]]) on the pair key —
+    *  - `both`: true duplicate (caption AND bytes near-identical);
+    *  - `text_only`: caption reuse over different media (stolen alt
+    *    text, templated captions) — dropping the media as "dup" here
+    *    would be wrong;
+    *  - `media_only`: re-captioned copies of the same asset — the
+    *    pair text dedup provably cannot see.
+    * The table a multimodal curation run reads before deciding which
+    * dedup verdict wins per pair. Text pairs are restricted to
+    * same-format (doc_id % 3) pairs so both verdicts rate the SAME
+    * population.
+    *
+    * Scale shape: both inputs are the already-banded pair queries
+    * (never all-pairs); the fusion is a full-outer equi-join on the
+    * bounded pair grain. */
+  def crossmodalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = DedupQueries.minhashPairs(spark, dir)
+      .filter(col("doc_a") % 3 === col("doc_b") % 3)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val m = nearDupPairsBody(spark, dir)
+      .select(col("media_format"), col("doc_a"), col("doc_b"),
+        col("hamming"), col("same_bytes"))
+    t.join(m, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        coalesce(col("media_format"),
+          graft.operators.MediaPipeline.mediaFormat(col("doc_a")))
+          .as("media_format"),
+        col("doc_a"), col("doc_b"),
+        when(col("jaccard").isNotNull && col("hamming").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("media_only").as("kind"),
+        col("jaccard"), col("hamming"), col("same_bytes"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val crossmodalPairsSql: String =
+    s"""WITH tpairs AS (${DedupQueries.minhashPairsSql}),
+       |mpairs AS ($nearDupPairsSql),
+       |t AS (
+       |  SELECT doc_a, doc_b, jaccard FROM tpairs
+       |  WHERE doc_a % 3 = doc_b % 3),
+       |m AS (
+       |  SELECT media_format, doc_a, doc_b, hamming, same_bytes
+       |  FROM mpairs),
+       |j AS (
+       |  SELECT doc_a, doc_b, t.jaccard, m.media_format, m.hamming,
+       |         m.same_bytes
+       |  FROM t FULL JOIN m USING (doc_a, doc_b))
+       |SELECT COALESCE(media_format,
+       |         CASE WHEN doc_a % 3 = 0 THEN 'image'
+       |              WHEN doc_a % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END) AS media_format,
+       |       doc_a, doc_b,
+       |       CASE WHEN jaccard IS NOT NULL AND hamming IS NOT NULL THEN 'both'
+       |            WHEN jaccard IS NOT NULL THEN 'text_only'
+       |            ELSE 'media_only' END AS kind,
+       |       jaccard, hamming, same_bytes
+       |FROM j
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // mm_delta_pairs: incremental perceptual dedup at ingest
   // ---------------------------------------------------------------------
 
@@ -616,6 +683,7 @@ object MultimodalQueries {
     ("mm_perceptual_sig", perceptualSig _, perceptualSigSql),
     ("mm_near_dup_pairs", nearDupPairs _, nearDupPairsSql),
     ("mm_delta_pairs", deltaPairs _, deltaPairsSql),
+    ("mm_crossmodal_pairs", crossmodalPairs _, crossmodalPairsSql),
     ("mm_near_dedup", nearDedup _, nearDedupSql),
     ("mm_decontaminate", decontaminate _, decontaminateSql),
     // bloom prune is performance-transparent: same exact oracle
