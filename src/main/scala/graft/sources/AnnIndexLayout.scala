@@ -223,6 +223,45 @@ object AnnIndexLayout {
       BucketedTables.read(spark, s"${prefix}_codes"), excludeSelf)
   }
 
+  /** SEMANTIC dedup at ingest — the third tier of the incremental
+    * trio ([[DedupIndexLayout]] exact/MinHash, [[MediaIndexLayout]]
+    * perceptual): check a delta of NEW vectors against the persisted
+    * IVF-PQ index and return every corpus near-duplicate at cosine ≥
+    * `minCosine` (the SemDeDup decision grain) — ADC-probed
+    * candidates, exact-cosine verified, at most [[SimilarityQueries]]
+    * TopK corpus partners per new vector (enough to decide keep/drop;
+    * a vector with MORE than k partners is dropped either way).
+    *
+    * Scope: delta-vs-CORPUS at index cost. Within-delta semantic dups
+    * belong to the batch's own pass (`dedup_cosine_lsh` over the
+    * batch) — the index cannot see vectors that are not yet in it.
+    *
+    * Replay-safe: `excludeSelf` defaults true, so after the delta has
+    * been [[appendDeltaVectors]]'d a re-run excludes each vector's own
+    * filed copy and returns the identical pair set; tombstoned
+    * vectors stop appearing immediately (the serve path's candidate
+    * filter). */
+  def semanticDedupDelta(spark: SparkSession, dir: String, prefix: String,
+      newVecs: DataFrame, minCosine: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val delta = newVecs.dropDuplicates("vec_id")
+    // serve ranks by exact squared L2 (d2); the dedup decision wants
+    // cosine, derived by point lookups on the k-bounded output — the
+    // corpus never scans for this
+    val q = delta.select(col("vec_id").as("q_id"),
+      col("embedding").as("qemb"))
+    val c = graft.util.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
+    serve(spark, dir, prefix, delta, excludeSelf)
+      .join(q, "q_id").join(c, "n_id")
+      .select(col("q_id").as("vec_new"), col("n_id").as("vec_corpus"),
+        (expr("graft_dot(qemb, nemb)") /
+          (sqrt(expr("graft_norm2(qemb)")) * sqrt(expr("graft_norm2(nemb)"))))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** ONLINE serving: a stream of query vectors answered from the
     * persisted index, micro-batch at a time. The ADC scan + re-rank
     * are batch plans (they need windows and multi-joins Structured
