@@ -2793,7 +2793,48 @@ object EventsQueries {
        |SELECT n_purchases, point_mean, ci_lo, ci_hi FROM point, ci""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // ev_value_quantiles: exact distributed percentiles per event type
+  // ---------------------------------------------------------------------
+
+  /** Exact p50/p90/p99 of event value per type — the latency/value
+    * SLO table, computed with Spark's exact distributed `percentile`
+    * (sort-based within group) rather than a sketch: both engines
+    * define the quantile as linear interpolation at rank (n−1)·p over
+    * the sorted values, and the interpolation arithmetic is
+    * bit-identical cross-engine (verified through the driver's hash
+    * gate — including the float noise digits). The sketch tier for
+    * streams is `functions.WelfordAgg`/CMS; THIS is the exact batch
+    * audit those sketches are graded against.
+    *
+    * Scale shape: one shuffle on event_type; percentile is an exact
+    * sort-per-group aggregate, so per-group memory is O(group) — the
+    * per-type grain is data-model-bounded (|event types|), and a
+    * high-cardinality grouping would swap in approx_percentile
+    * instead (documented trade). */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        max(col("value")).as("v_max"))
+      .orderBy(col("event_type"))
+
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90,
+      |       quantile_cont(value, 0.99) AS p99,
+      |       max(value) AS v_max
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("ev_value_quantiles", (s, d) => valueQuantiles(s, d), valueQuantilesSql),
     ("ev_hourly_metrics", (s, d) => hourlyMetrics(s, d), hourlyMetricsSql),
     ("ev_rolling_24h", (s, d) => rolling24h(s, d), rolling24hSql),
     ("ev_daily_summary", (s, d) => dailySummary(s, d), dailySummarySql),
