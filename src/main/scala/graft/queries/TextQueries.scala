@@ -2670,7 +2670,112 @@ object TextQueries {
        |WHERE n * ${HhCap + 1} > n_total
        |ORDER BY n DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // txt_budget_select: quality-ranked selection under a token budget
+  // ---------------------------------------------------------------------
+
+  /** Budget as a share of total corpus tokens (bp) — interpolated into
+    * BOTH engines. */
+  private val BudgetShareBp = 2500L
+
+  /** Data-constrained selection: keep the best-quality docs until the
+    * token budget (25% of the corpus) is spent — the pass a
+    * token-budgeted training run makes over an over-collected corpus.
+    * Ranking is (quality desc, doc_id); a doc is kept iff the
+    * cumulative token count through it (prefix cut) fits the budget.
+    *
+    * Scale shape: NO corpus-wide ordered window (the classic
+    * single-partition bottleneck). Quality is quantized to micro
+    * resolution and the cumulative splits two-level: per-bucket token
+    * totals (bounded grain: ≤1e6+1 buckets, map-side combined), a
+    * windowed running offset over THAT bounded grain, then a
+    * doc_id-ordered window PARTITIONED BY BUCKET for the within-bucket
+    * remainder — the same partial+offset decomposition a 100 TB
+    * prefix-sum uses. Quantization defines the tie groups (equal
+    * micro-scores order by doc_id); both engines share it. Output is
+    * the per-source attrition rollup. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(col("toks")).cast(LongType)
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
+        round(qualityScore(nTok, size(array_distinct(col("toks"))).cast(LongType),
+          stopwordCount(col("toks"))) * 1e6).cast(LongType).as("qmicro"))
+    val budget = perDoc.agg(
+      floor(sum(col("n_tokens")) * BudgetShareBp / lit(10000L))
+        .cast(LongType).as("budget"))
+    val wBuckets = Window.orderBy(col("qmicro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = perDoc.groupBy(col("qmicro"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_before_bucket",
+        coalesce(sum(col("bucket_tokens")).over(wBuckets), lit(0L)))
+      .select(col("qmicro"), col("cum_before_bucket"))
+    val wInBucket = Window.partitionBy(col("qmicro")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = perDoc
+      .join(bucketOffsets, "qmicro") // bounded grain -> broadcasts
+      .withColumn("cum_tokens",
+        col("cum_before_bucket") + sum(col("n_tokens")).over(wInBucket))
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", col("cum_tokens") <= col("budget"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Tables.countIf(col("kept")).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        floor(col("n_kept") * lit(10000L) / col("n_docs"))
+          .cast(LongType).as("kept_share_bp"))
+      .orderBy(col("source"))
+  }
+
+  val budgetSelectSql: String = {
+    val nTokSql = "CAST(len(string_split(text,' ')) AS BIGINT)"
+    val qSql = qualityScoreSql(nTokSql,
+      "CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)",
+      stopwordCountSql("string_split(text,' ')"))
+    s"""WITH per_doc AS (
+       |  SELECT doc_id, source, $nTokSql AS n_tokens,
+       |         CAST(round(($qSql) * 1e6) AS BIGINT) AS qmicro
+       |  FROM documents),
+       |b AS (
+       |  SELECT CAST(floor(sum(n_tokens) * $BudgetShareBp / 10000) AS BIGINT)
+       |    AS budget FROM per_doc),
+       |buckets AS (
+       |  SELECT qmicro,
+       |         COALESCE(CAST(sum(CAST(sum(n_tokens) AS BIGINT)) OVER (
+       |           ORDER BY qmicro DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |           AS BIGINT), 0) AS cum_before_bucket
+       |  FROM per_doc GROUP BY qmicro),
+       |ranked AS (
+       |  SELECT d.source, d.n_tokens,
+       |         bk.cum_before_bucket + CAST(sum(d.n_tokens) OVER (
+       |           PARTITION BY d.qmicro ORDER BY d.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) <= (SELECT budget FROM b) AS kept
+       |  FROM per_doc d JOIN buckets bk USING (qmicro))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(count(CASE WHEN kept THEN 1 END), 0) AS BIGINT)
+       |         AS n_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(COALESCE(sum(CASE WHEN kept THEN n_tokens END), 0)
+       |         AS BIGINT) AS tokens_kept,
+       |       CAST(floor(COALESCE(count(CASE WHEN kept THEN 1 END), 0)
+       |         * 10000 / count(*)) AS BIGINT) AS kept_share_bp
+       |FROM ranked
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("txt_budget_select", budgetSelect _, budgetSelectSql),
     ("txt_stats", stats _, statsSql),
     ("txt_tfidf", tfidf _, tfidfSql),
     ("txt_langid", langId _, langIdSql),
