@@ -256,6 +256,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(SketchExpressions.BloomMightContain.getClass.getName,
         "graft_bloom_mc"),
       SketchExpressions.bloomBuilder _))
+    ext.injectFunction((FunctionIdentifier("graft_psig"),
+      new ExpressionInfo(
+        PerceptualExpressions.PerceptualSig.getClass.getName, "graft_psig"),
+      PerceptualExpressions.builder _))
   }
 }
 

@@ -266,8 +266,25 @@ object MultimodalQueries {
   /** (doc_id, media_format, digest, psig) for an arbitrary (doc_id,
     * text) frame — one scan, per-row expression work only; the
     * signature grain every perceptual query (and the planted spec)
-    * shares. */
-  private[graft] def perceptualSigOf(d: DataFrame): DataFrame =
+    * shares. The signature runs through the NATIVE codegen'd kernel
+    * ([[graft.functions.PerceptualExpressions]] — the HOF form below
+    * is interpreted per window per bit and was the dominant cost of
+    * every perceptual query); MediaNearDupSpec proves the two
+    * bit-identical row-for-row, and the oracle SQL mirrors the HOF
+    * form. */
+  private[graft] def perceptualSigOf(d: DataFrame): DataFrame = {
+    graft.functions.PerceptualExpressions.ensureRegistered(d.sparkSession)
+    d.select(col("doc_id"),
+      graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+        .as("media_format"),
+      md5(col("text").cast(BinaryType)).as("digest"),
+      call_function("graft_psig", col("text")).as("psig"))
+  }
+
+  /** The built-in-HOF twin of [[perceptualSigOf]] — the definition the
+    * DuckDB oracle mirrors term-for-term; kept as the cross-impl
+    * reference the spec checks the native kernel against. */
+  private[graft] def perceptualSigHofOf(d: DataFrame): DataFrame =
     d.select(Seq(col("doc_id"),
         graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
           .as("media_format"),

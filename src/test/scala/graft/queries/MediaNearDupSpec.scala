@@ -125,6 +125,23 @@ class MediaNearDupSpec extends SparkSpec {
     assert(bloomed == got)
   }
 
+  test("native psig kernel is bit-identical to the HOF definition") {
+    // the codegen'd kernel vs the built-in-HOF form the oracle
+    // mirrors, row-for-row over real data + the planted fixture
+    for (d <- Seq("/root/testdata/sf0.001", fixtureDir)) {
+      val in = graft.util.Tables.load(spark, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val native = MultimodalQueries.perceptualSigOf(in)
+        .select(col("doc_id"), col("psig")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = MultimodalQueries.perceptualSigHofOf(in)
+        .select(col("doc_id"), col("psig")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native.nonEmpty)
+      assert(native == hof, s"kernel drift at $d")
+    }
+  }
+
   test("region-confined edits share >= 1 exact tile (candidacy by construction)") {
     val sig = MultimodalQueries.perceptualSigOf(
       graft.util.Tables.load(spark, fixtureDir, "documents"))
