@@ -458,6 +458,83 @@ object MultimodalQueries {
        |ORDER BY media_format""".stripMargin
 
   // ---------------------------------------------------------------------
+  // mm_delta_accounting: media ingest accounting
+  // ---------------------------------------------------------------------
+
+  /** The media twin of `dedup_delta_accounting`: per modality of the
+    * NEW assets, how much of today's snapshot is already in the store
+    * perceptually (n_dup_vs_corpus), self-duplicated within the
+    * snapshot (n_dup_in_delta), and genuinely new — the keep/drop
+    * table for the media append. Rollup over the delta-pair grain. */
+  def deltaAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = mediaDeltaPairsCore(
+      tileRows(perceptualSigOf(d.filter(!(col("doc_id") % 5 === 3)))),
+      d.filter(col("doc_id") % 5 === 3))
+    val hits = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("other"))
+      .unionByName(
+        pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("other")))
+      .filter(col("doc_id") % 5 === 3)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("other") % 5 =!= 3).cast(LongType)).as("hit_corpus"),
+        max((col("other") % 5 === 3).cast(LongType)).as("hit_delta"))
+    Tables.released(
+      d.filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"),
+          graft.operators.MediaPipeline.mediaFormat(col("doc_id"))
+            .as("media_format"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy(col("media_format"))
+        .agg(
+          count(lit(1)).as("n_new_assets"),
+          coalesce(sum(col("hit_corpus")), lit(0L)).as("n_dup_vs_corpus"),
+          coalesce(sum(col("hit_delta")), lit(0L)).as("n_dup_in_delta"),
+          coalesce(sum(greatest(col("hit_corpus"), col("hit_delta"))), lit(0L))
+            .as("n_dup_any"))
+        .select(col("media_format"), col("n_new_assets"),
+          col("n_dup_vs_corpus"), col("n_dup_in_delta"), col("n_dup_any"),
+          (col("n_new_assets") - col("n_dup_any")).as("n_unique_new"),
+          floor(col("n_dup_any") * lit(10000L) / col("n_new_assets"))
+            .cast(LongType).as("dup_share_bp"))
+        .orderBy(col("media_format")))
+  }
+
+  val deltaAccountingSql: String =
+    s"""WITH $nearDupCtes,
+       |dpairs AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a % 5 = 3 OR doc_b % 5 = 3),
+       |hits0 AS (
+       |  SELECT doc_a AS doc_id, doc_b AS other FROM dpairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS other FROM dpairs),
+       |hits AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN other % 5 != 3 THEN 1 ELSE 0 END) AS hit_corpus,
+       |         max(CASE WHEN other % 5 = 3 THEN 1 ELSE 0 END) AS hit_delta
+       |  FROM hits0 WHERE doc_id % 5 = 3 GROUP BY 1),
+       |new_assets AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_format
+       |  FROM documents WHERE doc_id % 5 = 3)
+       |SELECT media_format,
+       |       CAST(count(*) AS BIGINT) AS n_new_assets,
+       |       CAST(COALESCE(sum(hit_corpus), 0) AS BIGINT) AS n_dup_vs_corpus,
+       |       CAST(COALESCE(sum(hit_delta), 0) AS BIGINT) AS n_dup_in_delta,
+       |       CAST(COALESCE(sum(greatest(hit_corpus, hit_delta)), 0) AS BIGINT)
+       |         AS n_dup_any,
+       |       CAST(count(*) - COALESCE(sum(greatest(hit_corpus, hit_delta)), 0)
+       |         AS BIGINT) AS n_unique_new,
+       |       CAST(floor(COALESCE(sum(greatest(hit_corpus, hit_delta)), 0)
+       |         * 10000 / count(*)) AS BIGINT) AS dup_share_bp
+       |FROM new_assets LEFT JOIN hits USING (doc_id)
+       |GROUP BY media_format
+       |ORDER BY media_format""".stripMargin
+
+  // ---------------------------------------------------------------------
   // mm_crossmodal_pairs: caption-vs-media near-dup agreement
   // ---------------------------------------------------------------------
 
@@ -700,6 +777,7 @@ object MultimodalQueries {
     ("mm_perceptual_sig", perceptualSig _, perceptualSigSql),
     ("mm_near_dup_pairs", nearDupPairs _, nearDupPairsSql),
     ("mm_delta_pairs", deltaPairs _, deltaPairsSql),
+    ("mm_delta_accounting", deltaAccounting _, deltaAccountingSql),
     ("mm_crossmodal_pairs", crossmodalPairs _, crossmodalPairsSql),
     ("mm_near_dedup", nearDedup _, nearDedupSql),
     ("mm_decontaminate", decontaminate _, decontaminateSql),
