@@ -154,6 +154,34 @@ object DedupIndexLayout {
       docIds: DataFrame): Unit =
     Tombstones.purge(spark, prefix, docIds)
 
+  /** COVERAGE gauge for a scheduled ingest: how much of the live
+    * documents table the dedup state actually covers — the number a
+    * daily crawl job alerts on before trusting [[dedupDelta]]'s "no
+    * duplicates" verdict (an unindexed corpus slice can hide dups).
+    * One row: live docs, indexed docs (tombstones excluded), coverage
+    * in ppm, and the tombstone backlog the next [[compact]] clears.
+    * Doc-id grains only — no shingle work, so it runs per schedule
+    * tick. */
+  def stalenessMetrics(spark: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val live = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs_live"))
+    val indexed = Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_shingles")
+          .select(col("doc_id")).distinct(), "doc_id")
+      .agg(count(lit(1)).as("n_docs_indexed"))
+    val tomb = Tombstones.ids(spark, prefix)
+      .agg(count(lit(1)).as("n_tombstoned"))
+    live.crossJoin(broadcast(indexed)).crossJoin(broadcast(tomb))
+      .select(col("n_docs_live"), col("n_docs_indexed"),
+        round(col("n_docs_indexed").cast("double") /
+          col("n_docs_live").cast("double") * 1e6)
+          .cast(LongType).as("coverage_ppm"),
+        col("n_tombstoned"))
+  }
+
   /** Rewrite both tables back to one file per bucket, erasing
     * tombstoned docs' rows in the same pass and clearing the tombstone
     * list ([[BucketedTables.compact]]'s write-aside + checked-rename

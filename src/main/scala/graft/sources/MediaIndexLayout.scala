@@ -89,6 +89,29 @@ object MediaIndexLayout {
       docIds: DataFrame): Unit =
     Tombstones.purge(spark, prefix, docIds)
 
+  /** Coverage gauge — the [[DedupIndexLayout.stalenessMetrics]]
+    * contract for the tile index: live assets vs perceptually-indexed
+    * assets (tombstones excluded), coverage ppm, tombstone backlog. */
+  def stalenessMetrics(spark: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val live = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs_live"))
+    val indexed = Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_tiles")
+          .select(col("doc_id")).distinct(), "doc_id")
+      .agg(count(lit(1)).as("n_docs_indexed"))
+    val tomb = Tombstones.ids(spark, prefix)
+      .agg(count(lit(1)).as("n_tombstoned"))
+    live.crossJoin(broadcast(indexed)).crossJoin(broadcast(tomb))
+      .select(col("n_docs_live"), col("n_docs_indexed"),
+        round(col("n_docs_indexed").cast("double") /
+          col("n_docs_live").cast("double") * 1e6)
+          .cast(LongType).as("coverage_ppm"),
+        col("n_tombstoned"))
+  }
+
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_tiles", "tile", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))

@@ -117,6 +117,29 @@ class DedupIndexLayoutSpec extends SparkSpec {
     } finally dropIndex("dd_two")
   }
 
+  test("staleness gauge tracks coverage, appends, and tombstone backlog") {
+    dropIndex("dd_stale")
+    DedupIndexLayout.buildDocs(spark, "dd_stale", docs(col("doc_id") < 400L),
+      buckets = 4)
+    try {
+      def gauge() = DedupIndexLayout.stalenessMetrics(spark, dir, "dd_stale")
+        .collect().head
+      val g0 = gauge()
+      assert(g0.getAs[Long]("n_docs_live") == 500L)
+      assert(g0.getAs[Long]("n_docs_indexed") == 400L)
+      assert(g0.getAs[Long]("coverage_ppm") == 800000L)
+      assert(g0.getAs[Long]("n_tombstoned") == 0L)
+      DedupIndexLayout.appendDeltaDocs(spark, "dd_stale",
+        docs(col("doc_id") >= 400L), buckets = 4)
+      assert(gauge().getAs[Long]("coverage_ppm") == 1000000L)
+      import spark.implicits._
+      DedupIndexLayout.purgeDocs(spark, "dd_stale", Seq(7L).toDF("doc_id"))
+      val g2 = gauge()
+      assert(g2.getAs[Long]("n_tombstoned") == 1L)
+      assert(g2.getAs[Long]("n_docs_indexed") == 499L)
+    } finally dropIndex("dd_stale")
+  }
+
   test("purge hides a doc from checks immediately; compact erases it") {
     dropIndex("dd_purge")
     val deltaPred = col("doc_id") % 5 === 3

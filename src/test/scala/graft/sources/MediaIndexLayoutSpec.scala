@@ -82,6 +82,22 @@ class MediaIndexLayoutSpec extends SparkSpec {
     } finally dropIndex("mi_retry")
   }
 
+  test("staleness gauge: coverage + tombstone backlog") {
+    dropIndex("mi_stale")
+    MediaIndexLayout.buildDocs(spark, "mi_stale", docs(col("doc_id") < 400L),
+      buckets = 4)
+    try {
+      def gauge() = MediaIndexLayout.stalenessMetrics(spark, dir, "mi_stale")
+        .collect().head
+      assert(gauge().getAs[Long]("coverage_ppm") == 800000L)
+      import spark.implicits._
+      MediaIndexLayout.purgeDocs(spark, "mi_stale", Seq(7L).toDF("doc_id"))
+      val g = gauge()
+      assert(g.getAs[Long]("n_tombstoned") == 1L)
+      assert(g.getAs[Long]("n_docs_indexed") == 399L)
+    } finally dropIndex("mi_stale")
+  }
+
   test("purge hides an asset immediately; compact erases it") {
     dropIndex("mi_purge")
     val deltaPred = col("doc_id") % 5 === 3
