@@ -2697,12 +2697,17 @@ object TextQueries {
   def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(col("toks")).cast(LongType)
+    // the scored grain feeds THREE consumers (budget scalar, bucket
+    // offsets, the ranked join) — one tokenize+score pass, cached,
+    // released with the result
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), nTok.as("n_tokens"),
         round(qualityScore(nTok, size(array_distinct(col("toks"))).cast(LongType),
           stopwordCount(col("toks"))) * 1e6).cast(LongType).as("qmicro"))
+      .persist()
+    perDoc.count()
     val budget = perDoc.agg(
       floor(sum(col("n_tokens")) * BudgetShareBp / lit(10000L))
         .cast(LongType).as("budget"))
@@ -2721,17 +2726,19 @@ object TextQueries {
         col("cum_before_bucket") + sum(col("n_tokens")).over(wInBucket))
       .crossJoin(broadcast(budget))
       .withColumn("kept", col("cum_tokens") <= col("budget"))
-    ranked.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        Tables.countIf(col("kept")).as("n_kept"),
-        sum(col("n_tokens")).as("tokens_total"),
-        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L))
-          .as("tokens_kept"))
-      .select(col("source"), col("n_docs"), col("n_kept"),
-        col("tokens_total"), col("tokens_kept"),
-        floor(col("n_kept") * lit(10000L) / col("n_docs"))
-          .cast(LongType).as("kept_share_bp"))
-      .orderBy(col("source"))
+    Tables.released(
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          Tables.countIf(col("kept")).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L))
+            .as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          floor(col("n_kept") * lit(10000L) / col("n_docs"))
+            .cast(LongType).as("kept_share_bp"))
+        .orderBy(col("source")),
+      perDoc)
   }
 
   val budgetSelectSql: String = {

@@ -768,6 +768,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("budget select: single-partition windows touch only bounded grains") {
+    val p = plan("txt_budget_select")
+    assert(!p.contains("CartesianProduct"), p)
+    // the scored doc grain is computed ONCE (cached) — a regression to
+    // per-consumer recompute re-runs the tokenize pass three times
+    assert(p.contains("InMemoryTableScan"), p)
+    // the doc-grain cumulative is PARTITIONED (by quality bucket); the
+    // only unpartitioned exchanges carry the ≤1e6-bucket offsets and
+    // the 1-row budget scalar — never the corpus grain
+    assert(p.contains("hashpartitioning(qmicro"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("value quantiles: exact percentile is a partial-merge aggregate") {
+    val p = plan("ev_value_quantiles")
+    // one shuffle on the bounded event_type grain; percentile buffers
+    // merge map-side partials — no window, no global sort before the
+    // final ORDER BY
+    assert(p.contains("partial_percentile") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("epoch plan: thresholds broadcast to the corpus grain; cache is narrow") {
     val p = plan("util_epoch_plan")
     // the fractional-epoch pass re-reads the corpus-sized grain; the
