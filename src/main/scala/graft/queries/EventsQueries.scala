@@ -2833,7 +2833,58 @@ object EventsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_type_day_rollup: grouping-sets subtotals (the Expand operator)
+  // ---------------------------------------------------------------------
+
+  /** ROLLUP(event_type, day): the per-cell, per-type-subtotal, and
+    * grand-total rows a BI layer reads as ONE result set instead of
+    * three queries — exercising Spark's grouping-sets machinery (the
+    * `Expand` operator: each input row fans out once per grouping
+    * level BEFORE the aggregate, so subtotals are exact even for the
+    * non-additive distinct-user count; `grouping()` flags
+    * disambiguate a subtotal from a literal group).
+    *
+    * Scale shape: Expand multiplies shuffle input by the number of
+    * levels (3 here) — the price of exact distincts per level; an
+    * additive-only rollup would instead re-aggregate the finest cell
+    * (the two-phase shape ev_daily_summary's consumers use). All
+    * aggregates map-side partial. */
+  def typeDayRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"), col("user_id"))
+      .rollup(col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast(LongType).as("g_type"),
+        grouping(col("day")).cast(LongType).as("g_day"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("g_type"), col("g_day"), col("n_events"), col("total_value"),
+        col("n_users"))
+      .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
+
+  val typeDayRollupSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |       COALESCE(day, 'ALL') AS day,
+      |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |       CAST(GROUPING(day) AS BIGINT) AS g_day,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |             value, user_id
+      |      FROM events)
+      |GROUP BY ROLLUP(event_type, day)
+      |ORDER BY g_type, g_day, event_type, day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
+    ("ev_type_day_rollup", (s, d) => typeDayRollup(s, d), typeDayRollupSql),
     ("ev_value_quantiles", (s, d) => valueQuantiles(s, d), valueQuantilesSql),
     ("ev_hourly_metrics", (s, d) => hourlyMetrics(s, d), hourlyMetricsSql),
     ("ev_rolling_24h", (s, d) => rolling24h(s, d), rolling24hSql),

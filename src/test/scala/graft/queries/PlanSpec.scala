@@ -781,6 +781,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p)
   }
 
+  test("type-day rollup: grouping sets run through Expand, aggregates partial") {
+    val p = plan("ev_type_day_rollup")
+    // the subtotal levels come from ONE Expand fan-out feeding one
+    // aggregation — not three separate scans unioned
+    assert(p.contains("Expand"), p)
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("value quantiles: exact percentile is a partial-merge aggregate") {
     val p = plan("ev_value_quantiles")
     // one shuffle on the bounded event_type grain; percentile buffers
