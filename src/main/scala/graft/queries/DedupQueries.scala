@@ -1815,7 +1815,10 @@ object DedupQueries {
     * the corpus, so the id anti-joins broadcast. */
   private[graft] def deltaPairsCore(corpusSized: DataFrame,
       corpusBands: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    // tiny and consumed by THREE anti-joins (bands + both verify
+    // legs) — pin it once rather than re-deriving per consumer
     val ids = deltaDocs.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
     // eager pin: the delta shingle pass feeds bands + both verify legs;
     // localCheckpoint (not persist) so micro-batch callers leak no
     // cache entries across batches
