@@ -480,23 +480,43 @@ object DedupQueries {
     * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
     * cache once its sized copy is built, so a caller sharing `sh`
     * must materialize its other consumers FIRST. */
-  /** (doc_id, band_id, key) LSH band rows of a signature frame — 4
-    * bands of 4 consecutive minhash values each. ONE definition shared
-    * by the online pair queries and the persisted dedup index
-    * ([[graft.sources.DedupIndexLayout]]): a banding change edited here
-    * cannot desynchronize the index from the queries it serves. */
+  /** (doc_id, band_id, key) LSH band rows of a signature frame — the
+    * shipped 4 bands of 4 consecutive minhash values each. ONE
+    * definition shared by the online pair queries and the persisted
+    * dedup index ([[graft.sources.DedupIndexLayout]]): a banding
+    * change edited here cannot desynchronize the index from the
+    * queries it serves. */
   private[graft] def minhashBandsOf(sig: DataFrame): DataFrame =
+    minhashBandsConfigOf(sig, 4, 4)
+
+  /** Parametric band layout over the k=16 signature: `bands` bands of
+    * `rows` consecutive minhash values (bands·rows ≤ 16) — the MinHash
+    * geometry dial ([[dedupRecallAudit]] is the audit that chooses
+    * it): per-band collision probability is j^rows, so FEWER rows per
+    * band shift the S-curve left (recall at lower jaccard, more
+    * candidates to verify) while MORE bands buy recall at bands× index
+    * cost. `dedup_minhash_pairs_8x2` registers the high-recall 8×2
+    * point next to the shipped 4×4. */
+  private[graft] def minhashBandsConfigOf(sig: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    require(bands * rows <= 16, s"band layout exceeds k=16: ${bands}x$rows")
     sig.select(col("doc_id"),
-      explode(array((0 until 4).map { j =>
+      explode(array((0 until bands).map { j =>
         struct(lit(j).as("band_id"),
-          concat_ws(":", (0 until 4).map(r => col(s"m${4 * j + r}")): _*).as("key"))
+          concat_ws(":", (0 until rows).map(r => col(s"m${rows * j + r}")): _*)
+            .as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+  }
 
-  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
+  private def minhashPairsFrom(sh: DataFrame): DataFrame =
+    minhashPairsFromConfig(sh, 4, 4)
+
+  private def minhashPairsFromConfig(sh: DataFrame, nBands: Int,
+      rows: Int): DataFrame = {
     val sig = minhashSigFrom(sh).persist()
     sig.count()
-    val bands = minhashBandsOf(sig)
+    val bands = minhashBandsConfigOf(sig, nBands, rows)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -509,11 +529,26 @@ object DedupQueries {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsBody(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** The high-recall geometry point: 8 bands × 2 rows (collision
+    * j² per band — the S-curve's 50% point drops from j≈0.69 to
+    * j≈0.27), verified at the same 0.3 floor. Near the floor the 4×4
+    * table provably under-recalls (catch ≈ 1−(1−0.3⁴)⁴ ≈ 3%); this
+    * point is what a recall-critical dedup run ships, at ~2× band
+    * rows and a larger candidate volume — the measured trade, next to
+    * [[dedupRecallAudit]]'s per-band S-curve. */
+  def minhashPairs8x2(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    sh.count()
+    minhashPairsFromConfig(sh, 8, 2).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL twin
     * of [[minhashPairsBody]], shared by the pairs and cluster oracles. */
-  private val minhashPairsCtes: String = {
-    val bandRows = (0 until 4).map { j =>
-      val key = (0 until 4).map(r => s"CAST(m${4 * j + r} AS VARCHAR)").mkString(" || ':' || ")
+  private val minhashPairsCtes: String = minhashPairsCtesConfig(4, 4)
+
+  private def minhashPairsCtesConfig(nBands: Int, rows: Int): String = {
+    val bandRows = (0 until nBands).map { j =>
+      val key = (0 until rows).map(r => s"CAST(m${rows * j + r} AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $j AS band_id, $key AS key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""sh AS ($shinglesCte),
@@ -541,6 +576,11 @@ object DedupQueries {
 
   val minhashPairsSql: String =
     s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val minhashPairs8x2Sql: String =
+    s"""WITH ${minhashPairsCtesConfig(8, 2)}
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -1950,6 +1990,7 @@ object DedupQueries {
     ("dedup_posting_audit", postingAudit _, postingAuditSql),
     ("dedup_minhash_sig", minhashSig _, minhashSigSql),
     ("dedup_minhash_pairs", minhashPairs _, minhashPairsSql),
+    ("dedup_minhash_pairs_8x2", minhashPairs8x2 _, minhashPairs8x2Sql),
     ("dedup_delta_pairs", deltaPairs _, deltaPairsSql),
     ("dedup_delta_accounting", deltaAccounting _, deltaAccountingSql),
     ("dedup_source_overlap", sourceOverlap _, sourceOverlapSql),
