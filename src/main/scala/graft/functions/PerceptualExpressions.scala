@@ -117,7 +117,7 @@ object PerceptualExpressions {
   }
 
   private[graft] def builder(children: Seq[Expression]): Expression =
-    PerceptualSig(children.head)
+    PerceptualSig(VectorExpressions.exactArgs("graft_psig", 1, children).head)
 
   /** Idempotently register graft_psig (late-binding path; the
     * [[GraftExtensions]] injector is the deploy-time one). */

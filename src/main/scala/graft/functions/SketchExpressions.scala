@@ -164,11 +164,15 @@ object SketchExpressions {
     }, depth = 2)
   }
 
-  private[functions] def builder(children: Seq[Expression]): Expression =
-    CmsEstimate(children(0), children(1))
+  private[functions] def builder(children: Seq[Expression]): Expression = {
+    val c = VectorExpressions.exactArgs("graft_cms_est", 2, children)
+    CmsEstimate(c(0), c(1))
+  }
 
-  private[functions] def bloomBuilder(children: Seq[Expression]): Expression =
-    BloomMightContain(children(0), children(1))
+  private[functions] def bloomBuilder(children: Seq[Expression]): Expression = {
+    val c = VectorExpressions.exactArgs("graft_bloom_mc", 2, children)
+    BloomMightContain(c(0), c(1))
+  }
 
   /** Idempotently register graft_cms_est / graft_bloom_mc in the
     * session's function registry (late-binding path next to

@@ -25,6 +25,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object VectorExpressions {
 
+  /** Builder arity guard: the FunctionRegistry hands the builder
+    * whatever argument list the query wrote, and `children(i)` /
+    * `children.head` would silently DROP extra arguments (a two-arg
+    * `graft_psig` call evaluating only the first) — fail resolution
+    * instead. Shared by every graft_* builder. */
+  private[functions] def exactArgs(name: String, n: Int,
+      children: Seq[Expression]): Seq[Expression] = {
+    require(children.size == n,
+      s"$name expects exactly $n argument(s), got ${children.size}")
+    children
+  }
+
+  private[functions] def dotBuilder(children: Seq[Expression]): Expression = {
+    val c = exactArgs("graft_dot", 2, children)
+    DotFF(c(0), c(1))
+  }
+
+  private[functions] def norm2Builder(children: Seq[Expression]): Expression =
+    Norm2FF(exactArgs("graft_norm2", 1, children).head)
+
+  private[functions] def pqD2sBuilder(children: Seq[Expression]): Expression = {
+    val c = exactArgs("graft_pq_d2s", 3, children)
+    PqSubD2s(c(0), c(1), c(2))
+  }
+
   /** dot(a, b): Σ a[i]*b[i] over float arrays, accumulated in double
     * in index order (i = 0..min(len)-1). */
   case class DotFF(left: Expression, right: Expression)
@@ -238,16 +263,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(VectorExpressions.DotFF.getClass.getName, "graft_dot"),
-      (children: Seq[Expression]) =>
-        VectorExpressions.DotFF(children(0), children(1))))
+      VectorExpressions.dotBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(VectorExpressions.Norm2FF.getClass.getName, "graft_norm2"),
-      (children: Seq[Expression]) =>
-        VectorExpressions.Norm2FF(children.head)))
+      VectorExpressions.norm2Builder _))
     ext.injectFunction((FunctionIdentifier("graft_pq_d2s"),
       new ExpressionInfo(VectorExpressions.PqSubD2s.getClass.getName, "graft_pq_d2s"),
-      (children: Seq[Expression]) =>
-        VectorExpressions.PqSubD2s(children(0), children(1), children(2))))
+      VectorExpressions.pqD2sBuilder _))
     ext.injectFunction((FunctionIdentifier("graft_cms_est"),
       new ExpressionInfo(SketchExpressions.CmsEstimate.getClass.getName,
         "graft_cms_est"),
@@ -274,18 +296,15 @@ object VectorFunctions {
       registry.registerFunction(
         dotId,
         new ExpressionInfo(VectorExpressions.DotFF.getClass.getName, "graft_dot"),
-        (children: Seq[Expression]) =>
-          VectorExpressions.DotFF(children(0), children(1)))
+        VectorExpressions.dotBuilder _)
       registry.registerFunction(
         FunctionIdentifier("graft_norm2"),
         new ExpressionInfo(VectorExpressions.Norm2FF.getClass.getName, "graft_norm2"),
-        (children: Seq[Expression]) =>
-          VectorExpressions.Norm2FF(children.head))
+        VectorExpressions.norm2Builder _)
       registry.registerFunction(
         FunctionIdentifier("graft_pq_d2s"),
         new ExpressionInfo(VectorExpressions.PqSubD2s.getClass.getName, "graft_pq_d2s"),
-        (children: Seq[Expression]) =>
-          VectorExpressions.PqSubD2s(children(0), children(1), children(2)))
+        VectorExpressions.pqD2sBuilder _)
     }
   }
 }

@@ -475,11 +475,6 @@ object DedupQueries {
     minhashPairsFrom(sh)
   }
 
-  /** [[minhashPairsBody]] over an ALREADY persisted shingle index —
-    * for composites ([[pipelineCurate]]) that feed several stages from
-    * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
-    * cache once its sized copy is built, so a caller sharing `sh`
-    * must materialize its other consumers FIRST. */
   /** (doc_id, band_id, key) LSH band rows of a signature frame — the
     * shipped 4 bands of 4 consecutive minhash values each. ONE
     * definition shared by the online pair queries and the persisted
@@ -509,6 +504,11 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
   }
 
+  /** [[minhashPairsBody]] over an ALREADY persisted shingle index —
+    * for composites ([[pipelineCurate]]) that feed several stages from
+    * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
+    * cache once its sized copy is built, so a caller sharing `sh`
+    * must materialize its other consumers FIRST. */
   private def minhashPairsFrom(sh: DataFrame): DataFrame =
     minhashPairsFromConfig(sh, 4, 4)
 
