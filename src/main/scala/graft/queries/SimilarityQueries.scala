@@ -1233,13 +1233,17 @@ object SimilarityQueries {
     * the LSH plane count ([[lshTopKPlanes]] note). */
   /** Probe masks for the Hamming-`radius` ring over the
     * [[HamPrefixBits]]-bit prefix: 9 probes at radius 1, 37 at radius
-    * 2 (9 + C(8,2) double flips). The ring is the recall dial the
-    * `lshMultiProbe` note promises for the signature domain: radius 2
-    * buys back the mid-distance regime (a true neighbor is missed
-    * only when ≥3 of its differing bits land in the prefix) for a
-    * bounded 37/256 ≈ 14.5% candidate share per query — measured
-    * recall 0.10→0.41 at sf0.001, 0.18→0.42 at sf0.01
-    * (HammingRecallSpec) at ~4× the radius-1 candidate volume. */
+    * 2 (9 + C(8,2) double flips), 93 at radius 3 (+C(8,3) triples).
+    * The ring is the recall dial the `lshMultiProbe` note promises for
+    * the signature domain: radius 2 buys back the mid-distance regime
+    * (a true neighbor is missed only when ≥3 of its differing bits
+    * land in the prefix) for a bounded 37/256 ≈ 14.5% candidate share
+    * per query — measured recall 0.10→0.41 at sf0.001, 0.18→0.42 at
+    * sf0.01 (HammingRecallSpec) at ~4× the radius-1 candidate volume.
+    * Radius 3 probes 93/256 ≈ 36% of the bucket domain — past the
+    * point where the bucketed tier can beat the exact scan by much;
+    * [[hammingRecall]] publishes exactly that crossover so the radius
+    * choice is a read, not a rerun. */
   private def hamProbeMasks(radius: Int): Seq[Long] = {
     val single = (0 until HamPrefixBits).map(p => 1L << p)
     val double =
@@ -1248,7 +1252,14 @@ object SimilarityQueries {
         p <- 0 until HamPrefixBits
         r <- (p + 1) until HamPrefixBits
       } yield (1L << p) | (1L << r)
-    0L +: (single ++ double)
+    val triple =
+      if (radius < 3) Nil
+      else for {
+        p <- 0 until HamPrefixBits
+        r <- (p + 1) until HamPrefixBits
+        t <- (r + 1) until HamPrefixBits
+      } yield (1L << p) | (1L << r) | (1L << t)
+    0L +: (single ++ double ++ triple)
   }
 
   def hammingBucketed(spark: SparkSession, dir: String): DataFrame =
@@ -1320,6 +1331,11 @@ object SimilarityQueries {
   // ann_hamming_recall: the probe-ring S-curve as an operator
   // ---------------------------------------------------------------------
 
+  /** Ring radii the recall table publishes — radius 3's 93-probe ring
+    * covers 36% of the 8-bit bucket domain, the crossover row where
+    * the exact tier starts to win. Interpolated into BOTH engines. */
+  private val HamRecallRadii = Seq(1, 2, 3)
+
   /** The Hamming probe-ring dial measured AS AN OPERATOR — the
     * `ann_recall_audit` pattern applied to the signature tier: per
     * ring radius, recall@10 of the bucketed tier against the exact
@@ -1354,7 +1370,7 @@ object SimilarityQueries {
       .persist()
     truth.count()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val rows = Seq(1, 2).map { radius =>
+    val rows = HamRecallRadii.map { radius =>
       val probes = q.select(col("vec_id").as("q_id"),
         col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
         explode(array(hamProbeMasks(radius).map(m =>
@@ -1436,11 +1452,8 @@ object SimilarityQueries {
        |    WHERE q.vec_id % 50 = 0)
        |  WHERE rank <= $TopK),
        |tcount AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-       |${radiusCtes(1)},
-       |${radiusCtes(2)}
-       |${radiusRow(1)}
-       |UNION ALL
-       |${radiusRow(2)}
+       |${HamRecallRadii.map(radiusCtes).mkString(",\n")}
+       |${HamRecallRadii.map(radiusRow).mkString("\nUNION ALL\n")}
        |ORDER BY radius""".stripMargin
   }
 

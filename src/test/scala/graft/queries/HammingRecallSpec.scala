@@ -41,6 +41,7 @@ class HammingRecallSpec extends SparkSpec {
     }
     val r1 = recallAt(1)
     val r2 = recallAt(2)
+    val r3 = recallAt(3)
     // the ring is the recall dial: radius 2 probes 37 of 256 buckets
     // (~14.5% of the corpus, ~4x radius 1's 9/256) and must buy a
     // real mid-distance lift, not noise
@@ -48,6 +49,11 @@ class HammingRecallSpec extends SparkSpec {
     // floors pin regressions with margin, not the exact point
     assert(r2 >= r1 + 0.2, f"radius-2 lift too small: $r1%.3f -> $r2%.3f")
     assert(r2 >= 0.35, f"radius-2 recall $r2%.3f below floor")
+    // radius 3 probes 93/256 (~36% of the corpus) — the crossover row
+    // where the exact tier starts to win on cost; the recall table
+    // publishes it so the radius choice is a read. Measured
+    // 0.42 -> 0.69 at sf0.01; monotone lift is the contract here.
+    assert(r3 >= r2 + 0.1, f"radius-3 lift too small: $r2%.3f -> $r3%.3f")
   }
 
   test("both tiers agree on the distance of every shared pair") {
