@@ -3081,6 +3081,180 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sem_delta_accounting: semantic dedup at ingest, oracled end to end
+  // ---------------------------------------------------------------------
+
+  /** The ingest delta split on the vector table — the documents
+    * table's `DedupQueries.DeltaPred` discipline (every 5th vector
+    * plays "today's snapshot", the rest the already-indexed corpus).
+    * Interpolated into BOTH engines. */
+  private[graft] val SemDeltaPred: Column = col("vec_id") % 5 === 3
+  private val semDeltaPredSql: String = "vec_id % 5 = 3"
+
+  /** SemDeDup decision floor — `dedup_cosine_lsh`'s verify floor, the
+    * curation chain's own semantic-stage convention. */
+  private val SemMinCos = 0.4
+
+  /** The table a SEMANTIC ingest operator reads — the
+    * `dedup_delta_accounting` shape for the vector tier: per label of
+    * the NEW vectors, how many have a corpus near-duplicate at cosine
+    * ≥ [[SemMinCos]] among their IVF-PQ top-[[TopK]] partners
+    * (n_sem_dup), how many partner pairs the index surfaced at all
+    * (n_pairs), the strongest observed cosine in basis points
+    * (max_cos_bp — pins the probe/ADC/re-rank path even when the
+    * threshold passes nothing), and the keep count (n_unique_new).
+    *
+    * Same decision grain as
+    * [[graft.sources.AnnIndexLayout.semanticDedupDelta]]: geometry
+    * (coarse centroids + PQ codebook) derives from the CORPUS side
+    * only — exactly what a persisted index froze before the snapshot
+    * arrived — the corpus is filed under it, and the delta only
+    * probes; SemDeltaAccountingSpec asserts this registered query
+    * equals the accounting rollup of the index surface served from
+    * persisted tables.
+    *
+    * Scale shape: inherits `ann_ivfpq_topk`'s — the delta probes
+    * NProbe cells per vector, candidates cost 16 int64 LUT lookups,
+    * only the delta×R shortlist re-joins raw embeddings; the corpus
+    * passes (assign, codes) are the ONE-OFF index build a deployment
+    * persists ([[graft.sources.AnnIndexLayout]]), never a per-snapshot
+    * cost. Exact-int counts; the one double (max cosine) is the
+    * bit-identical cosine both engines already hash-match in
+    * `dedup_embedding_cosine`, floored to bp. */
+  def semDeltaAccounting(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val corpusPred = !SemDeltaPred
+    val cents = coarseCentsOf(spark, dir, corpusPred)
+    val pqcb = pqSeedCentsOf(spark, dir, corpusPred)
+    val assign = ivfAssignUsing(spark, dir, cents, corpusPred)
+    val codes = pqCorpusCodesUsing(spark, dir, pqcb, corpusPred)
+    val queries = withNorm(embs(spark, dir).filter(SemDeltaPred))
+    val served = ivfpqServeQueriesWith(spark, dir, queries, cents, pqcb,
+      assign, codes, excludeSelf = false)
+    val q = embs(spark, dir).filter(SemDeltaPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val n = embs(spark, dir).filter(corpusPred)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
+    val perQ = served.join(q, "q_id").join(n, "n_id")
+      .select(col("q_id"),
+        (expr("graft_dot(qemb, nemb)") /
+          (sqrt(expr("graft_norm2(qemb)")) * sqrt(expr("graft_norm2(nemb)"))))
+          .as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(col("cosine")).as("max_cos"),
+        max((col("cosine") >= SemMinCos).cast(LongType)).as("is_dup"))
+    embs(spark, dir).filter(SemDeltaPred)
+      .select(col("vec_id").as("q_id"), col("label").cast(LongType).as("label"))
+      .join(perQ, Seq("q_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_new"),
+        coalesce(sum(col("n_partners")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_sem_dup"),
+        coalesce(floor(max(col("max_cos")) * lit(10000.0)), lit(-1.0))
+          .cast(LongType).as("max_cos_bp"))
+      .select(col("label"), col("n_new"), col("n_pairs"), col("n_sem_dup"),
+        (col("n_new") - col("n_sem_dup")).as("n_unique_new"),
+        col("max_cos_bp"))
+      .orderBy(col("label"))
+  }
+
+  val semDeltaAccountingSql: String = {
+    val d = PqSubDim
+    def subNorm2(a: String) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST($a[s.s*$d+i] AS DOUBLE) * CAST($a[s.s*$d+i] AS DOUBLE)))"
+    val subDot =
+      s"list_sum(list_transform(generate_series(1, $d), i -> " +
+        s"CAST(e.embedding[s.s*$d+i] AS DOUBLE) * CAST(c.cvec[s.s*$d+i] AS DOUBLE)))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+       |  FROM e WHERE vec_id % 40 = 7 AND NOT ($semDeltaPredSql)),
+       |cscored AS (
+       |  SELECT vec_id, ccos, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cent_id) AS crn
+       |  FROM (
+       |    SELECT e.vec_id, cent_id,
+       |           ${dotSql("e.embedding", "cvec")} / (e.nrm * cnrm) AS ccos
+       |    FROM e, coarse)),
+       |assign AS (SELECT vec_id AS n_id, cent_id AS cell FROM cscored
+       |           WHERE crn = 1 AND NOT ($semDeltaPredSql)),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cent_id AS cell
+       |  FROM cscored WHERE $semDeltaPredSql AND crn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.n_id
+       |  FROM probes p JOIN assign a ON p.cell = a.cell),
+       |pqcents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 500 AND vec_id % 16 = 7
+       |    AND NOT ($semDeltaPredSql)),
+       |scored AS (
+       |  SELECT e.vec_id, c.cent_id, s.s,
+       |         CAST(round((${subNorm2("e.embedding")}
+       |           + ${subNorm2("c.cvec")}
+       |           - 2.0 * $subDot) * 1e6) AS BIGINT) AS d2q
+       |  FROM embeddings e, pqcents c, generate_series(0, ${PqM - 1}) s(s)),
+       |codes AS (
+       |  SELECT vec_id AS n_id, s, cent_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                 ORDER BY d2q, cent_id) AS rn
+       |    FROM scored WHERE NOT ($semDeltaPredSql)) WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS q_id, s, cent_id, d2q
+       |  FROM scored WHERE $semDeltaPredSql),
+       |shortlist AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT lut.q_id AS q_id, codes.n_id AS n_id,
+       |           row_number() OVER (PARTITION BY lut.q_id
+       |             ORDER BY CAST(sum(d2q) AS BIGINT), codes.n_id) AS srn
+       |    FROM cand cd JOIN codes ON cd.n_id = codes.n_id
+       |    JOIN lut ON codes.s = lut.s AND codes.code = lut.cent_id
+       |            AND cd.q_id = lut.q_id
+       |    GROUP BY lut.q_id, codes.n_id) WHERE srn <= $PqR),
+       |ranked AS (
+       |  SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY d2, n_id) AS rank
+       |  FROM (
+       |    SELECT sl.q_id, sl.n_id,
+       |           ${norm2Sql("q.embedding")} + ${norm2Sql("n.embedding")}
+       |             - 2.0 * ${dotSql("q.embedding", "n.embedding")} AS d2
+       |    FROM shortlist sl
+       |    JOIN embeddings q ON sl.q_id = q.vec_id
+       |    JOIN embeddings n ON sl.n_id = n.vec_id)),
+       |pairs AS (
+       |  SELECT r.q_id,
+       |         ${dotSql("q.embedding", "n.embedding")}
+       |           / (sqrt(${norm2Sql("q.embedding")})
+       |              * sqrt(${norm2Sql("n.embedding")})) AS cosine
+       |  FROM ranked r
+       |  JOIN embeddings q ON r.q_id = q.vec_id
+       |  JOIN embeddings n ON r.n_id = n.vec_id
+       |  WHERE r.rank <= $TopK),
+       |perq AS (
+       |  SELECT q_id, count(*) AS n_partners, max(cosine) AS max_cos,
+       |         max(CASE WHEN cosine >= $SemMinCos THEN 1 ELSE 0 END) AS is_dup
+       |  FROM pairs GROUP BY 1)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |       CAST(count(*) AS BIGINT) AS n_new,
+       |       CAST(COALESCE(sum(n_partners), 0) AS BIGINT) AS n_pairs,
+       |       CAST(COALESCE(sum(is_dup), 0) AS BIGINT) AS n_sem_dup,
+       |       CAST(count(*) - COALESCE(sum(is_dup), 0) AS BIGINT)
+       |         AS n_unique_new,
+       |       CAST(COALESCE(floor(max(max_cos) * 10000.0), -1) AS BIGINT)
+       |         AS max_cos_bp
+       |FROM (SELECT vec_id, label FROM embeddings WHERE $semDeltaPredSql) nv
+       |LEFT JOIN perq ON nv.vec_id = perq.q_id
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),
     ("ann_lsh_topk", lshTopK _, lshTopKSql),
@@ -3118,6 +3292,7 @@ object SimilarityQueries {
     ("emb_whiten", whiten2 _, whiten2Sql),
     ("ann_pq_topk", pqTopK _, pqTopKSql),
     ("ann_ivfpq_topk", ivfpqTopK _, ivfpqTopKSql),
+    ("sem_delta_accounting", semDeltaAccounting _, semDeltaAccountingSql),
     ("ann_ivfpq_residual", ivfpqResidualTopK _, ivfpqResidualSql),
     ("ann_pq_learned", pqLearnedTopK _, null),
     ("ann_ivfpq_learned", ivfpqLearnedTopK _, null))

@@ -240,7 +240,14 @@ object AnnIndexLayout {
     * been [[appendDeltaVectors]]'d a re-run excludes each vector's own
     * filed copy and returns the identical pair set; tombstoned
     * vectors stop appearing immediately (the serve path's candidate
-    * filter). */
+    * filter).
+    *
+    * Oracle twin: `sem_delta_accounting`
+    * ([[SimilarityQueries.semDeltaAccounting]]) registers the same
+    * decision grain end to end — corpus-frozen geometry, delta-only
+    * probes, cosine floor — hash-checked against DuckDB;
+    * SemDeltaAccountingSpec pins THIS surface equal to that query's
+    * accounting rollup. */
   def semanticDedupDelta(spark: SparkSession, dir: String, prefix: String,
       newVecs: DataFrame, minCosine: Double,
       excludeSelf: Boolean = true): DataFrame = {
