@@ -2473,6 +2473,22 @@ object SimilarityQueries {
       .agg(min(struct(col("d2q"), col("cent_id"))).as("best"))
       .select(col("n_id"), col("s"), col("best.cent_id").as("code"))
 
+  /** Per-vector PQ quantization error against a codebook: the
+    * micro-quantized d2 between each vector and its RECONSTRUCTION
+    * from the chosen (argmin) code per subspace — sum over subspaces
+    * of the winning d2q, i.e. exactly the ADC self-distance the
+    * encode chose. The gauge `sources.AnnIndexLayout.stalenessMetrics`
+    * tracks: as the corpus distribution shifts away from what the
+    * frozen codebook was built for, this rises and ADC ranking quality
+    * decays silently. Partial-aggregable min/sum shapes throughout. */
+  private[graft] def pqQuantError(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    pqPartials(vecs, cents, PqM)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("d2q")).as("mind2q"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("mind2q")).as("qerr"))
+
   /** The PQ serve half: ADC scan over GIVEN codes + exact re-rank.
     * Codes and LUT use the same fused kernel
     * (functions.VectorExpressions.PqSubD2s): one pass over the two

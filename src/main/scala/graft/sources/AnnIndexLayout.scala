@@ -73,6 +73,101 @@ object AnnIndexLayout {
     BucketedTables.writeBucketed(
       SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where),
       s"${prefix}_codes", "n_id", buckets)
+    // build-time reference state for the staleness audit — captured
+    // HERE so "has the index rotted since its build" is a comparison,
+    // never a guess. A rebuild recaptures both (re-baselining is part
+    // of what a rebuild means).
+    //  - `_cellhist` (cell, n_build): the coarse occupancy histogram
+    //    of the just-written assignment (codebook-sized).
+    //  - `_qref` (avg_qerr, n_sample): mean PQ quantization error over
+    //    a deterministic 1-in-8 sample of the build vectors (rate
+    //    sample, so the reference pass costs 1/8 of an encode and the
+    //    audit can reproduce the exact sample).
+    spark.table(s"${prefix}_cells")
+      .groupBy(col("cell"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_build"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_cellhist")
+    SimilarityQueries.pqQuantError(
+        graft.util.Tables.load(spark, dir, "embeddings")
+          .filter(where && QrefSamplePred)
+          .select(col("vec_id"), col("embedding")), pqcb)
+      .agg(org.apache.spark.sql.functions.avg(col("qerr")).as("avg_qerr"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_sample"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_qref")
+  }
+
+  /** The deterministic 1-in-8 rate sample the `_qref` reference is
+    * computed over — exposed so an audit (or spec) can reproduce the
+    * exact build-time sample. */
+  val QrefSamplePred: Column =
+    org.apache.spark.sql.functions.pmod(col("vec_id"), lit(8L)) === 1L
+
+  /** GEOMETRY staleness audit — the `TextIndexLayout.stalenessMetrics`
+    * contract for the vector index: the frozen coarse centroids + PQ
+    * codebook stay internally consistent as deltas stream in, but as
+    * the corpus distribution shifts they file new vectors into
+    * increasingly wrong cells and reconstruct them increasingly badly
+    * — recall decays with no error anywhere. One row of alertable
+    * levels:
+    *  - `occ_skew_ppm`: total-variation distance (in ppm) between the
+    *    build-time cell-occupancy SHARES (`_cellhist`) and the current
+    *    (tombstone-filtered) shares — 0 on a fresh index, rising as
+    *    deltas pile into cells the build never favored (or purges
+    *    hollow cells out);
+    *  - `qerr_rise_ppm`: how much worse the frozen codebook
+    *    reconstructs `recentVecs` than it reconstructed the build
+    *    sample — max(0, avg_qerr_recent/avg_qerr_build − 1) in ppm
+    *    (falling error is not staleness);
+    *  - `n_cells_build` / `n_cells_now`: occupied-cell counts, the
+    *    quick shape check.
+    *
+    * `recentVecs` is (vec_id, embedding) — the ingest path has the
+    * latest delta in hand; pass that. Cost: one codebook-sized
+    * histogram agg over the bucketed cells table (no shuffle of the
+    * index), one delta-sized encode pass, two broadcast scalars —
+    * runs per maintenance tick. Consumed by
+    * [[graft.streaming.AnnStalenessMonitor]]; a rebuild recaptures
+    * the references, so the next audit clears the alert
+    * (AnnStalenessSpec: planted shift raises, rebuild clears, fresh
+    * index audits zero). */
+  def stalenessMetrics(spark: SparkSession, prefix: String,
+      recentVecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val (_, pqcb) = geometry(spark, prefix)
+    val nowHist = Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_cells"), "n_id")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
+    val hist = spark.table(s"${prefix}_cellhist")
+      .join(nowHist, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_build", "n_now"))
+      .localCheckpoint(true) // codebook-sized; feeds totals + the TV sum
+    val totals = hist.agg(sum(col("n_build")).as("tot_build"),
+      sum(col("n_now")).as("tot_now"),
+      count(when(col("n_build") > 0L, lit(1))).as("n_cells_build"),
+      count(when(col("n_now") > 0L, lit(1))).as("n_cells_now"))
+    val occ = hist.crossJoin(broadcast(totals))
+      .agg(
+        round(sum(abs(col("n_now").cast("double") / col("tot_now") -
+          col("n_build").cast("double") / col("tot_build"))) / 2.0 * 1e6)
+          .cast(LongType).as("occ_skew_ppm"),
+        first(col("n_cells_build")).as("n_cells_build"),
+        first(col("n_cells_now")).as("n_cells_now"))
+    val qNow = SimilarityQueries.pqQuantError(
+        recentVecs.dropDuplicates("vec_id")
+          .select(col("vec_id"), col("embedding")), pqcb)
+      .agg(avg(col("qerr")).as("avg_qerr_now"))
+    val qRef = spark.table(s"${prefix}_qref")
+      .select(col("avg_qerr").as("avg_qerr_build"))
+    occ.crossJoin(broadcast(qNow)).crossJoin(broadcast(qRef))
+      .select(col("occ_skew_ppm"),
+        greatest(lit(0L),
+          round((col("avg_qerr_now") / col("avg_qerr_build") - 1.0) * 1e6)
+            .cast(LongType)).as("qerr_rise_ppm"),
+        col("n_cells_build"), col("n_cells_now"))
   }
 
   /** Incremental maintenance — the operation a 100 TB deployment runs
