@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.DedupQueries
+import graft.sources.CuratedCorpusLayout
+
+/** Incremental-curation benchmark: the refresh-vs-rebuild gap the
+  * incremental layout exists for. Builds the stateful layout over the
+  * 80% corpus split, refreshes with the 20% delta split, and compares
+  * against the full-corpus rebuild cost — plus the served-vs-rebuilt
+  * row counts as a smoke check (CuratedDeltaSpec proves byte equality
+  * at sf0.001; this measures the money at sf0.1). */
+object CuratedDeltaBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-curdelta-wh").toString)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val buckets = 8
+    // the stateful corpus-split build (pays the chain + state capture)
+    val (_, buildSec) = timed(
+      CuratedCorpusLayout.buildIncremental(spark, sfDir, "curd_bench",
+        buckets, where = !DedupQueries.DeltaPred,
+        whereVec = col("vec_id") % 5 =!= 3))
+    val deltaDocs = graft.util.Tables.load(spark, sfDir, "documents")
+      .filter(DedupQueries.DeltaPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val deltaVecs = graft.util.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 5 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val nDelta = deltaDocs.count()
+    val (_, refreshSec) = timed(
+      CuratedCorpusLayout.refresh(spark, sfDir, "curd_bench",
+        deltaDocs, deltaVecs, buckets))
+    val (nServed, serveSec) = timed(
+      CuratedCorpusLayout.serve(spark, "curd_bench").count())
+    // the cost the refresh replaces: one full rebuild over the union
+    val (_, rebuildSec) = timed(
+      CuratedCorpusLayout.build(spark, sfDir, "curd_bench_full", buckets))
+    val nFull = CuratedCorpusLayout.serve(spark, "curd_bench_full").count()
+    require(nServed == nFull,
+      s"refresh served $nServed rows, full rebuild $nFull")
+    println(f"""{"metric":"curate_refresh_sec","value":$refreshSec%.2f,"unit":"sec","build_sec":$buildSec%.2f,"full_rebuild_sec":$rebuildSec%.2f,"delta_docs":$nDelta,"docs_served":$nServed,"serve_sec":$serveSec%.2f,"sf":${util.Json.quote(sfDir)}}""")
+    spark.stop()
+  }
+}

@@ -90,7 +90,7 @@ object DedupQueries {
   /** [[verifyJaccard]] against an ALREADY sized (and ideally cached)
     * index — for callers that need `withSizes` output themselves and
     * must not pay the per-doc count window twice. */
-  private def verifyJaccardSized(cand: DataFrame, shN: DataFrame): DataFrame =
+  private[graft] def verifyJaccardSized(cand: DataFrame, shN: DataFrame): DataFrame =
     cand
       .join(shN.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shN.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
@@ -511,6 +511,22 @@ object DedupQueries {
     * must materialize its other consumers FIRST. */
   private def minhashPairsFrom(sh: DataFrame): DataFrame =
     minhashPairsFromConfig(sh, 4, 4)
+
+  /** The FULL verified pair set read from an already PERSISTED dedup
+    * index — `sized` the sized shingle table, `bands` the band rows
+    * ([[graft.sources.DedupIndexLayout]]'s two tables): the same
+    * candidate self-join + exact-Jaccard verify as [[minhashPairs]],
+    * with zero shingle/signature recomputation. The build half of the
+    * incremental curated layout's `_mh_pairs` state. */
+  private[graft] def minhashPairsFromIndex(sized: DataFrame,
+      bands: DataFrame): DataFrame = {
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccardSized(cand, sized).filter(col("jaccard") >= 0.3)
+  }
 
   private def minhashPairsFromConfig(sh: DataFrame, nBands: Int,
       rows: Int): DataFrame = {
@@ -1275,21 +1291,45 @@ object DedupQueries {
   def cosineLshConfig(spark: SparkSession, dir: String,
       nBands: Int, planesPerBand: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val e = embs(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(expr("graft_norm2(embedding)")).as("nrm"))
-      .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
-    val codes = (0 until nBands).map(b =>
-      SimilarityQueries.bucketCodeFrom(b * planesPerBand, planesPerBand))
+    val e = normedDirVecs(embs(spark, dir))
     // the banded index feeds THREE consumers (bucket sizing, the pool
     // side, the candidate side) — size it once instead of recomputing
     // the 24 plane projections per consumer (the prefix-jaccard
     // shared-index discipline; r9 bench showed the recompute tripling
     // the query's cost after the OR-construction rewrite)
-    val bands = e.select(col("vec_id"),
-      posexplode(array(codes: _*)).as(Seq("band", "code")))
-      .persist()
+    val bands = cosineBandsOf(e, nBands, planesPerBand).persist()
     bands.count()
+    cosineLshFromBands(e, bands).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** (vec_id, embedding, nrm) with the zero-vector guard — the vector
+    * frame every cosine-LSH consumer reads. */
+  private[graft] def normedDirVecs(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+      .filter(col("nrm") > 0.0) // no direction, no cosine (NaN guard)
+
+  /** (vec_id, band, code) sign-LSH band rows of a normed vector frame
+    * — ONE definition shared by the online query and the incremental
+    * curated layout's persisted `_cos_bands` index, so a banding
+    * change cannot desynchronize the persisted state from the query
+    * it serves (the [[minhashBandsOf]] discipline). */
+  private[graft] def cosineBandsOf(e: DataFrame,
+      nBands: Int = CosineLshBands,
+      planesPerBand: Int = CosineLshBandPlanes): DataFrame = {
+    val codes = (0 until nBands).map(b =>
+      SimilarityQueries.bucketCodeFrom(b * planesPerBand, planesPerBand))
+    e.select(col("vec_id"),
+      posexplode(array(codes: _*)).as(Seq("band", "code")))
+  }
+
+  /** Candidate generation + exact-cosine verify over a GIVEN band
+    * frame — [[cosineLshConfig]]'s tail, shared with the incremental
+    * layout (which feeds persisted bands instead of a fresh
+    * projection). Candidacy rule: the SMALLER id of a pair must
+    * survive the per-bucket md5 pool cap for some shared bucket. */
+  private[graft] def cosineLshFromBands(e: DataFrame,
+      bands: DataFrame): DataFrame = {
     val nb = bands.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("n_bucket"))
     val pool = bands.join(broadcast(nb), Seq("band", "code"))
@@ -1300,6 +1340,13 @@ object DedupQueries {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    cosineVerify(e, cand)
+  }
+
+  /** Exact-cosine verification of (vec_a, vec_b) candidates at the
+    * 0.4 floor — id point lookups into the vector frame, never a
+    * corpus shuffle. */
+  private[graft] def cosineVerify(e: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(e.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "vec_a")
@@ -1309,7 +1356,185 @@ object DedupQueries {
         (expr("graft_dot(emb_a, emb_b)") /
           (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** INCREMENTAL maintenance of the verified cosine-LSH pair STATE —
+    * the new full pair set over corpus ∪ delta, computed without
+    * re-banding the corpus. Exactness argument, bucket by bucket
+    * (candidacy = the smaller id survives the per-bucket md5 pool cap
+    * for some shared bucket):
+    *  - buckets the delta never touches keep their membership AND
+    *    their n_bucket, so a stored pair survives iff it still has a
+    *    pool-qualified witness among them — checked against the
+    *    stored bands with the stored counts;
+    *  - buckets the delta DOES touch get their candidates recomputed
+    *    under the grown n_bucket (the pool cap can EVICT a corpus
+    *    vector from a grown bucket, killing pairs the full rebuild
+    *    would also drop — the one non-monotone effect, handled here
+    *    exactly, never approximated).
+    * The union of witness-surviving stored pairs and the re-verified
+    * touched-bucket candidates is the full-rebuild pair set
+    * (CuratedDeltaSpec pins it end to end through the curation gate).
+    *
+    * Scale shape: `deltaBands`/`ab` are delta-sized; the touched-
+    * bucket member scan is bounded by the delta's bucket fan-out ×
+    * bucket width — the share of the corpus it reads is the band-width
+    * dial's job (W grows with the corpus, [[cosineLshConfig]] note);
+    * witness checks are stored-pair-driven (4 rows per pair);
+    * verification is id point lookups. `storedBands` must already
+    * exclude the delta's own ids (replay safety is the caller's
+    * anti-join, the [[deltaPairsCore]] discipline). */
+  private[graft] def cosPairsState(lookupE: DataFrame, storedBands: DataFrame,
+      deltaBands: DataFrame, storedPairs: DataFrame,
+      deltaIds: DataFrame): DataFrame = {
+    val allBands = storedBands.unionByName(deltaBands)
+    val ab = deltaBands.select(col("band"), col("code")).distinct()
+      .localCheckpoint(true)
+    // touched buckets: recompute candidates under the NEW counts
+    val mAB = allBands.join(broadcast(ab), Seq("band", "code"))
+      .localCheckpoint(true)
+    val nbAB = mAB.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("n_bucket"))
+    val pool = mAB.join(broadcast(nbAB), Seq("band", "code"))
+      .filter(h60Pool(col("vec_id"), col("n_bucket"), MaxCosinePool))
+      .drop("n_bucket")
+    val cand = pool.as("a").join(mAB.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val verified = cosineVerify(lookupE, cand).localCheckpoint(true)
+    // untouched buckets: a stored pair survives iff some untouched
+    // shared bucket still pool-qualifies its smaller id (counts there
+    // are unchanged by construction). Delta-member pairs are dropped
+    // from the stored side first so a REPLAYED refresh reconverges.
+    val storedClean = storedPairs
+      .join(broadcast(deltaIds.toDF("__did")),
+        col("vec_a") === col("__did"), "left_anti")
+      .join(broadcast(deltaIds.toDF("__did")),
+        col("vec_b") === col("__did"), "left_anti")
+      .localCheckpoint(true)
+    val w = storedClean.select(col("vec_a"), col("vec_b"))
+      .join(storedBands.as("ba"), col("vec_a") === col("ba.vec_id"))
+      .join(storedBands.as("bb"), col("vec_b") === col("bb.vec_id") &&
+        col("ba.band") === col("bb.band") && col("ba.code") === col("bb.code"))
+      .select(col("vec_a"), col("vec_b"),
+        col("ba.band").as("band"), col("ba.code").as("code"))
+      .join(broadcast(ab), Seq("band", "code"), "left_anti")
+      .localCheckpoint(true)
+    val wb = w.select(col("band"), col("code")).distinct()
+    val nbW = storedBands.join(broadcast(wb), Seq("band", "code"))
+      .groupBy(col("band"), col("code")).agg(count(lit(1)).as("n_bucket"))
+    val keepKeys = w.join(broadcast(nbW), Seq("band", "code"))
+      .filter(h60Pool(col("vec_a"), col("n_bucket"), MaxCosinePool))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val kept = storedClean.join(keepKeys, Seq("vec_a", "vec_b"), "left_semi")
+    kept.unionByName(
+      verified.join(kept.select(col("vec_a"), col("vec_b")),
+        Seq("vec_a", "vec_b"), "left_anti"))
+  }
+
+  /** INCREMENTAL maintenance of the contamination pair STATE — the
+    * new (eval_doc, doc_id, n_eval, common ≥ half) set over corpus ∪
+    * delta without re-running the corpus posting self-join. The df
+    * posting cap is GLOBAL, so a delta has exactly three effects:
+    *  - NEW pairs with ≥1 delta member: their shared shingles are by
+    *    definition the delta docs' own shingles, so the posting join
+    *    is driven by the delta's shingle set restricted to the
+    *    still-cold (union df ≤ cap) subset;
+    *  - shingles whose df CROSSES the cap stop counting toward every
+    *    pair that shared them — common only DECREASES for stored
+    *    pairs, so a pair below the 0.5 floor can never re-enter, and
+    *    the affected stored pairs (both members in a crossing
+    *    shingle's ≤cap posting list) are recomputed exactly from the
+    *    two docs' persisted shingle sets under the union df;
+    *  - everything else is untouched.
+    *
+    * Scale shape: crossing postings are ≤ cap rows per crossing
+    * shingle; affected-pair recompute is pair-driven doc point lookups
+    * into the doc_id-bucketed shingle index; the delta-shingle semi
+    * joins scan the index column-pruned (the documented plain-parquet
+    * trade). `corpusSized` must already exclude the delta's ids. */
+  private[graft] def contamPairsState(corpusSized: DataFrame, shD: DataFrame,
+      allBase: DataFrame, deltaIds: DataFrame,
+      storedPairs: DataFrame): DataFrame = {
+    val cap = MaxPostingList
+    val half = (c: Column, n: Column) =>
+      c.cast(DoubleType) / n.cast(DoubleType) >= 0.5
+    val deltaCnt = shD.groupBy(col("s")).agg(count(lit(1)).as("d_cnt"))
+      .localCheckpoint(true)
+    val oldDf = corpusSized
+      .join(deltaCnt.select(col("s")), Seq("s"), "left_semi")
+      .groupBy(col("s")).agg(count(lit(1)).as("old_df"))
+    val touched = deltaCnt.join(oldDf, Seq("s"), "left")
+      .na.fill(0L, Seq("old_df"))
+      .select(col("s"), col("old_df"),
+        (col("old_df") + col("d_cnt")).as("new_df"))
+      .localCheckpoint(true)
+    val crossingS = touched
+      .filter(col("old_df") <= cap && col("new_df") > cap).select(col("s"))
+    val coldDeltaS = touched.filter(col("new_df") <= cap).select(col("s"))
+    // new pairs: union postings over the delta's still-cold shingles,
+    // kept only when a delta doc is on at least one side
+    val isDeltaFlag = broadcast(deltaIds.toDF("doc_id")
+      .withColumn("is_delta", lit(true)))
+    val postD = corpusSized.select(col("doc_id"), col("s"), col("n"))
+      .unionByName(shD.select(col("doc_id"), col("s"), col("n")))
+      .join(coldDeltaS, Seq("s"))
+      .join(allBase.select(col("doc_id"), col("is_train")), "doc_id")
+      .join(isDeltaFlag, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_delta"))
+      .localCheckpoint(true)
+    val pairsNew = postD.as("e").filter(!col("e.is_train"))
+      .join(postD.as("t").filter(col("t.is_train")), col("e.s") === col("t.s"))
+      .filter(col("e.is_delta") || col("t.is_delta"))
+      .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
+        col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .filter(half(col("common"), col("n_eval")))
+    // stored pairs hit by a crossing shingle: recompute exactly
+    val crossingPost = corpusSized.join(crossingS, Seq("s"))
+    val affKeys = crossingPost.as("e").join(crossingPost.as("t"),
+        col("e.s") === col("t.s"))
+      .select(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"))
+      .distinct()
+      .join(storedPairs.select(col("eval_doc"), col("doc_id")),
+        Seq("eval_doc", "doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val affDocs = affKeys.select(col("eval_doc").as("doc_id"))
+      .unionByName(affKeys.select(col("doc_id"))).distinct()
+      .localCheckpoint(true)
+    val affSh = corpusSized
+      .join(broadcast(affDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val recomputed = {
+      val keys = affKeys.select(col("eval_doc"), col("doc_id").as("train_doc"))
+      val shared = keys
+        .join(affSh.as("se"), col("eval_doc") === col("se.doc_id"))
+        .join(affSh.as("st"), col("train_doc") === col("st.doc_id") &&
+          col("se.s") === col("st.s"))
+        .select(col("eval_doc"), col("train_doc"),
+          col("se.n").as("n_eval"), col("se.s").as("s"))
+      val sDf = corpusSized
+        .join(shared.select(col("s")).distinct(), Seq("s"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("c_df"))
+        .join(deltaCnt, Seq("s"), "left")
+        .na.fill(0L, Seq("d_cnt"))
+        .filter(col("c_df") + col("d_cnt") <= cap).select(col("s"))
+      shared.join(sDf, Seq("s"))
+        .groupBy(col("eval_doc"), col("train_doc").as("doc_id"),
+          col("n_eval"))
+        .agg(count(lit(1)).as("common"))
+        .filter(half(col("common"), col("n_eval")))
+    }
+    // replace: stored minus (delta-member keys ∪ affected keys),
+    // plus the recomputed survivors, plus the new delta pairs
+    val storedClean = storedPairs
+      .join(broadcast(deltaIds.toDF("__did")),
+        col("eval_doc") === col("__did"), "left_anti")
+      .join(broadcast(deltaIds.toDF("__did")),
+        col("doc_id") === col("__did"), "left_anti")
+      .join(affKeys, Seq("eval_doc", "doc_id"), "left_anti")
+    storedClean.unionByName(recomputed).unionByName(pairsNew)
   }
 
   val cosineLshSql: String =
@@ -1629,10 +1854,44 @@ object DedupQueries {
     * attrition manifest that describes it. */
   private[graft] def curateChain(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    val base = curateBaseOf(docs(spark, dir)).localCheckpoint(true)
+    // decontamination thunk: the contamination query's capped posting
+    // join, train side keyed by the drop decision instead of the eval
+    // report; `post` is released with the returned attrition frame
+    var post: DataFrame = null
+    val contamThunk = () => {
+      val sh = shingles(spark, dir).persist()
+      sh.count()
+      val (pairs, p) = contamPairsFrom(base, sh)
+      sh.unpersist(false)
+      post = p
+      pairs.select(col("doc_id")).distinct()
+    }
+    // Stage isolation measured, not assumed: sharing ONE persisted
+    // shingle pass with decontamination (postings materialized first,
+    // minhashPairsFrom after) showed no benefit at sf0.1 (9.8 s vs
+    // 8.9-10.5 s across runs — inside the host's window variance, see
+    // BENCH_SF1.md round 10) while forcing four caches to co-reside
+    // (capped postings + raw shingles + signatures + sized index).
+    // Stages therefore build their own passes and release as they go —
+    // the gate invokes each thunk at its stage position so cache
+    // lifetimes sequence exactly as they always have.
+    val (s7, attrition) = curateGate(base,
+      () => minhashPairsBody(spark, dir),
+      () => cosineLsh(spark, dir),
+      contamThunk)
+    (s7, Tables.released(attrition, post))
+  }
+
+  /** The per-doc BASE frame of the curation chain — every pure
+    * per-doc value the stages gate on (content hash, 80/20 split, mix
+    * hash, token count, quality verdict). ONE definition shared by the
+    * online chain and [[graft.sources.CuratedCorpusLayout]]'s
+    * persisted `_base` state, so an incremental refresh can never
+    * compute a different split or quality verdict than the chain. */
+  private[graft] def curateBaseOf(d: DataFrame): DataFrame = {
     val nTok = size(col("toks")).cast(LongType)
-    val base = docs(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
+    d.select(col("doc_id"), col("source"), col("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"),
         md5(col("text")).as("h"),
@@ -1644,48 +1903,61 @@ object DedupQueries {
           size(array_distinct(col("toks"))).cast(LongType),
           TextQueries.stopwordCount(col("toks"))) >= 0.5 &&
           nTok >= 16L).as("is_qual"))
-      .localCheckpoint(true)
-    val s1 = base.filter(col("is_train"))
-    val s2 = s1.filter(col("is_qual"))
-    val keepExact = s2.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s3 = s2.join(keepExact, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    // Stage isolation measured, not assumed: sharing ONE persisted
-    // shingle pass with decontamination (postings materialized first,
-    // minhashPairsFrom after) showed no benefit at sf0.1 (9.8 s vs
-    // 8.9-10.5 s across runs — inside the host's window variance, see
-    // BENCH_SF1.md round 10) while forcing four caches to co-reside
-    // (capped postings + raw shingles + signatures + sized index).
-    // Stages therefore build their own passes and release as they go.
-    val mhDrop = minhashPairsBody(spark, dir)
-      .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .select(col("doc_b").as("doc_id")).distinct()
-    val s4 = s3.join(mhDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    val cosDrop = cosineLsh(spark, dir)
-      .join(s4.select(col("doc_id").as("vec_a")), Seq("vec_a"), "left_semi")
-      .select(col("vec_b").as("doc_id")).distinct()
-    val s5 = s4.join(cosDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    // decontamination: the contamination query's capped posting join,
-    // train side keyed by the drop decision instead of the eval report
-    val sh = shingles(spark, dir).persist()
-    sh.count()
+  }
+
+  /** Capped-posting contamination PAIRS over a raw shingle frame:
+    * (eval_doc, doc_id, n_eval, common) with containment ≥ 0.5 — the
+    * chain's decontam stage and the incremental layout's `_ct_pairs`
+    * state share this one definition. Returns the pairs plus the
+    * persisted posting frame the caller must release (it feeds both
+    * legs of the e×t self-join). */
+  private[graft] def contamPairsFrom(base: DataFrame,
+      sh: DataFrame): (DataFrame, DataFrame) = {
     val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxPostingList).select(col("s"))
     val post = withSizes(sh).join(cold, "s")
       .join(base.select(col("doc_id"), col("is_train")), "doc_id")
       .persist()
     post.count()
-    sh.unpersist(false)
-    val contamDrop = post.as("e").filter(!col("e.is_train"))
+    val pairs = post.as("e").filter(!col("e.is_train"))
       .join(post.as("t").filter(col("t.is_train")), col("e.s") === col("t.s"))
       .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
         col("e.n").as("n_eval"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common").cast(DoubleType) / col("n_eval").cast(DoubleType)
         >= 0.5)
-      .select(col("doc_id")).distinct()
-    val s6 = s5.join(contamDrop, Seq("doc_id"), "left_anti")
+    (pairs, post)
+  }
+
+  /** The stage-gating + attrition ALGEBRA of the curation chain over
+    * GIVEN pair/drop frames — the part of `pipeline_curate` that is
+    * pure doc_id-grain set algebra once the heavy passes (MinHash
+    * pairs, cosine-LSH pairs, contamination pairs) exist. The online
+    * chain passes thunks that compute them from the raw corpus; the
+    * incremental layout passes reads of its persisted state tables —
+    * byte-equality of the two is then a statement about the PAIR
+    * frames alone, which is exactly what the delta maintenance proves.
+    * Thunks are invoked at their stage position so the online chain's
+    * cache lifetimes sequence exactly as before. */
+  private[graft] def curateGate(base: DataFrame,
+      mhPairs: () => DataFrame, cosPairs: () => DataFrame,
+      contamDrop: () => DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val s1 = base.filter(col("is_train"))
+    val s2 = s1.filter(col("is_qual"))
+    val keepExact = s2.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = s2.join(keepExact, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val mhDrop = mhPairs()
+      .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s4 = s3.join(mhDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val cosDrop = cosPairs()
+      .join(s4.select(col("doc_id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .select(col("vec_b").as("doc_id")).distinct()
+    val s5 = s4.join(cosDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val s6 = s5.join(contamDrop(), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // temperature mix-down: τ=0.5 weights over survivor tokens
     val mixSrc = s6.groupBy(col("source")).agg(sum(col("n_tokens")).as("nt"))
@@ -1724,8 +1996,7 @@ object DedupQueries {
     } :+ all.select(lit(8L).as("stage"), lit("pack").as("stage_name"),
       col("n7").as("n_in"), lit(0L).as("n_dropped"),
       col("n_seq").as("n_out"), col("t7").as("tokens_out"))
-    (s7,
-      Tables.released(rows.reduce(_ unionByName _).orderBy(col("stage")), post))
+    (s7, rows.reduce(_ unionByName _).orderBy(col("stage")))
   }
 
   val pipelineCurateSql: String = {

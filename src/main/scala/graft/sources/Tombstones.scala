@@ -66,6 +66,22 @@ object Tombstones {
       broadcast(spark.table(table(prefix)).select(col("id").as("__tomb_id"))),
       df(idCol) === col("__tomb_id"), "left_anti")
 
+  /** Remove ids from the tombstone list — a row LEGITIMATELY
+    * re-entering the served set while its bytes still sit in the
+    * table (a curated-corpus refresh re-keeping a doc an earlier
+    * refresh evicted; distinct from a delta re-APPEND, which stays
+    * blocked until compaction). Rewrites the small list without those
+    * ids; no-op when no tombstone table exists. Idempotent. */
+  def remove(spark: SparkSession, prefix: String, ids: DataFrame): Unit =
+    if (exists(spark, prefix)) {
+      val keep = spark.table(table(prefix))
+        .join(broadcast(ids.toDF("id").distinct()), Seq("id"), "left_anti")
+        // materialize BEFORE overwriting the table the plan reads
+        .localCheckpoint(true)
+      keep.write.mode("overwrite").format("parquet").saveAsTable(table(prefix))
+      spark.catalog.refreshTable(table(prefix))
+    }
+
   /** Drop the tombstone list — called by the layouts' compaction after
     * the rows are physically gone. */
   def clear(spark: SparkSession, prefix: String): Unit =

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+/** Incremental curated-corpus refresh: a corpus-only build plus one
+  * delta refresh must serve the BYTE-IDENTICAL artifact (docs,
+  * manifest, handoff gate) as a full build over corpus ∪ delta — the
+  * restricted-equality discipline of dedup_delta_pairs applied to the
+  * whole 8-stage composite, including its global couplings (exact
+  * keep-min evictions, mix-rate flips, delta-eval contamination of
+  * corpus-train docs). A replayed refresh must change nothing. */
+class CuratedDeltaSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dropAll(prefix: String): Unit =
+    Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
+      "cos_pairs", "ct_pairs", "dd_shingles", "dd_bands", "tombstones",
+      "docs__compact_tmp", "manifest__compact_tmp",
+      "checksums__compact_tmp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+
+  test("refresh == full rebuild over corpus ∪ delta; replay idempotent") {
+    dropAll("curd"); dropAll("curd_ref")
+    // the full-corpus reference artifact
+    CuratedCorpusLayout.build(spark, dir, "curd_ref", buckets = 4)
+    val refDocs = CuratedCorpusLayout.serve(spark, "curd_ref")
+      .orderBy(col("doc_id")).collect().toSeq
+    val refManifest = CuratedCorpusLayout.manifest(spark, "curd_ref")
+      .orderBy(col("stage")).collect().toSeq
+    assert(refDocs.nonEmpty)
+
+    // corpus-only incremental build, then one snapshot refresh
+    CuratedCorpusLayout.buildIncremental(spark, dir, "curd", buckets = 4,
+      where = !DedupQueries.DeltaPred,
+      whereVec = col("vec_id") % 5 =!= 3)
+    val deltaDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(DedupQueries.DeltaPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val deltaVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 3)
+      .select(col("vec_id"), col("embedding"))
+    // the corpus-only artifact must differ from the union reference
+    // (otherwise the equality below proves nothing)
+    val preDocs = CuratedCorpusLayout.serve(spark, "curd")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(preDocs != refDocs, "delta split changed nothing — weak fixture")
+
+    CuratedCorpusLayout.refresh(spark, dir, "curd", deltaDocs, deltaVecs,
+      buckets = 4)
+    val gotDocs = CuratedCorpusLayout.serve(spark, "curd")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(gotDocs == refDocs,
+      s"refresh drifted from the full rebuild: got ${gotDocs.size} rows, " +
+        s"ref ${refDocs.size}; first diff: ${
+          gotDocs.zipAll(refDocs, null, null).find(p => p._1 != p._2)}")
+    val gotManifest = CuratedCorpusLayout.manifest(spark, "curd")
+      .orderBy(col("stage")).collect().toSeq
+    assert(gotManifest == refManifest,
+      s"manifest drifted:\n$gotManifest\n$refManifest")
+    val gate = CuratedCorpusLayout.verifyHandoff(spark, "curd")
+      .collect().head
+    assert(gate.getAs[Boolean]("ok"), gate.toString)
+
+    // replay: the identical refresh must reconverge to the same state
+    CuratedCorpusLayout.refresh(spark, dir, "curd", deltaDocs, deltaVecs,
+      buckets = 4)
+    val replayDocs = CuratedCorpusLayout.serve(spark, "curd")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(replayDocs == refDocs, "replayed refresh drifted")
+    val replayManifest = CuratedCorpusLayout.manifest(spark, "curd")
+      .orderBy(col("stage")).collect().toSeq
+    assert(replayManifest == refManifest, "replayed manifest drifted")
+
+    // compaction erases evicted rows physically; serve unchanged
+    CuratedCorpusLayout.compactDocs(spark, "curd", buckets = 4)
+    val compacted = CuratedCorpusLayout.serve(spark, "curd")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(compacted == refDocs, "compaction changed served rows")
+    dropAll("curd"); dropAll("curd_ref")
+  }
+
+  test("incremental build over the full corpus equals the plain build") {
+    dropAll("curi"); dropAll("curi_ref")
+    CuratedCorpusLayout.build(spark, dir, "curi_ref", buckets = 4)
+    CuratedCorpusLayout.buildIncremental(spark, dir, "curi", buckets = 4)
+    val ref = CuratedCorpusLayout.serve(spark, "curi_ref")
+      .orderBy(col("doc_id")).collect().toSeq
+    val got = CuratedCorpusLayout.serve(spark, "curi")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(ref.nonEmpty && got == ref)
+    val refM = CuratedCorpusLayout.manifest(spark, "curi_ref")
+      .orderBy(col("stage")).collect().toSeq
+    val gotM = CuratedCorpusLayout.manifest(spark, "curi")
+      .orderBy(col("stage")).collect().toSeq
+    assert(gotM == refM)
+    dropAll("curi"); dropAll("curi_ref")
+  }
+}
