@@ -107,8 +107,23 @@ object ScaleData {
       .drop("c")
     write(docsInflated, "documents")
 
+    // salt vectors per copy: circularly rotate the dimension axis by
+    // (13·c) mod 64 — norms, per-dim marginals, and every WITHIN-copy
+    // distance are exactly preserved (one permutation applied to the
+    // whole universe), while cross-copy cosines collapse to noise.
+    // Verbatim replication would make each vector's true top-k its own
+    // N−1 clones and every LSH/Hamming bucket collide pathologically —
+    // the documents.text `_c`-suffix discipline applied to the vector
+    // table (13 is odd, so the 10 shifts are distinct mod 64).
     val emb = base("embeddings")
-    write(inflate(emb, Map("vec_id" -> unit(emb, "vec_id"))), "embeddings")
+    val shift = (col("c") * 13L % 64L).cast("int")
+    val embInflated = inflate(emb, Map("vec_id" -> unit(emb, "vec_id")),
+        keepCopy = true)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), shift + 1, lit(64) - shift),
+          slice(col("embedding"), lit(1), shift)))
+      .drop("c")
+    write(embInflated, "embeddings")
 
     spark.stop()
   }

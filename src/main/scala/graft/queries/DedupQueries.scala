@@ -1386,51 +1386,67 @@ object DedupQueries {
   private[graft] def cosPairsState(lookupE: DataFrame, storedBands: DataFrame,
       deltaBands: DataFrame, storedPairs: DataFrame,
       deltaIds: DataFrame): DataFrame = {
-    val allBands = storedBands.unionByName(deltaBands)
+    val dSet = broadcast(deltaIds.toDF("vec_id"))
     val ab = deltaBands.select(col("band"), col("code")).distinct()
       .localCheckpoint(true)
-    // touched buckets: recompute candidates under the NEW counts
-    val mAB = allBands.join(broadcast(ab), Seq("band", "code"))
-      .localCheckpoint(true)
+    // members + NEW counts of the delta-touched buckets
+    val mAB = storedBands.join(broadcast(ab), Seq("band", "code"))
+      .unionByName(deltaBands).localCheckpoint(true)
     val nbAB = mAB.groupBy(col("band"), col("code"))
-      .agg(count(lit(1)).as("n_bucket"))
-    val pool = mAB.join(broadcast(nbAB), Seq("band", "code"))
+      .agg(count(lit(1)).as("n_bucket")).localCheckpoint(true)
+    val poolAB = mAB.join(broadcast(nbAB), Seq("band", "code"))
       .filter(h60Pool(col("vec_id"), col("n_bucket"), MaxCosinePool))
       .drop("n_bucket")
-    val cand = pool.as("a").join(mAB.as("b"),
+    // only DELTA-involving candidates can be new: corpus bucket
+    // membership is unchanged and the pool only SHRINKS as buckets
+    // grow, so a corpus-corpus pair that was not a candidate before
+    // cannot become one — and one that was is either stored (witness
+    // path below) or failed the 0.4 verify on an unchanged cosine.
+    val poolD = poolAB.join(dSet, Seq("vec_id"), "left_semi")
+    val poolC = poolAB.join(dSet, Seq("vec_id"), "left_anti")
+    val cand = poolD.as("a").join(mAB.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .unionByName(poolC.as("a").join(deltaBands.as("b"),
+          col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")))
       .distinct()
-    val verified = cosineVerify(lookupE, cand).localCheckpoint(true)
-    // untouched buckets: a stored pair survives iff some untouched
-    // shared bucket still pool-qualifies its smaller id (counts there
-    // are unchanged by construction). Delta-member pairs are dropped
-    // from the stored side first so a REPLAYED refresh reconverges.
+    // stored pairs survive via a pool-qualified WITNESS under the
+    // right counts — old counts for untouched buckets, new for
+    // touched (a grown bucket can evict the canonical member).
+    // Delta-member pairs are dropped from the stored side first so a
+    // REPLAYED refresh reconverges (they regenerate through `cand`).
     val storedClean = storedPairs
       .join(broadcast(deltaIds.toDF("__did")),
         col("vec_a") === col("__did"), "left_anti")
       .join(broadcast(deltaIds.toDF("__did")),
         col("vec_b") === col("__did"), "left_anti")
       .localCheckpoint(true)
+    val verifiedNew = cosineVerify(lookupE,
+      cand.join(storedClean.select(col("vec_a"), col("vec_b")),
+        Seq("vec_a", "vec_b"), "left_anti")).localCheckpoint(true)
     val w = storedClean.select(col("vec_a"), col("vec_b"))
       .join(storedBands.as("ba"), col("vec_a") === col("ba.vec_id"))
       .join(storedBands.as("bb"), col("vec_b") === col("bb.vec_id") &&
         col("ba.band") === col("bb.band") && col("ba.code") === col("bb.code"))
       .select(col("vec_a"), col("vec_b"),
         col("ba.band").as("band"), col("ba.code").as("code"))
-      .join(broadcast(ab), Seq("band", "code"), "left_anti")
       .localCheckpoint(true)
     val wb = w.select(col("band"), col("code")).distinct()
-    val nbW = storedBands.join(broadcast(wb), Seq("band", "code"))
-      .groupBy(col("band"), col("code")).agg(count(lit(1)).as("n_bucket"))
-    val keepKeys = w.join(broadcast(nbW), Seq("band", "code"))
+    val nbOld = storedBands.join(broadcast(wb), Seq("band", "code"))
+      .groupBy(col("band"), col("code")).agg(count(lit(1)).as("n_old"))
+    val nbMerged = nbOld
+      .join(broadcast(nbAB.withColumnRenamed("n_bucket", "n_new")),
+        Seq("band", "code"), "left")
+      .select(col("band"), col("code"),
+        coalesce(col("n_new"), col("n_old")).as("n_bucket"))
+    val keepKeys = w.join(broadcast(nbMerged), Seq("band", "code"))
       .filter(h60Pool(col("vec_a"), col("n_bucket"), MaxCosinePool))
       .select(col("vec_a"), col("vec_b")).distinct()
     val kept = storedClean.join(keepKeys, Seq("vec_a", "vec_b"), "left_semi")
-    kept.unionByName(
-      verified.join(kept.select(col("vec_a"), col("vec_b")),
-        Seq("vec_a", "vec_b"), "left_anti"))
+    kept.unionByName(verifiedNew)
   }
 
   /** INCREMENTAL maintenance of the contamination pair STATE — the

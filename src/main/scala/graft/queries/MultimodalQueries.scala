@@ -770,6 +770,105 @@ object MultimodalQueries {
        |FROM ranked WHERE rn = 1
        |ORDER BY train_doc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_ingest_accounting: ONE keep/drop table for the whole snapshot —
+  // text ⊗ perceptual ⊗ semantic verdicts per new asset
+  // ---------------------------------------------------------------------
+
+  /** The UNIFIED snapshot ingest accounting: text (banded MinHash),
+    * media (perceptual tiles), and semantic (corpus-frozen IVF-PQ at
+    * the SemDeDup cosine floor) delta checks share one snapshot split
+    * (doc_id % 5 == 3, vec_id == doc_id for the vector tier), and this
+    * operator folds all three into one per-source keep/drop rollup —
+    * the table an ingest run reads INSTEAD of reconciling
+    * `dedup_delta_accounting`, `mm_delta_accounting`, and
+    * `sem_delta_accounting` by hand. The text⊗media crossmodal verdict
+    * (`mm_crossmodal_pairs`' both / text_only / media_only) lands as
+    * counts; keep = duplicate in NO modality.
+    *
+    * The deployment path is [[graft.sources.IngestGate]] — one
+    * micro-batch through all three PERSISTED indexes, spec-pinned to
+    * this query's verdicts; this registered form recomputes the three
+    * checks online so the DuckDB oracle can hash-check the whole
+    * composite. Scale shape: the three delta generators unchanged
+    * (each banded/probed, never all-pairs) + doc_id-grain flag joins. */
+  def ingestAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val deltaP = col("doc_id") % 5 === 3
+    def hitsOf(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .filter(col("doc_id") % 5 === 3).distinct()
+        .withColumn(flag, lit(1L))
+    val tHits = hitsOf(DedupQueries.deltaPairs(spark, dir), "text_dup")
+    val mHits = hitsOf(deltaPairs(spark, dir), "media_dup")
+    val sHits = SimilarityQueries.semDeltaPairs(spark, dir)
+      .filter(col("cosine") >= SimilarityQueries.SemMinCosFloor)
+      .select(col("q_id").as("doc_id")).distinct()
+      .withColumn("sem_dup", lit(1L))
+    docs(spark, dir).filter(deltaP)
+      .select(col("doc_id"), col("source"))
+      .join(tHits, Seq("doc_id"), "left")
+      .join(mHits, Seq("doc_id"), "left")
+      .join(sHits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("text_dup", "media_dup", "sem_dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(col("text_dup")).as("n_text_dup"),
+        sum(col("media_dup")).as("n_media_dup"),
+        sum(col("sem_dup")).as("n_sem_dup"),
+        sum(col("text_dup") * col("media_dup")).as("n_both_tm"),
+        sum(col("text_dup") * (lit(1L) - col("media_dup")))
+          .as("n_text_only"),
+        sum((lit(1L) - col("text_dup")) * col("media_dup"))
+          .as("n_media_only"),
+        sum(when(col("text_dup") === 0L && col("media_dup") === 0L &&
+          col("sem_dup") === 0L, 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
+  val ingestAccountingSql: String =
+    s"""WITH tpairs AS (
+       |  SELECT doc_a, doc_b FROM (${DedupQueries.deltaPairsSql})),
+       |mpairs AS (
+       |  SELECT doc_a, doc_b FROM ($deltaPairsSql)),
+       |spairs AS (
+       |  SELECT q_id, cosine FROM (${SimilarityQueries.semPairsSql})),
+       |t_hits AS (
+       |  SELECT DISTINCT doc_id, 1 AS text_dup FROM (
+       |    SELECT doc_a AS doc_id FROM tpairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM tpairs)
+       |  WHERE doc_id % 5 = 3),
+       |m_hits AS (
+       |  SELECT DISTINCT doc_id, 1 AS media_dup FROM (
+       |    SELECT doc_a AS doc_id FROM mpairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM mpairs)
+       |  WHERE doc_id % 5 = 3),
+       |s_hits AS (
+       |  SELECT DISTINCT q_id AS doc_id, 1 AS sem_dup FROM spairs
+       |  WHERE cosine >= 0.4),
+       |flags AS (
+       |  SELECT n.doc_id, n.source,
+       |         COALESCE(text_dup, 0) AS t, COALESCE(media_dup, 0) AS m,
+       |         COALESCE(sem_dup, 0) AS s
+       |  FROM (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 3) n
+       |  LEFT JOIN t_hits USING (doc_id)
+       |  LEFT JOIN m_hits USING (doc_id)
+       |  LEFT JOIN s_hits USING (doc_id))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_new,
+       |       CAST(sum(t) AS BIGINT) AS n_text_dup,
+       |       CAST(sum(m) AS BIGINT) AS n_media_dup,
+       |       CAST(sum(s) AS BIGINT) AS n_sem_dup,
+       |       CAST(sum(t * m) AS BIGINT) AS n_both_tm,
+       |       CAST(sum(t * (1 - m)) AS BIGINT) AS n_text_only,
+       |       CAST(sum((1 - t) * m) AS BIGINT) AS n_media_only,
+       |       CAST(sum(CASE WHEN t = 0 AND m = 0 AND s = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM flags
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("mm_media_features", mediaFeatures _, mediaFeaturesSql),
     ("mm_frame_sample", frameSample _, frameSampleSql),
@@ -778,6 +877,7 @@ object MultimodalQueries {
     ("mm_near_dup_pairs", nearDupPairs _, nearDupPairsSql),
     ("mm_delta_pairs", deltaPairs _, deltaPairsSql),
     ("mm_delta_accounting", deltaAccounting _, deltaAccountingSql),
+    ("mm_ingest_accounting", ingestAccounting _, ingestAccountingSql),
     ("mm_crossmodal_pairs", crossmodalPairs _, crossmodalPairsSql),
     ("mm_near_dedup", nearDedup _, nearDedupSql),
     ("mm_decontaminate", decontaminate _, decontaminateSql),

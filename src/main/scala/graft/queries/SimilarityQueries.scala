@@ -3138,7 +3138,13 @@ object SimilarityQueries {
     * cost. Exact-int counts; the one double (max cosine) is the
     * bit-identical cosine both engines already hash-match in
     * `dedup_embedding_cosine`, floored to bp. */
-  def semDeltaAccounting(spark: SparkSession, dir: String): DataFrame = {
+  /** The serve-and-score half of [[semDeltaAccounting]] — one row per
+    * (delta vector, corpus IVF-PQ top-K partner) with the exact
+    * cosine, threshold NOT yet applied. Shared with the unified
+    * ingest composite (`mm_ingest_accounting`), which folds this
+    * verdict next to the text and perceptual ones. */
+  private[graft] def semDeltaPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val corpusPred = !SemDeltaPred
     val cents = coarseCentsOf(spark, dir, corpusPred)
@@ -3152,11 +3158,19 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
     val n = embs(spark, dir).filter(corpusPred)
       .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
-    val perQ = served.join(q, "q_id").join(n, "n_id")
+    served.join(q, "q_id").join(n, "n_id")
       .select(col("q_id"),
         (expr("graft_dot(qemb, nemb)") /
           (sqrt(expr("graft_norm2(qemb)")) * sqrt(expr("graft_norm2(nemb)"))))
           .as("cosine"))
+  }
+
+  /** The cosine floor the SemDeDup verdict applies — shared with the
+    * ingest composite so the two queries cannot drift. */
+  private[graft] val SemMinCosFloor: Double = SemMinCos
+
+  def semDeltaAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val perQ = semDeltaPairs(spark, dir)
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_partners"),
         max(col("cosine")).as("max_cos"),
@@ -3176,7 +3190,11 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  val semDeltaAccountingSql: String = {
+  /** SQL twin of [[semDeltaPairs]] — a complete SELECT of (q_id,
+    * cosine), embeddable as a subquery (DuckDB allows WITH inside a
+    * derived table), shared by [[semDeltaAccountingSql]] and the
+    * unified ingest oracle. */
+  private[graft] val semPairsSql: String = {
     val d = PqSubDim
     def subNorm2(a: String) =
       s"list_sum(list_transform(generate_series(1, $d), i -> " +
@@ -3252,11 +3270,15 @@ object SimilarityQueries {
        |  FROM ranked r
        |  JOIN embeddings q ON r.q_id = q.vec_id
        |  JOIN embeddings n ON r.n_id = n.vec_id
-       |  WHERE r.rank <= $TopK),
-       |perq AS (
+       |  WHERE r.rank <= $TopK)
+       |SELECT q_id, cosine FROM pairs""".stripMargin
+  }
+
+  val semDeltaAccountingSql: String =
+    s"""WITH perq AS (
        |  SELECT q_id, count(*) AS n_partners, max(cosine) AS max_cos,
        |         max(CASE WHEN cosine >= $SemMinCos THEN 1 ELSE 0 END) AS is_dup
-       |  FROM pairs GROUP BY 1)
+       |  FROM ($semPairsSql) GROUP BY 1)
        |SELECT CAST(label AS BIGINT) AS label,
        |       CAST(count(*) AS BIGINT) AS n_new,
        |       CAST(COALESCE(sum(n_partners), 0) AS BIGINT) AS n_pairs,
@@ -3269,7 +3291,6 @@ object SimilarityQueries {
        |LEFT JOIN perq ON nv.vec_id = perq.q_id
        |GROUP BY label
        |ORDER BY label""".stripMargin
-  }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame), String)] = Seq(
     ("ann_cosine_topk", bruteTopK _, bruteTopKSql),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, sqrt}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, sqrt}
 
 import graft.queries.SimilarityQueries
 
@@ -60,6 +60,18 @@ object AnnIndexLayout {
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true)): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // a build replaces the index from scratch: clear catalog entries
+    // AND any orphaned managed locations (a table created by another
+    // session leaves its directory behind for a fresh catalog, and
+    // saveAsTable(overwrite) refuses to adopt an existing location)
+    Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref").foreach { t =>
+      val table = s"${prefix}_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
     SimilarityQueries.coarseCentsOf(spark, dir, where)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${prefix}_coarse")
@@ -329,12 +341,14 @@ object AnnIndexLayout {
     *
     * Scope: delta-vs-CORPUS at index cost. Within-delta semantic dups
     * belong to the batch's own pass (`dedup_cosine_lsh` over the
-    * batch) — the index cannot see vectors that are not yet in it.
-    *
-    * Replay-safe: `excludeSelf` defaults true, so after the delta has
-    * been [[appendDeltaVectors]]'d a re-run excludes each vector's own
-    * filed copy and returns the identical pair set; tombstoned
-    * vectors stop appearing immediately (the serve path's candidate
+    * batch) — enforced by construction: the BATCH'S OWN ids are
+    * anti-joined out of the index candidates (the
+    * [[DedupIndexLayout.dedupDelta]] discipline, applied at the cells
+    * grain so top-K semantics are untouched), which also makes the
+    * check replay-safe: after the delta has been
+    * [[appendDeltaVectors]]'d, a re-run sees the identical
+    * corpus-only candidate set and returns the identical pair set.
+    * Tombstoned vectors stop appearing immediately (the candidate
     * filter).
     *
     * Oracle twin: `sem_delta_accounting`
@@ -344,10 +358,10 @@ object AnnIndexLayout {
     * SemDeltaAccountingSpec pins THIS surface equal to that query's
     * accounting rollup. */
   def semanticDedupDelta(spark: SparkSession, dir: String, prefix: String,
-      newVecs: DataFrame, minCosine: Double,
-      excludeSelf: Boolean = true): DataFrame = {
+      newVecs: DataFrame, minCosine: Double): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val delta = newVecs.dropDuplicates("vec_id")
+    val dIds = delta.select(col("vec_id").as("__did")).localCheckpoint(true)
     // serve ranks by exact squared L2 (d2); the dedup decision wants
     // cosine, derived by point lookups on the k-bounded output — the
     // corpus never scans for this
@@ -355,7 +369,15 @@ object AnnIndexLayout {
       col("embedding").as("qemb"))
     val c = graft.util.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
-    serve(spark, dir, prefix, delta, excludeSelf)
+    val (cents, pqcb) = geometry(spark, prefix)
+    val cells = Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_cells"), "n_id")
+      .join(broadcast(dIds), col("n_id") === col("__did"), "left_anti")
+    val qn = delta.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_norm2(embedding)")).as("nrm"))
+    SimilarityQueries.ivfpqServeQueriesWith(spark, dir, qn, cents, pqcb,
+        cells, BucketedTables.read(spark, s"${prefix}_codes"),
+        excludeSelf = false)
       .join(q, "q_id").join(c, "n_id")
       .select(col("q_id").as("vec_new"), col("n_id").as("vec_corpus"),
         (expr("graft_dot(qemb, nemb)") /

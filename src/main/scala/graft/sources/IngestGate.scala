@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The UNIFIED snapshot ingest gate — one micro-batch driven through
+  * all three persisted duplicate checks, emitting ONE keep/drop row
+  * per new asset:
+  *  - text: banded MinHash over [[DedupIndexLayout]] (`<prefix>_dd`),
+  *  - media: perceptual tiles over [[MediaIndexLayout]]
+  *    (`<prefix>_mm`),
+  *  - semantic: corpus-frozen IVF-PQ at the SemDeDup cosine floor over
+  *    [[AnnIndexLayout]] (`<prefix>_ann`).
+  * The text⊗media crossmodal verdict (`mm_crossmodal_pairs`' grammar:
+  * both / text_only / media_only / none) rides each row next to the
+  * semantic flag; `keep` means duplicate in NO modality.
+  *
+  * Oracle twin: `mm_ingest_accounting`
+  * ([[graft.queries.MultimodalQueries.ingestAccounting]]) registers the
+  * same three verdicts computed online, hash-checked against DuckDB;
+  * IngestGateSpec pins this gate's per-source rollup equal to that
+  * query row-for-row, so the deployment path and the oracle cannot
+  * drift.
+  *
+  * Replay safety is inherited from the three layouts: every check
+  * anti-joins the delta's own filed rows (or self-excludes, for the
+  * vector tier), so re-running [[checkDelta]] after [[appendDelta]] —
+  * a restarted micro-batch — returns the identical verdicts, and the
+  * appends file nothing twice. At-least-once verdict emission over
+  * exactly-once indexes, the [[DedupIndexLayout.ingestStream]]
+  * contract for the whole snapshot at once.
+  */
+object IngestGate {
+
+  /** Build all three persisted indexes under one prefix. `whereDocs`
+    * picks the corpus documents (text + media share the doc grain);
+    * `whereVecs` the corpus vectors (vec_id == doc_id by the snapshot
+    * convention). */
+  def build(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int = 8, whereDocs: Column = lit(true),
+      whereVecs: Column = lit(true)): Unit = {
+    DedupIndexLayout.build(spark, dir, s"${prefix}_dd", buckets, whereDocs)
+    MediaIndexLayout.build(spark, dir, s"${prefix}_mm", buckets, whereDocs)
+    AnnIndexLayout.build(spark, dir, s"${prefix}_ann", buckets, whereVecs)
+  }
+
+  /** ONE verdict row per new asset: (doc_id, source, text_dup,
+    * media_dup, sem_dup, crossmodal, keep). Does NOT append — call
+    * [[appendDelta]] after acting on the result ([[ingestStream]]
+    * sequences the two per micro-batch). `newVecs` is the batch's
+    * (vec_id, embedding) rows — assets without a vector simply get
+    * sem_dup = 0, like docs without an embedding pass the curation
+    * chain's semantic stage untouched. */
+  def checkDelta(spark: SparkSession, dir: String, prefix: String,
+      newDocs: DataFrame, newVecs: DataFrame,
+      minCosine: Double = 0.4): DataFrame = {
+    val nd = newDocs.dropDuplicates("doc_id").localCheckpoint(true)
+    val ids = nd.select(col("doc_id")).localCheckpoint(true)
+    def hitsOf(pairs: DataFrame, flag: String): DataFrame =
+      pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi").distinct()
+        .withColumn(flag, lit(1L))
+    val tHits = hitsOf(
+      DedupIndexLayout.dedupDelta(spark, s"${prefix}_dd", nd), "text_dup")
+    val mHits = hitsOf(
+      MediaIndexLayout.dedupDelta(spark, s"${prefix}_mm", nd), "media_dup")
+    val sHits = AnnIndexLayout.semanticDedupDelta(spark, dir,
+        s"${prefix}_ann", newVecs, minCosine)
+      .select(col("vec_new").as("doc_id")).distinct()
+      .withColumn("sem_dup", lit(1L))
+    nd.select(col("doc_id"), col("source"))
+      .join(tHits, Seq("doc_id"), "left")
+      .join(mHits, Seq("doc_id"), "left")
+      .join(sHits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("text_dup", "media_dup", "sem_dup"))
+      .select(col("doc_id"), col("source"),
+        col("text_dup"), col("media_dup"), col("sem_dup"),
+        when(col("text_dup") === 1L && col("media_dup") === 1L, "both")
+          .when(col("text_dup") === 1L, "text_only")
+          .when(col("media_dup") === 1L, "media_only")
+          .otherwise("none").as("crossmodal"),
+        (col("text_dup") === 0L && col("media_dup") === 0L &&
+          col("sem_dup") === 0L).as("keep"))
+  }
+
+  /** File the batch into all three indexes — each append idempotent
+    * under retries via its layout's own anti-join discipline. */
+  def appendDelta(spark: SparkSession, prefix: String, newDocs: DataFrame,
+      newVecs: DataFrame, buckets: Int = 8): Unit = {
+    DedupIndexLayout.appendDeltaDocs(spark, s"${prefix}_dd", newDocs, buckets)
+    MediaIndexLayout.appendDeltaDocs(spark, s"${prefix}_mm", newDocs, buckets)
+    AnnIndexLayout.appendDeltaVectors(spark, s"${prefix}_ann", newVecs,
+      buckets)
+  }
+
+  /** The per-source rollup of [[checkDelta]]'s verdicts — the exact
+    * column contract of the registered `mm_ingest_accounting` query
+    * (IngestGateSpec asserts equality), so a gate deployment and the
+    * oracle-checked accounting read the same numbers. */
+  def accountingOf(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(col("text_dup")).as("n_text_dup"),
+        sum(col("media_dup")).as("n_media_dup"),
+        sum(col("sem_dup")).as("n_sem_dup"),
+        sum(col("text_dup") * col("media_dup")).as("n_both_tm"),
+        sum(col("text_dup") * (lit(1L) - col("media_dup")))
+          .as("n_text_only"),
+        sum((lit(1L) - col("text_dup")) * col("media_dup"))
+          .as("n_media_only"),
+        sum(col("keep").cast(LongType)).as("n_keep"))
+      .orderBy(col("source"))
+
+  /** CONTINUOUS composite ingest: a stream of assets — (doc_id,
+    * source, text, embedding ARRAY<FLOAT> nullable) — is checked
+    * against all three indexes and then filed into them, one
+    * micro-batch at a time (check first, then append; the joins are
+    * batch plans Structured Streaming forbids on unbounded input —
+    * the usual stream-to-batch bridge). A replayed batch re-emits
+    * IDENTICAL verdicts while the appends file nothing, so an
+    * idempotent sink completes exactly-once end to end. */
+  def ingestStream(spark: SparkSession, dir: String, prefix: String,
+      assetStream: DataFrame, buckets: Int = 8,
+      checkpoint: Option[String] = None)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = assetStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docsB = batch.select(col("doc_id"), col("source"), col("text"))
+        val vecsB = batch.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        sink(checkDelta(spark, dir, prefix, docsB, vecsB), batchId)
+        appendDelta(spark, prefix, docsB, vecsB, buckets)
+      }
+      .start()
+  }
+}

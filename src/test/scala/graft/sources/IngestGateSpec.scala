@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.MultimodalQueries
+
+/** The unified ingest gate must agree with the oracle-checked
+  * `mm_ingest_accounting` query, re-emit identical verdicts on a
+  * replayed (already-appended) batch, and keep its verdicts stable
+  * through a two-micro-batch streamed ingest. */
+class IngestGateSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dropAll(prefix: String): Unit = {
+    Seq("dd_shingles", "dd_bands", "mm_tiles",
+      "ann_cells", "ann_codes", "ann_coarse", "ann_pqcb", "ann_cellhist",
+      "ann_qref", "dd_tombstones", "mm_tombstones", "ann_tombstones")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  }
+
+  private def corpusBuild(prefix: String): Unit =
+    IngestGate.build(spark, dir, prefix, buckets = 4,
+      whereDocs = !(col("doc_id") % 5 === 3),
+      whereVecs = !(col("vec_id") % 5 === 3))
+
+  private def deltaDocs = spark.read.parquet(s"$dir/documents.parquet")
+    .filter(col("doc_id") % 5 === 3)
+    .select(col("doc_id"), col("source"), col("text"))
+
+  private def deltaVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    .filter(col("vec_id") % 5 === 3)
+    .select(col("vec_id"), col("embedding"))
+
+  test("gate rollup equals the registered query; replay is identical") {
+    dropAll("ig")
+    corpusBuild("ig")
+    try {
+      val verdicts = IngestGate.checkDelta(spark, dir, "ig",
+        deltaDocs, deltaVecs).localCheckpoint(true)
+      // keep == no modality flagged, row per delta doc
+      assert(verdicts.count() == deltaDocs.count())
+      assert(verdicts.filter(col("keep") =!=
+        (col("text_dup") === 0L && col("media_dup") === 0L &&
+          col("sem_dup") === 0L)).count() == 0)
+      // the gate's rollup IS the oracle-checked query
+      val fromGate = IngestGate.accountingOf(verdicts).collect().toSeq
+      val registered = MultimodalQueries.ingestAccounting(spark, dir)
+        .collect().toSeq
+      assert(fromGate.nonEmpty && fromGate == registered,
+        s"gate drifted from mm_ingest_accounting:\n$fromGate\n$registered")
+      // crossmodal verdicts actually split (fixture strength)
+      val kinds = verdicts.select(col("crossmodal")).distinct()
+        .as[String].collect().toSet
+      assert(kinds.contains("none") && (kinds - "none").nonEmpty, kinds)
+
+      // replay: file the batch, re-check — byte-identical verdicts
+      IngestGate.appendDelta(spark, "ig", deltaDocs, deltaVecs, buckets = 4)
+      val replay = IngestGate.checkDelta(spark, dir, "ig",
+        deltaDocs, deltaVecs)
+      assert(replay.orderBy("doc_id").collect().toSeq ==
+        verdicts.orderBy("doc_id").collect().toSeq, "replay drifted")
+    } finally dropAll("ig")
+  }
+
+  test("two-micro-batch streamed ingest: emitted verdicts reconverge") {
+    dropAll("igs")
+    corpusBuild("igs")
+    try {
+      val oneShot = IngestGate.checkDelta(spark, dir, "igs",
+        deltaDocs, deltaVecs).orderBy("doc_id").collect().toSeq
+      val rows = deltaDocs
+        .join(deltaVecs.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+        .as[(Long, String, String, Option[Array[Float]])]
+        .collect().sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[(Long, String, String, Option[Array[Float]])]
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[org.apache.spark.sql.Row])]
+      val q = IngestGate.ingestStream(spark, dir, "igs",
+        mem.toDF().toDF("doc_id", "source", "text", "embedding"),
+        buckets = 4) { (batchVerdicts, batchId) =>
+        emitted += ((batchId, batchVerdicts.orderBy("doc_id").collect().toSeq))
+      }
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      assert(emitted.map(_._2.size).sum == rows.length)
+      // after both batches are filed, a full replay check returns the
+      // one-shot verdicts exactly (check-first semantics mean a batch-1
+      // doc whose first dup partner arrived in batch 2 was emitted as
+      // keep at batch 1 — the pair itself was still emitted in batch
+      // 2's check; the INDEX state converges to the one-shot world)
+      val converged = IngestGate.checkDelta(spark, dir, "igs",
+        deltaDocs, deltaVecs).orderBy("doc_id").collect().toSeq
+      assert(converged == oneShot, "streamed ingest state diverged")
+    } finally dropAll("igs")
+  }
+}

@@ -34,7 +34,7 @@ class SemDeltaAccountingSpec extends SparkSpec {
       // minCosine below any real cosine: keep ALL top-k pairs so the
       // rollup applies the 0.4 decision itself, like the query does
       val pairs = AnnIndexLayout.semanticDedupDelta(spark, dir, "sem_acc",
-        delta, minCosine = -2.0, excludeSelf = false)
+        delta, minCosine = -2.0)
       val perQ = pairs.groupBy(col("vec_new").as("q_id"))
         .agg(count(lit(1)).as("n_partners"),
           max(col("cosine")).as("max_cos"),
