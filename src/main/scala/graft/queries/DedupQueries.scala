@@ -2236,6 +2236,135 @@ object DedupQueries {
       shC)
   }
 
+  /** Eval decontamination AT INGEST — the fourth gate verdict next to
+    * the three duplicate checks: a NEW train-side doc that CONTAINS a
+    * held-out eval doc (3-gram containment ≥ [[contamination]]'s 0.5,
+    * same capped-posting join, same content-hash split) must be
+    * flagged before it enters the corpus — afterwards the leak is in
+    * the training set and `dedup_contamination` only reports it. Per
+    * source of the delta's train-side docs: how many arrived
+    * contaminated, in bp.
+    *
+    * Conventions are the contamination family's own: eval = the
+    * corpus's non-train 20% (content-hash split), the posting cap over
+    * the union df (a delta can push a shingle past the cap, exactly as
+    * the curated refresh handles), delta-vs-CORPUS only (within-delta
+    * leakage belongs to the batch's own pass). Scale shape: the pair
+    * join is driven by the delta's postings — shared shingles of a
+    * (corpus-eval, delta-train) pair are by definition the delta doc's
+    * own shingles. Deployment path: [[graft.sources.IngestGate]]'s
+    * eval_contam flag over the persisted shingle index,
+    * spec-pinned equal to this query's rollup. */
+  def contamDelta(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    sh.count()
+    val base = docs(spark, dir).select(col("doc_id"), col("source"),
+      (pmod(h60(col("text")), lit(100L)) < 80).as("is_train"))
+    val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxPostingList).select(col("s"))
+    val post = withSizes(sh).join(cold, "s")
+      .join(base.select(col("doc_id"), col("is_train")), "doc_id")
+      .persist()
+    post.count()
+    sh.unpersist(false)
+    val contamIds = post.as("e")
+      .filter(!col("e.is_train") && !(col("e.doc_id") % DeltaMod === DeltaRes))
+      .join(post.as("t").filter(col("t.is_train") &&
+          col("t.doc_id") % DeltaMod === DeltaRes),
+        col("e.s") === col("t.s"))
+      .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
+        col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast(DoubleType) / col("n_eval").cast(DoubleType)
+        >= 0.5)
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    Tables.released(
+      base.filter(col("is_train") && DeltaPred)
+        .join(contamIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new_train"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_contam"))
+        .select(col("source"), col("n_new_train"), col("n_contam"),
+          floor(col("n_contam") * lit(10000L) / col("n_new_train"))
+            .cast(LongType).as("contam_share_bp"))
+        .orderBy(col("source")),
+      post)
+  }
+
+  /** The content-hash train split as a column over `text` — ONE
+    * definition shared by [[contamination]], [[curateBaseOf]],
+    * [[contamDelta]], and the ingest gate's persisted split table. */
+  private[graft] def isTrainOf: Column =
+    pmod(h60(col("text")), lit(100L)) < 80
+
+  /** [[contamDelta]]'s check over a PERSISTED sized shingle index —
+    * the ids of the delta's docs that contain a corpus EVAL doc at the
+    * 0.5 floor, under the UNION posting cap (delta counts merged into
+    * the corpus df, so a delta pushing a shingle past the cap excludes
+    * it exactly as the online query would). `corpusSized` must already
+    * exclude the delta's ids (replay safety); `corpusSplit` is the
+    * corpus (doc_id, is_train). Delta-driven throughout: only the
+    * delta's own shingles can be shared with an eval doc. */
+  private[graft] def contamDeltaFlags(corpusSized: DataFrame, shD: DataFrame,
+      corpusSplit: DataFrame): DataFrame = {
+    val deltaCnt = shD.groupBy(col("s")).agg(count(lit(1)).as("d_cnt"))
+      .localCheckpoint(true)
+    val oldDf = corpusSized
+      .join(deltaCnt.select(col("s")), Seq("s"), "left_semi")
+      .groupBy(col("s")).agg(count(lit(1)).as("old_df"))
+    val coldDelta = deltaCnt.join(oldDf, Seq("s"), "left")
+      .na.fill(0L, Seq("old_df"))
+      .filter(col("old_df") + col("d_cnt") <= MaxPostingList)
+      .select(col("s")).localCheckpoint(true)
+    val evalPost = corpusSized
+      .join(corpusSplit.filter(!col("is_train")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(coldDelta, Seq("s"))
+    val deltaPost = shD.join(coldDelta, Seq("s"))
+    evalPost.as("e").join(deltaPost.as("t"), col("e.s") === col("t.s"))
+      .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
+        col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast(DoubleType) / col("n_eval").cast(DoubleType)
+        >= 0.5)
+      .select(col("doc_id")).distinct()
+  }
+
+  val contamDeltaSql: String = {
+    import graft.functions.TextFunctions.h60Sql
+    s"""WITH sh AS ($shinglesCte),
+       |base AS (
+       |  SELECT doc_id, source,
+       |         ${h60Sql("text")} % 100 < 80 AS is_train
+       |  FROM documents),
+       |cold AS (SELECT s FROM sh GROUP BY s
+       |         HAVING count(*) <= $MaxPostingList),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |p AS (
+       |  SELECT sh.doc_id, sh.s, sizes.n, base.is_train
+       |  FROM sh JOIN cold USING (s) JOIN sizes USING (doc_id)
+       |  JOIN base USING (doc_id)),
+       |contam AS (
+       |  SELECT DISTINCT doc_id, 1 AS hit FROM (
+       |    SELECT t.doc_id
+       |    FROM p e JOIN p t ON e.s = t.s
+       |    WHERE NOT e.is_train AND e.doc_id % $DeltaMod != $DeltaRes
+       |      AND t.is_train AND t.doc_id % $DeltaMod = $DeltaRes
+       |    GROUP BY e.doc_id, t.doc_id, e.n
+       |    HAVING CAST(count(*) AS DOUBLE) / CAST(e.n AS DOUBLE) >= 0.5))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_new_train,
+       |       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_contam,
+       |       CAST(floor(COALESCE(sum(hit), 0) * 10000 / count(*))
+       |         AS BIGINT) AS contam_share_bp
+       |FROM (SELECT doc_id, source FROM base
+       |      WHERE is_train AND $deltaPredSql) nt
+       |LEFT JOIN contam USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val deltaAccountingSql: String =
     s"""WITH $minhashPairsCtes,
        |dpairs AS (
@@ -2280,6 +2409,7 @@ object DedupQueries {
     ("dedup_minhash_pairs_8x2", minhashPairs8x2 _, minhashPairs8x2Sql),
     ("dedup_delta_pairs", deltaPairs _, deltaPairsSql),
     ("dedup_delta_accounting", deltaAccounting _, deltaAccountingSql),
+    ("dedup_contam_delta", contamDelta _, contamDeltaSql),
     ("dedup_source_overlap", sourceOverlap _, sourceOverlapSql),
     ("dedup_recall_audit", dedupRecallAudit _, dedupRecallAuditSql),
     ("dedup_simhash", simhash _, simhashSql),

@@ -43,6 +43,14 @@ object IngestGate {
     DedupIndexLayout.build(spark, dir, s"${prefix}_dd", buckets, whereDocs)
     MediaIndexLayout.build(spark, dir, s"${prefix}_mm", buckets, whereDocs)
     AnnIndexLayout.build(spark, dir, s"${prefix}_ann", buckets, whereVecs)
+    // the content-hash train/eval split of the corpus — the eval side
+    // of the decontamination verdict (narrow, doc_id-bucketed; text
+    // never re-read at check time)
+    BucketedTables.writeBucketed(
+      graft.util.Tables.load(spark, dir, "documents").filter(whereDocs)
+        .select(col("doc_id"),
+          graft.queries.DedupQueries.isTrainOf.as("is_train")),
+      s"${prefix}_split", "doc_id", buckets)
   }
 
   /** ONE verdict row per new asset: (doc_id, source, text_dup,
@@ -70,19 +78,40 @@ object IngestGate {
         s"${prefix}_ann", newVecs, minCosine)
       .select(col("vec_new").as("doc_id")).distinct()
       .withColumn("sem_dup", lit(1L))
-    nd.select(col("doc_id"), col("source"))
+    // eval-leak verdict: a new doc CONTAINING a corpus eval doc must
+    // be flagged before it trains — the persisted shingle index + the
+    // split table, delta-driven, union-capped (dedup_contam_delta's
+    // exact semantics; IngestGateSpec reconciles)
+    val shD = graft.queries.DedupQueries.withSizes(
+      graft.queries.DedupQueries.shinglesOf(nd)).localCheckpoint(true)
+    val cHits = graft.queries.DedupQueries.contamDeltaFlags(
+        BucketedTables.read(spark, s"${prefix}_dd_shingles")
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"),
+        shD,
+        BucketedTables.read(spark, s"${prefix}_split")
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      .withColumn("eval_contam", lit(1L))
+    nd.select(col("doc_id"), col("source"),
+        graft.queries.DedupQueries.isTrainOf.as("is_train"))
       .join(tHits, Seq("doc_id"), "left")
       .join(mHits, Seq("doc_id"), "left")
       .join(sHits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("text_dup", "media_dup", "sem_dup"))
-      .select(col("doc_id"), col("source"),
+      .join(cHits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("text_dup", "media_dup", "sem_dup", "eval_contam"))
+      .select(col("doc_id"), col("source"), col("is_train"),
         col("text_dup"), col("media_dup"), col("sem_dup"),
+        col("eval_contam"),
         when(col("text_dup") === 1L && col("media_dup") === 1L, "both")
           .when(col("text_dup") === 1L, "text_only")
           .when(col("media_dup") === 1L, "media_only")
           .otherwise("none").as("crossmodal"),
         (col("text_dup") === 0L && col("media_dup") === 0L &&
-          col("sem_dup") === 0L).as("keep"))
+          col("sem_dup") === 0L).as("keep"),
+        // what a TRAINING run may actually consume: unique in every
+        // modality, train-side, and not an eval leak
+        (col("text_dup") === 0L && col("media_dup") === 0L &&
+          col("sem_dup") === 0L && col("is_train") &&
+          col("eval_contam") === 0L).as("train_ok"))
   }
 
   /** File the batch into all three indexes — each append idempotent
@@ -93,6 +122,17 @@ object IngestGate {
     MediaIndexLayout.appendDeltaDocs(spark, s"${prefix}_mm", newDocs, buckets)
     AnnIndexLayout.appendDeltaVectors(spark, s"${prefix}_ann", newVecs,
       buckets)
+    val nd = newDocs.dropDuplicates("doc_id")
+    BucketedTables.appendBucketed(
+      nd.select(col("doc_id"),
+          graft.queries.DedupQueries.isTrainOf.as("is_train"))
+        .join(BucketedTables.read(spark, s"${prefix}_split")
+            .select(col("doc_id"))
+            .join(broadcast(nd.select(col("doc_id"))), Seq("doc_id"),
+              "left_semi").distinct(),
+          Seq("doc_id"), "left_anti"),
+      s"${prefix}_split", "doc_id", buckets)
+    spark.catalog.refreshTable(s"${prefix}_split")
   }
 
   /** The per-source rollup of [[checkDelta]]'s verdicts — the exact

@@ -17,7 +17,7 @@ class IngestGateSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def dropAll(prefix: String): Unit = {
-    Seq("dd_shingles", "dd_bands", "mm_tiles",
+    Seq("dd_shingles", "dd_bands", "mm_tiles", "split",
       "ann_cells", "ann_codes", "ann_coarse", "ann_pqcb", "ann_cellhist",
       "ann_qref", "dd_tombstones", "mm_tombstones", "ann_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
@@ -57,6 +57,25 @@ class IngestGateSpec extends SparkSpec {
       val kinds = verdicts.select(col("crossmodal")).distinct()
         .as[String].collect().toSet
       assert(kinds.contains("none") && (kinds - "none").nonEmpty, kinds)
+      // the eval-leak verdict reconciles with dedup_contam_delta
+      import org.apache.spark.sql.types.LongType
+      val fromGateContam = verdicts.filter(col("is_train"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new_train"),
+          sum(col("eval_contam")).as("n_contam"))
+        .select(col("source"), col("n_new_train"), col("n_contam"),
+          floor(col("n_contam") * lit(10000L) / col("n_new_train"))
+            .cast(LongType).as("contam_share_bp"))
+        .orderBy(col("source")).collect().toSeq
+      val registeredContam = graft.queries.DedupQueries
+        .contamDelta(spark, dir).collect().toSeq
+      assert(fromGateContam == registeredContam,
+        s"gate eval_contam drifted from dedup_contam_delta:\n" +
+          s"$fromGateContam\n$registeredContam")
+      // train_ok is the conjunction it claims to be
+      assert(verdicts.filter(col("train_ok") =!=
+        (col("keep") && col("is_train") && col("eval_contam") === 0L))
+        .count() == 0)
 
       // replay: file the batch, re-check — byte-identical verdicts
       IngestGate.appendDelta(spark, "ig", deltaDocs, deltaVecs, buckets = 4)
