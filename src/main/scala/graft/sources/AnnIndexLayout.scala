@@ -257,12 +257,18 @@ object AnnIndexLayout {
     * is a rebuild). */
   def maintainStream(spark: SparkSession, prefix: String,
       vectorStream: DataFrame, buckets: Int = 8,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None,
+      monitor: Option[graft.streaming.AnnStalenessMonitor] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectorStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.foreachBatch { (batch: DataFrame, _: Long) =>
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendDeltaVectors(spark, prefix, batch, buckets)
+        // the audit tick exactly where a metrics scrape would sit:
+        // after each filed delta, with THAT delta as the freshness
+        // probe — batchId is the monitor's monotone clock, so a
+        // sustain threshold is expressed in batches
+        monitor.foreach(_.check(spark, prefix, batch, atMs = batchId))
       }
       .start()
   }

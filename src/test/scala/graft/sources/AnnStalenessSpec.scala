@@ -77,4 +77,43 @@ class AnnStalenessSpec extends SparkSpec {
       assert(monitor.transitions.map(_.firing) == Seq(true, false))
     } finally dropIndex("stale_ix")
   }
+
+  test("maintenance stream ticks the monitor per filed batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    def noise(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val spike = Array.tabulate(64)(i => if (i < 4) 8f else 0.05f)
+    val corpus = (200L until 1000L).map(id => (id, "c", noise()))
+    val delta = (0L until 200L).map { id =>
+      val n = noise()
+      (id, "d", spike.zip(n).map { case (s, x) => s + 0.1f * x })
+    }
+    val d = tmpDir("graft-annstale-stream")
+    writeFixture(d, "embeddings",
+      (corpus ++ delta).toDF("vec_id", "label", "embedding"))
+    dropIndex("stale_sx")
+    AnnIndexLayout.build(spark, d.toString, "stale_sx", buckets = 4,
+      where = col("vec_id") >= 200L)
+    try {
+      val monitor = new AnnStalenessMonitor()
+      val rows = spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") < 200L)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = AnnIndexLayout.maintainStream(spark, "stale_sx",
+        mem.toDF().toDF("vec_id", "embedding"), buckets = 4,
+        monitor = Some(monitor))
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // the collapsed-delta shift raised the alert during maintenance
+      // — no separate audit job needed, the ingest cadence IS the
+      // scrape cadence
+      assert(monitor.firing, monitor.transitions.toString)
+    } finally dropIndex("stale_sx")
+  }
 }
