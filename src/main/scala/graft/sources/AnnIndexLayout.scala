@@ -262,13 +262,28 @@ object AnnIndexLayout {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = vectorStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
-    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
         appendDeltaVectors(spark, prefix, batch, buckets)
         // the audit tick exactly where a metrics scrape would sit:
         // after each filed delta, with THAT delta as the freshness
-        // probe — batchId is the monitor's monotone clock, so a
-        // sustain threshold is expressed in batches
-        monitor.foreach(_.check(spark, prefix, batch, atMs = batchId))
+        // probe, on the monitor's real-ms clock (sustainMs keeps its
+        // unit). Monitoring must never take down the data path it
+        // observes: the delta is already filed, so an audit failure
+        // (reference tables mid-rebuild, transient read error) is
+        // reported and swallowed — the next batch's tick retries.
+        // NOTE the monitor is process-local state: a restarted query
+        // starts with a cleared alert and sustain window; a deployment
+        // exports [[graft.streaming.AnnStalenessMonitor.transitions]]
+        // to its metrics system for durability.
+        monitor.foreach { m =>
+          try m.check(spark, prefix, batch,
+            atMs = System.currentTimeMillis())
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[ann-staleness] audit tick failed (ingest unaffected): $e")
+          }
+        }
       }
       .start()
   }

@@ -19,7 +19,7 @@ class CuratedDeltaSpec extends SparkSpec {
   private def dropAll(prefix: String): Unit =
     Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
       "cos_pairs", "ct_pairs", "dd_shingles", "dd_bands", "tombstones",
-      "docs__compact_tmp", "manifest__compact_tmp",
+      "vecs", "texts", "docs__compact_tmp", "manifest__compact_tmp",
       "checksums__compact_tmp").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 

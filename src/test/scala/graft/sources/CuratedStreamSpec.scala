@@ -19,7 +19,7 @@ class CuratedStreamSpec extends SparkSpec {
   private def dropAll(prefix: String): Unit =
     Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
       "cos_pairs", "ct_pairs", "dd_shingles", "dd_bands", "tombstones",
-      "docs__compact_tmp", "manifest__compact_tmp",
+      "vecs", "texts", "docs__compact_tmp", "manifest__compact_tmp",
       "checksums__compact_tmp").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 
@@ -59,5 +59,51 @@ class CuratedStreamSpec extends SparkSpec {
       assert(CuratedCorpusLayout.verifyHandoff(spark, "curs")
         .head.getAs[Boolean]("ok"))
     } finally { dropAll("curs"); dropAll("curs_ref") }
+  }
+
+  test("streamed assets NOT in the corpus dir still converge (crawl shape)") {
+    // the real nightly-crawl contract: batches arrive ONLY through the
+    // stream — their texts/embeddings exist nowhere in `dir`, so a
+    // later batch's near-dup pair against an earlier streamed asset
+    // must verify from the layout's own `_vecs`/`_texts` record
+    dropAll("curo"); dropAll("curo_ref")
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    val vecsAll = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpusDir = tmpDir("graft-curo-corpus")
+    writeFixture(corpusDir, "documents",
+      docsAll.filter(!DedupQueries.DeltaPred))
+    writeFixture(corpusDir, "embeddings",
+      vecsAll.filter(col("vec_id") % 5 =!= 3))
+    val unionDir = tmpDir("graft-curo-union")
+    writeFixture(unionDir, "documents", docsAll)
+    writeFixture(unionDir, "embeddings", vecsAll)
+    CuratedCorpusLayout.build(spark, unionDir.toString, "curo_ref",
+      buckets = 4)
+    val refDocs = CuratedCorpusLayout.serve(spark, "curo_ref")
+      .orderBy(col("doc_id")).collect().toSeq
+    CuratedCorpusLayout.buildIncremental(spark, corpusDir.toString, "curo",
+      buckets = 4)
+    try {
+      val rows = docsAll.filter(DedupQueries.DeltaPred)
+        .select(col("doc_id"), col("source"), col("text"))
+        .join(vecsAll.filter(col("vec_id") % 5 === 3)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+        .as[(Long, String, String, Option[Array[Float]])]
+        .collect().sortBy(_._1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[(Long, String, String, Option[Array[Float]])]
+      val q = CuratedCorpusLayout.refreshStream(spark, corpusDir.toString,
+        "curo", mem.toDF().toDF("doc_id", "source", "text", "embedding"),
+        buckets = 4)
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = CuratedCorpusLayout.serve(spark, "curo")
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(got == refDocs,
+        s"out-of-dir stream diverged: got ${got.size}, ref ${refDocs.size}")
+    } finally { dropAll("curo"); dropAll("curo_ref") }
   }
 }
