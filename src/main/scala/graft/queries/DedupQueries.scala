@@ -1478,9 +1478,16 @@ object DedupQueries {
       c.cast(DoubleType) / n.cast(DoubleType) >= 0.5
     val deltaCnt = shD.groupBy(col("s")).agg(count(lit(1)).as("d_cnt"))
       .localCheckpoint(true)
-    val oldDf = corpusSized
+    // ONE materialized semi-join feeds the df totals, the new-pair
+    // postings, and the crossing-shingle postings — three consumers,
+    // one column-pruned scan of the corpus index (bounded: ≤ cap rows
+    // per touched shingle by the cap's own definition... plus the
+    // shingles ABOUT to cross, which is why the crossing set exists)
+    val touchedPost = corpusSized
       .join(deltaCnt.select(col("s")), Seq("s"), "left_semi")
-      .groupBy(col("s")).agg(count(lit(1)).as("old_df"))
+      .select(col("doc_id"), col("s"), col("n"))
+      .localCheckpoint(true)
+    val oldDf = touchedPost.groupBy(col("s")).agg(count(lit(1)).as("old_df"))
     val touched = deltaCnt.join(oldDf, Seq("s"), "left")
       .na.fill(0L, Seq("old_df"))
       .select(col("s"), col("old_df"),
@@ -1493,7 +1500,7 @@ object DedupQueries {
     // kept only when a delta doc is on at least one side
     val isDeltaFlag = broadcast(deltaIds.toDF("doc_id")
       .withColumn("is_delta", lit(true)))
-    val postD = corpusSized.select(col("doc_id"), col("s"), col("n"))
+    val postD = touchedPost
       .unionByName(shD.select(col("doc_id"), col("s"), col("n")))
       .join(coldDeltaS, Seq("s"))
       .join(allBase.select(col("doc_id"), col("is_train")), "doc_id")
@@ -1508,7 +1515,7 @@ object DedupQueries {
       .agg(count(lit(1)).as("common"))
       .filter(half(col("common"), col("n_eval")))
     // stored pairs hit by a crossing shingle: recompute exactly
-    val crossingPost = corpusSized.join(crossingS, Seq("s"))
+    val crossingPost = touchedPost.join(crossingS, Seq("s"))
     val affKeys = crossingPost.as("e").join(crossingPost.as("t"),
         col("e.s") === col("t.s"))
       .select(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"))
