@@ -1223,8 +1223,17 @@ object TextQueries {
     * serialize each source, and PlanSpec rejects that shape) — then a
     * (source, seq_id) rollup. All binning is exact int64 (`div`),
     * bit-identical cross-engine. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val B = 512L
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packPlanOf(spark, docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")))
+
+  /** The packing core over an ARBITRARY (source, doc_id, n_tokens)
+    * frame — shared by the registered query (live corpus, tokenized
+    * here) and `sources.CuratedCorpusLayout.servePacked` (the curated
+    * artifact, whose persisted n_tokens skips tokenization entirely). */
+  private[graft] def packPlanOf(spark: SparkSession, d0: DataFrame,
+      B: Long = 512L): DataFrame = {
     // Distributed prefix sum (the ev_user_ranks position idiom): the
     // source domain is FIXED, so a window partitioned by source alone
     // serializes a whole source through one task as the corpus grows.
@@ -1233,9 +1242,8 @@ object TextQueries {
     // partition ids with an eager checkpoint, and reconstruct the
     // exact running sum as local-prefix + earlier-partition totals
     // (tiny non-equi broadcast join over pids x sources rows).
-    val d = docs(spark, dir)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val d = d0
+      .select(col("source"), col("doc_id"), col("n_tokens"))
       .repartitionByRange(col("source"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)

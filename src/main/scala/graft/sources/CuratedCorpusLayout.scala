@@ -118,6 +118,21 @@ object CuratedCorpusLayout {
   def manifest(spark: SparkSession, prefix: String): DataFrame =
     spark.table(s"${prefix}_manifest")
 
+  /** The curated corpus as a PACKING PLAN — per (source, seq_id)
+    * 512-token context window: docs in it, token fill, doc-id range —
+    * the last step between the artifact and training shards
+    * (`txt_pack_sequences`' plan over the SERVED survivors instead of
+    * the raw corpus, reading the persisted n_tokens so no text is
+    * tokenized). The window count reconciles EXACTLY with the
+    * manifest's stage-8 pack row — same bin, same per-source doc_id
+    * prefix rule (CuratedCorpusSpec pins it), so a training run can
+    * verify it packed what the manifest promised. */
+  def servePacked(spark: SparkSession, prefix: String,
+      bin: Long = 512L): DataFrame =
+    graft.queries.TextQueries.packPlanOf(spark,
+      serve(spark, prefix)
+        .select(col("source"), col("doc_id"), col("n_tokens")), bin)
+
   // =====================================================================
   // INCREMENTAL curation — refresh the artifact from a snapshot delta
   // instead of re-running the 8-stage chain over the whole corpus

@@ -53,6 +53,30 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally dropArtifact("cur_art")
   }
 
+  test("servePacked window count reconciles with the manifest pack row") {
+    dropArtifact("cur_pack")
+    CuratedCorpusLayout.build(spark, dir, "cur_pack", buckets = 4)
+    try {
+      val packed = CuratedCorpusLayout.servePacked(spark, "cur_pack")
+        .localCheckpoint(true)
+      val nSeq = packed.count()
+      val packRow = CuratedCorpusLayout.manifest(spark, "cur_pack")
+        .filter(col("stage_name") === "pack").head()
+      // same bin, same per-source doc_id prefix rule as the chain's
+      // own pack accounting — the training run's cross-check
+      assert(nSeq == packRow.getAs[Long]("n_out"),
+        s"packed $nSeq windows, manifest promised ${packRow.get(4)}")
+      assert(packed.agg(sum(col("seq_tokens"))).head.getLong(0) ==
+        packRow.getAs[Long]("tokens_out"))
+      // reads the artifact only: persisted n_tokens, no tokenization
+      // (inspect a FRESH plan — the checkpointed frame above is
+      // already truncated to an RDD scan)
+      val plan = CuratedCorpusLayout.servePacked(spark, "cur_pack")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("split("), s"tokenized at serve time:\n$plan")
+    } finally dropArtifact("cur_pack")
+  }
+
   test("rebuild swaps atomically and reproduces identical tables") {
     dropArtifact("cur_art2")
     CuratedCorpusLayout.build(spark, dir, "cur_art2", buckets = 4)
