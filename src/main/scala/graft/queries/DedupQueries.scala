@@ -2424,6 +2424,14 @@ object DedupQueries {
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_cosine_lsh", cosineLsh _, cosineLshSql),
+    // the band-width dial's measured point: W=8 re-bounds per-bucket
+    // postings 4x (corpus/2^8 per band) — the knob a growing corpus
+    // turns (BENCH_SF1 r12: the salted universe exposed W=6's true
+    // uncapped candidate growth once verbatim duplicates stopped
+    // saturating the md5 pool cap)
+    ("dedup_cosine_lsh_w8",
+      (s: SparkSession, d: String) => cosineLshConfig(s, d, 4, 8),
+      cosineLshSqlConfig(4, 8)),
     ("dedup_clusters", clusters _, clustersSql),
     ("dedup_pagerank", pagerank _, pagerankSql),
     ("dedup_triangles", triangles _, trianglesSql),
