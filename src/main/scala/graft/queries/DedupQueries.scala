@@ -1424,9 +1424,13 @@ object DedupQueries {
       .join(broadcast(deltaIds.toDF("__did")),
         col("vec_b") === col("__did"), "left_anti")
       .localCheckpoint(true)
-    val verifiedNew = cosineVerify(lookupE,
-      cand.join(storedClean.select(col("vec_a"), col("vec_b")),
-        Seq("vec_a", "vec_b"), "left_anti")).localCheckpoint(true)
+    // no anti-join against storedClean needed: every `cand` pair has a
+    // delta member by construction (both legs keep a poolD/deltaBands
+    // side), while storedClean has had ALL delta-member pairs removed —
+    // the sets are disjoint, so the join could only add a scan of the
+    // stored pair table per refresh. Re-verifying a regenerated pair is
+    // exact either way (cosine is a pure function of the two vectors).
+    val verifiedNew = cosineVerify(lookupE, cand).localCheckpoint(true)
     val w = storedClean.select(col("vec_a"), col("vec_b"))
       .join(storedBands.as("ba"), col("vec_a") === col("ba.vec_id"))
       .join(storedBands.as("bb"), col("vec_b") === col("bb.vec_id") &&
@@ -2311,10 +2315,16 @@ object DedupQueries {
     * the corpus df, so a delta pushing a shingle past the cap excludes
     * it exactly as the online query would). `corpusSized` must already
     * exclude the delta's ids (replay safety); `corpusSplit` is the
-    * corpus (doc_id, is_train). Delta-driven throughout: only the
-    * delta's own shingles can be shared with an eval doc. */
+    * corpus (doc_id, is_train); `deltaTrainIds` the delta's TRAIN-side
+    * doc_ids — the verdict is defined only for docs that could leak an
+    * eval doc into training ([[contamDelta]]'s t.is_train filter; an
+    * eval-side delta doc resembling another eval doc is not
+    * contamination). The posting-cap df still counts the WHOLE delta
+    * (train and eval postings alike), exactly as the online query's
+    * union df does. Delta-driven throughout: only the delta's own
+    * shingles can be shared with an eval doc. */
   private[graft] def contamDeltaFlags(corpusSized: DataFrame, shD: DataFrame,
-      corpusSplit: DataFrame): DataFrame = {
+      corpusSplit: DataFrame, deltaTrainIds: DataFrame): DataFrame = {
     val deltaCnt = shD.groupBy(col("s")).agg(count(lit(1)).as("d_cnt"))
       .localCheckpoint(true)
     val oldDf = corpusSized
@@ -2328,7 +2338,10 @@ object DedupQueries {
       .join(corpusSplit.filter(!col("is_train")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .join(coldDelta, Seq("s"))
-    val deltaPost = shD.join(coldDelta, Seq("s"))
+    val deltaPost = shD
+      .join(broadcast(deltaTrainIds.toDF("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .join(coldDelta, Seq("s"))
     evalPost.as("e").join(deltaPost.as("t"), col("e.s") === col("t.s"))
       .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
         col("e.n").as("n_eval"))

@@ -57,34 +57,56 @@ object AnnIndexLayout {
     * assignment and one for the PQ encode — each the
     * partial-aggregable shape from the online query — as bucketed
     * tables under `prefix`. */
+  private val IndexTables =
+    Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref")
+
+  /** Drop a table we own and clear its orphaned default directory —
+    * guarded: the path delete happens only when NO catalog entry
+    * remains (the orphan case: a directory left behind by another
+    * session's catalog, which `saveAsTable`/`RENAME TO` refuse to
+    * adopt) and only at the table's DEFAULT managed location, which is
+    * inside the warehouse by construction — never a user-supplied
+    * path. */
+  private def dropWithOrphanDir(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    require(!spark.catalog.tableExists(table))
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath).toUri.getPath
+    require(p.toUri.getPath.startsWith(warehouse),
+      s"refusing to delete $p: outside the managed warehouse $warehouse")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true)): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // a build replaces the index from scratch: clear catalog entries
-    // AND any orphaned managed locations (a table created by another
-    // session leaves its directory behind for a fresh catalog, and
-    // saveAsTable(overwrite) refuses to adopt an existing location)
-    Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref").foreach { t =>
-      val table = s"${prefix}_$t"
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          spark.sessionState.sqlParser.parseTableIdentifier(table)))
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
+    // ATOMIC-ish rebuild (the replaceBucketed write-aside discipline
+    // applied to the six-table set): every table is fully computed and
+    // written under a temp prefix FIRST, so a crash anywhere in the
+    // expensive part leaves the live index untouched and serving; the
+    // publish step at the end is six catalog renames. A crash inside
+    // that (milliseconds-wide) swap window can leave a mixed index —
+    // the remaining plain-parquet gap a transactional table format
+    // would close — but never a missing one, and re-running the build
+    // repairs it.
+    val tp = s"${prefix}__build"
+    IndexTables.foreach(t => dropWithOrphanDir(spark, s"${tp}_$t"))
     SimilarityQueries.coarseCentsOf(spark, dir, where)
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_coarse")
+      .saveAsTable(s"${tp}_coarse")
     SimilarityQueries.pqSeedCentsOf(spark, dir, where)
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_pqcb")
-    val (cents, pqcb) = geometry(spark, prefix)
+      .saveAsTable(s"${tp}_pqcb")
+    val (cents, pqcb) = geometry(spark, tp)
     BucketedTables.writeBucketed(
       SimilarityQueries.ivfAssignUsing(spark, dir, cents, where),
-      s"${prefix}_cells", "cell", buckets)
+      s"${tp}_cells", "cell", buckets)
     BucketedTables.writeBucketed(
       SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where),
-      s"${prefix}_codes", "n_id", buckets)
+      s"${tp}_codes", "n_id", buckets)
     // build-time reference state for the staleness audit — captured
     // HERE so "has the index rotted since its build" is a comparison,
     // never a guess. A rebuild recaptures both (re-baselining is part
@@ -95,11 +117,11 @@ object AnnIndexLayout {
     //    a deterministic 1-in-8 sample of the build vectors (rate
     //    sample, so the reference pass costs 1/8 of an encode and the
     //    audit can reproduce the exact sample).
-    spark.table(s"${prefix}_cells")
+    spark.table(s"${tp}_cells")
       .groupBy(col("cell"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_build"))
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_cellhist")
+      .saveAsTable(s"${tp}_cellhist")
     SimilarityQueries.pqQuantError(
         graft.util.Tables.load(spark, dir, "embeddings")
           .filter(where && QrefSamplePred)
@@ -107,7 +129,25 @@ object AnnIndexLayout {
       .agg(org.apache.spark.sql.functions.avg(col("qerr")).as("avg_qerr"),
         org.apache.spark.sql.functions.count(lit(1)).as("n_sample"))
       .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${prefix}_qref")
+      .saveAsTable(s"${tp}_qref")
+    // a degenerate reference makes every future audit meaningless (a
+    // NULL avg_qerr would read as "no rise" forever), so refuse to
+    // PUBLISH instead of letting the monitor silently go blind — the
+    // live index (if any) keeps serving: the 1-in-8 rate sample can be
+    // empty only for a corpus too small (or too filtered) to audit
+    val nSample = spark.table(s"${tp}_qref").head().getAs[Long]("n_sample")
+    require(nSample > 0L,
+      s"$prefix: the _qref build sample is empty (corpus too small or " +
+        "over-filtered for vec_id%8==1) — the staleness audit would " +
+        "silently report qerr_rise_ppm=0 forever; widen `where` or skip " +
+        "the audit for this index")
+    // publish: RENAME moves each managed directory under the live name
+    // (catalog + data in one step, bucket spec carried along)
+    IndexTables.foreach { t =>
+      dropWithOrphanDir(spark, s"${prefix}_$t")
+      spark.sql(s"ALTER TABLE ${tp}_$t RENAME TO ${prefix}_$t")
+      spark.catalog.refreshTable(s"${prefix}_$t")
+    }
   }
 
   /** The deterministic 1-in-8 rate sample the `_qref` reference is
@@ -174,10 +214,25 @@ object AnnIndexLayout {
       .agg(avg(col("qerr")).as("avg_qerr_now"))
     val qRef = spark.table(s"${prefix}_qref")
       .select(col("avg_qerr").as("avg_qerr_build"))
+    // fail LOUDLY on a degenerate comparison instead of reading
+    // healthy: greatest() skips NULL operands, so a NULL build
+    // reference (empty _qref sample on a legacy index) or an
+    // emptied-out index (tot_now = 0 NULLs the TV sum) would otherwise
+    // report 0 ppm — the audit claiming freshness exactly when it has
+    // nothing to compare. The build now rejects an empty sample
+    // up-front; these guards catch indexes built before that check and
+    // probes over an empty recentVecs.
+    def orFail(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"stalenessMetrics($prefix): $what is NULL — degenerate " +
+          "reference or empty probe; the audit cannot compare"))).otherwise(c)
     occ.crossJoin(broadcast(qNow)).crossJoin(broadcast(qRef))
-      .select(col("occ_skew_ppm"),
+      .select(orFail(col("occ_skew_ppm"), "occ_skew_ppm (tot_now = 0?)")
+          .as("occ_skew_ppm"),
         greatest(lit(0L),
-          round((col("avg_qerr_now") / col("avg_qerr_build") - 1.0) * 1e6)
+          round((orFail(col("avg_qerr_now"), "avg_qerr_now (empty probe)") /
+            orFail(col("avg_qerr_build"), "avg_qerr_build (empty _qref)")
+            - 1.0) * 1e6)
             .cast(LongType)).as("qerr_rise_ppm"),
         col("n_cells_build"), col("n_cells_now"))
   }

@@ -414,7 +414,15 @@ object CuratedCorpusLayout {
       prefix: String, buckets: Int, survivors: DataFrame,
       deltaDocs: DataFrame): Unit = {
     val s7ids = survivors.select(col("doc_id"))
+    // pin the pre-append snapshot: `adds` below anti-joins against the
+    // SAME `_docs` table its appendBucketed writes to. Parquet snapshots
+    // the file listing at planning, so the self-read-append happens to
+    // work — but that is an implicit protocol on a table with no commit
+    // log; materializing phys makes the read-before-write explicit and
+    // survives a future re-listing (AQE retry, adaptive scan) unchanged
+    // (the Tombstones.remove precaution).
     val phys = spark.table(s"${prefix}_docs").select(col("doc_id"))
+      .localCheckpoint(true)
     val tomb = Tombstones.ids(spark, prefix)
       .select(col("id").as("doc_id")).localCheckpoint(true)
     val evict = phys.join(tomb, Seq("doc_id"), "left_anti")

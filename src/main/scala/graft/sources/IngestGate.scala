@@ -78,10 +78,12 @@ object IngestGate {
         s"${prefix}_ann", newVecs, minCosine)
       .select(col("vec_new").as("doc_id")).distinct()
       .withColumn("sem_dup", lit(1L))
-    // eval-leak verdict: a new doc CONTAINING a corpus eval doc must
-    // be flagged before it trains — the persisted shingle index + the
-    // split table, delta-driven, union-capped (dedup_contam_delta's
-    // exact semantics; IngestGateSpec reconciles)
+    // eval-leak verdict: a new TRAIN-side doc CONTAINING a corpus eval
+    // doc must be flagged before it trains — the persisted shingle
+    // index + the split table, delta-driven, union-capped
+    // (dedup_contam_delta's exact semantics, including its t.is_train
+    // scope: an eval-side delta doc can never carry the flag;
+    // IngestGateSpec reconciles)
     val shD = graft.queries.DedupQueries.withSizes(
       graft.queries.DedupQueries.shinglesOf(nd)).localCheckpoint(true)
     val cHits = graft.queries.DedupQueries.contamDeltaFlags(
@@ -89,7 +91,8 @@ object IngestGate {
           .join(broadcast(ids), Seq("doc_id"), "left_anti"),
         shD,
         BucketedTables.read(spark, s"${prefix}_split")
-          .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"),
+        nd.filter(graft.queries.DedupQueries.isTrainOf).select(col("doc_id")))
       .withColumn("eval_contam", lit(1L))
     nd.select(col("doc_id"), col("source"),
         graft.queries.DedupQueries.isTrainOf.as("is_train"))
