@@ -2163,6 +2163,18 @@ object DedupQueries {
     val shD = withSizes(shinglesOf(deltaDocs)).localCheckpoint(true)
     val bD = minhashBandsOf(minhashSigFrom(shD.select(col("doc_id"), col("s"))))
       .localCheckpoint(true)
+    deltaPairsCoreFrom(corpusSized, corpusBands, ids, shD, bD)
+  }
+
+  /** [[deltaPairsCore]] with the delta's per-doc passes PRECOMPUTED —
+    * the seam the composed snapshot path (gate check + curated
+    * refresh) uses to pay the delta's shingle/sign work exactly once
+    * per snapshot instead of once per consumer. `ids` is the delta's
+    * distinct doc_ids, `shD` its sized shingles, `bD` its band rows —
+    * all already materialized (localCheckpoint) by the caller. */
+  private[graft] def deltaPairsCoreFrom(corpusSized: DataFrame,
+      corpusBands: DataFrame, ids: DataFrame, shD: DataFrame,
+      bD: DataFrame): DataFrame = {
     val bAll = corpusBands.join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionByName(bD)
     val cand = bD.as("a").join(bAll.as("b"),

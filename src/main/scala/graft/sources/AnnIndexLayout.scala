@@ -58,7 +58,7 @@ object AnnIndexLayout {
     * partial-aggregable shape from the online query — as bucketed
     * tables under `prefix`. */
   private val IndexTables =
-    Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref")
+    Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref", "ids")
 
   /** Drop a table we own and clear its orphaned default directory —
     * guarded: the path delete happens only when NO catalog entry
@@ -107,6 +107,12 @@ object AnnIndexLayout {
     BucketedTables.writeBucketed(
       SimilarityQueries.pqCorpusCodesUsing(spark, dir, pqcb, where),
       s"${tp}_codes", "n_id", buckets)
+    // the ingest ledger ([[IngestLedger]]): every built vector is
+    // fully filed by definition — deltas split fresh/dirty against
+    // this narrow id column instead of scanning the 16-wide codes
+    BucketedTables.writeBucketed(
+      spark.table(s"${tp}_cells").select(col("n_id").as("id")),
+      s"${tp}_ids", "id", buckets)
     // build-time reference state for the staleness audit — captured
     // HERE so "has the index rotted since its build" is a comparison,
     // never a guess. A rebuild recaptures both (re-baselining is part
@@ -249,16 +255,14 @@ object AnnIndexLayout {
     * geometry (AnnIndexLayoutSpec asserts it). Retraining the geometry
     * is a rebuild, never an append.
     *
-    * Idempotent under retries: each table's delta is anti-joined
-    * against the n_ids already present in THAT table, so re-running
-    * after a partial failure (cells appended, codes append died) fills
+    * Idempotent under retries via the [[IngestLedger]] intent-first
+    * protocol: a batch of new vectors never scans the index tables at
+    * all (the narrow `_ids` ledger decides), and re-running after a
+    * partial failure (cells appended, codes append died) routes the
+    * dirty subset through the exact per-table n_id anti-joins, filling
     * exactly the missing half instead of double-filing vectors —
     * duplicated code rows would double d2q sums in the ADC shortlist
-    * and silently mis-rank. The codes-side anti join co-locates on the
-    * bucket key (no shuffle of the big side); the cells side pays one
-    * n_id-column shuffle of the index — the price of retry-safety on a
-    * plain-parquet layout (a transactional table format would make the
-    * append itself atomic instead). */
+    * and silently mis-rank. */
   def appendDelta(spark: SparkSession, dir: String, prefix: String,
       where: Column, buckets: Int = 8): Unit =
     appendDeltaVectors(spark, prefix,
@@ -267,29 +271,40 @@ object AnnIndexLayout {
 
   /** [[appendDelta]] for an ARBITRARY (vec_id, embedding) frame — the
     * encode surface a STREAM of new embeddings feeds micro-batch at a
-    * time ([[maintainStream]]). Same frozen geometry, same per-table
-    * anti-join idempotence: a replayed micro-batch (restart without a
-    * committed offset) re-encodes rows the index already holds and the
-    * anti-join drops them, so the stream-built index equals the
-    * batch-built one over the same data (StreamDeltaIndexSpec). */
+    * time ([[maintainStream]]). Same frozen geometry; idempotence via
+    * the [[IngestLedger]] intent-first protocol: a batch of new
+    * vectors appends with NO scan of the cells/codes tables (the
+    * ledger's narrow id column decides), while a replayed micro-batch
+    * (restart without a committed offset) — or a retry after a
+    * partial failure where cells appended and the codes append died —
+    * falls back to the exact per-table n_id anti-joins for its dirty
+    * subset, so the stream-built index equals the batch-built one
+    * over the same data (StreamDeltaIndexSpec). */
   def appendDeltaVectors(spark: SparkSession, prefix: String,
       vecs0: DataFrame, buckets: Int = 8): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // the per-table anti-joins dedup only against PERSISTED rows; a
+    // the idempotence machinery dedups only against PERSISTED rows; a
     // batch carrying the same vec_id twice would file it twice
     val vecs = vecs0.dropDuplicates("vec_id")
+    val split = IngestLedger.begin(spark, prefix,
+      vecs.select(col("vec_id")), buckets,
+      BucketedTables.read(spark, s"${prefix}_cells").select(col("n_id")))
     val (cents, pqcb) = geometry(spark, prefix)
     BucketedTables.appendBucketed(
-      SimilarityQueries.ivfAssignWith(cents,
-          SimilarityQueries.normedVectors(vecs))
-        .join(BucketedTables.read(spark, s"${prefix}_cells")
-          .select(col("n_id")), Seq("n_id"), "left_anti"),
+      IngestLedger.filed(
+        SimilarityQueries.ivfAssignWith(cents,
+          SimilarityQueries.normedVectors(vecs)),
+        "n_id", split,
+        BucketedTables.read(spark, s"${prefix}_cells")
+          .select(col("n_id"))),
       s"${prefix}_cells", "cell", buckets)
     BucketedTables.appendBucketed(
-      SimilarityQueries.pqEncode(
-          vecs.select(col("vec_id"), col("embedding")), pqcb)
-        .join(BucketedTables.read(spark, s"${prefix}_codes")
-          .select(col("n_id")).distinct(), Seq("n_id"), "left_anti"),
+      IngestLedger.filed(
+        SimilarityQueries.pqEncode(
+          vecs.select(col("vec_id"), col("embedding")), pqcb),
+        "n_id", split,
+        BucketedTables.read(spark, s"${prefix}_codes")
+          .select(col("n_id")).distinct()),
       s"${prefix}_codes", "n_id", buckets)
     // the write commits through the FRAME's session — inside
     // foreachBatch that is the micro-batch CLONE, whose table refresh
@@ -356,6 +371,7 @@ object AnnIndexLayout {
       df => Tombstones.filter(spark, prefix, df, "n_id"))
     BucketedTables.compact(spark, s"${prefix}_codes", "n_id", buckets,
       df => Tombstones.filter(spark, prefix, df, "n_id"))
+    IngestLedger.compact(spark, prefix, buckets)
     Tombstones.clear(spark, prefix)
   }
 

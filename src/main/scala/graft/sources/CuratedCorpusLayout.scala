@@ -159,6 +159,9 @@ object CuratedCorpusLayout {
     *    index and FULL verified cosine pair set
     *    ([[DedupQueries.cosPairsState]] maintains the pairs exactly —
     *    including pool-cap evictions in buckets the delta grows).
+    *  - `<prefix>_cos_geom` (n_bands, planes_per_band): the sign-LSH
+    *    geometry the cosine state was built under — refresh always
+    *    bands deltas under THIS, never the code default.
     *  - `<prefix>_ct_pairs` (eval_doc, doc_id, n_eval, common): the
     *    contamination pairs at the 0.5 floor
     *    ([[DedupQueries.contamPairsState]] maintains them exactly —
@@ -180,11 +183,32 @@ object CuratedCorpusLayout {
     *
     * `where` picks the corpus documents; `whereVec` the corpus
     * vectors (the chain reads ALL vectors of the table, so the split
-    * must be given for both grains). */
+    * must be given for both grains).
+    *
+    * `cosNBands`/`cosPlanesPerBand` set the sign-LSH geometry of the
+    * persisted cosine state — the capacity dial a 100× corpus turns
+    * (band width W re-bounds per-bucket postings ~corpus/2^W; the
+    * salted-universe measurement put the W=6 default at 3.01× @10×
+    * vs W=8 at 1.79×, [[DedupQueries.cosineLshConfig]]). The geometry
+    * is PERSISTED in a `<prefix>_cos_geom` sidecar at build time and
+    * every [[refresh]] reads it from there — the
+    * [[AnnIndexLayout]] frozen-geometry discipline: a delta banded
+    * under a different geometry than the stored `_cos_bands` index
+    * would generate candidates in incomparable buckets (silent recall
+    * loss), so the dial exists ONLY at build; changing it is a
+    * rebuild. */
   def buildIncremental(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true),
-      whereVec: Column = lit(true)): Unit = {
+      whereVec: Column = lit(true),
+      cosNBands: Int = DedupQueries.CosineLshBands,
+      cosPlanesPerBand: Int = DedupQueries.CosineLshBandPlanes): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the geometry sidecar goes FIRST: every later state table derives
+    // from it, and a crash mid-build then leaves a prefix whose partial
+    // state at least names the geometry it was being built under
+    BucketedTables.replaceBucketed(spark, s"${prefix}_cos_geom", "n_bands", 1,
+      spark.range(1).select(lit(cosNBands).as("n_bands"),
+        lit(cosPlanesPerBand).as("planes_per_band")))
     val docsW = Tables.load(spark, dir, "documents").filter(where)
       .select(col("doc_id"), col("source"), col("text"))
     BucketedTables.writeBucketed(DedupQueries.curateBaseOf(docsW),
@@ -199,7 +223,8 @@ object CuratedCorpusLayout {
     val e = DedupQueries.normedDirVecs(
       Tables.load(spark, dir, "embeddings").filter(whereVec)
         .select(col("vec_id"), col("embedding")))
-    val cosBands = DedupQueries.cosineBandsOf(e).persist()
+    val cosBands = DedupQueries.cosineBandsOf(e, cosNBands, cosPlanesPerBand)
+      .persist()
     cosBands.count()
     BucketedTables.writeBucketed(cosBands,
       s"${prefix}_cos_bands", "code", buckets)
@@ -237,6 +262,22 @@ object CuratedCorpusLayout {
       s7.select(col("doc_id"), col("source"), col("h"), col("n_tokens"))
         .join(text, "doc_id"))
     publishSidecars(spark, prefix, attrition)
+  }
+
+  /** The sign-LSH geometry the prefix's cosine state was built under,
+    * read from the `_cos_geom` sidecar. Loud by design: a prefix
+    * without the sidecar (built before the dial existed, or a partial
+    * build that died before writing it) must NOT be refreshed under a
+    * guessed geometry — delta bands in a different (band, code) space
+    * than the stored index silently stop matching, which is recall
+    * loss with no error anywhere. */
+  private def cosGeometry(spark: SparkSession, prefix: String): (Int, Int) = {
+    require(spark.catalog.tableExists(s"${prefix}_cos_geom"),
+      s"$prefix: no _cos_geom sidecar — the prefix predates the cosine " +
+        "geometry dial (or its build died before the sidecar write); " +
+        "rebuild with buildIncremental before refreshing")
+    val row = spark.table(s"${prefix}_cos_geom").head()
+    (row.getAs[Int]("n_bands"), row.getAs[Int]("planes_per_band"))
   }
 
   /** The curation gate over the PERSISTED state — the same algebra
@@ -308,11 +349,16 @@ object CuratedCorpusLayout {
     // 3. file the delta into the dedup index
     DedupIndexLayout.appendDeltaDocs(spark, s"${prefix}_dd", deltaDocs,
       buckets)
-    // 4. cosine pair state + band index
+    // 4. cosine pair state + band index — the delta is banded under
+    //    the PERSISTED build geometry (never the code default), so the
+    //    candidate join and the stored `_cos_bands` index always agree
+    //    on the (band, code) space
+    val (cosNBands, cosPlanes) = cosGeometry(spark, prefix)
     val dv = DedupQueries.normedDirVecs(
       deltaVecs.dropDuplicates("vec_id")).localCheckpoint(true)
     val dIds = dv.select(col("vec_id")).localCheckpoint(true)
-    val dBands = DedupQueries.cosineBandsOf(dv).localCheckpoint(true)
+    val dBands = DedupQueries.cosineBandsOf(dv, cosNBands, cosPlanes)
+      .localCheckpoint(true)
     val storedBands = BucketedTables.read(spark, s"${prefix}_cos_bands")
       .join(broadcast(dIds), Seq("vec_id"), "left_anti")
     // verification lookups must reach EVERY indexed vector: the dir's

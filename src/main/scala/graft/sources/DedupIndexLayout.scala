@@ -58,8 +58,8 @@ object DedupIndexLayout {
   /** [[build]] for an ARBITRARY (doc_id, text) frame. */
   def buildDocs(spark: SparkSession, prefix: String, docs: DataFrame,
       buckets: Int = 8): Unit = {
-    val sh = DedupQueries.shinglesOf(docs.dropDuplicates("doc_id"))
-      .persist()
+    val d = docs.dropDuplicates("doc_id")
+    val sh = DedupQueries.shinglesOf(d).persist()
     sh.count()
     BucketedTables.writeBucketed(DedupQueries.withSizes(sh),
       s"${prefix}_shingles", "doc_id", buckets)
@@ -67,31 +67,42 @@ object DedupIndexLayout {
       DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh)),
       s"${prefix}_bands", "key", buckets)
     sh.unpersist(false)
+    // the ingest ledger: every corpus doc is fully filed by definition
+    BucketedTables.writeBucketed(d.select(col("doc_id").as("id")),
+      IngestLedger.table(prefix), "id", buckets)
   }
 
   /** Incremental maintenance: shingle + sign ONLY the given documents
     * and append their rows into both tables. Idempotent under retries
-    * via per-table doc_id anti-joins (the [[AnnIndexLayout]]
-    * discipline): a replayed delta — or a partial failure where the
-    * shingle append landed and the band append died — files exactly
+    * and replays via the [[IngestLedger]] intent-first protocol: a
+    * batch of genuinely new docs appends with NO scan of the wide
+    * tables (the ledger's O(docs) id column decides), while a replayed
+    * delta — or a retry after a partial failure where the shingle
+    * append landed and the band append died — falls back to the exact
+    * per-table doc_id anti-joins for its dirty subset, filing exactly
     * the missing rows, never a duplicate (duplicated shingle rows
     * would double `common` in every future Jaccard verification;
     * duplicated band rows would re-propose the same candidates).
-    * Within-batch duplicate doc_ids collapse before the anti-joins. */
+    * Within-batch duplicate doc_ids collapse first. */
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs0: DataFrame, buckets: Int = 8): Unit = {
     val docs = docs0.dropDuplicates("doc_id")
+    val split = IngestLedger.begin(spark, prefix,
+      docs.select(col("doc_id")), buckets,
+      BucketedTables.read(spark, s"${prefix}_shingles").select(col("doc_id")))
     val sh = DedupQueries.shinglesOf(docs).persist()
     sh.count()
     BucketedTables.appendBucketed(
-      DedupQueries.withSizes(sh)
-        .join(BucketedTables.read(spark, s"${prefix}_shingles")
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      IngestLedger.filed(DedupQueries.withSizes(sh), "doc_id", split,
+        BucketedTables.read(spark, s"${prefix}_shingles")
+          .select(col("doc_id")).distinct()),
       s"${prefix}_shingles", "doc_id", buckets)
     BucketedTables.appendBucketed(
-      DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh))
-        .join(BucketedTables.read(spark, s"${prefix}_bands")
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      IngestLedger.filed(
+        DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh)),
+        "doc_id", split,
+        BucketedTables.read(spark, s"${prefix}_bands")
+          .select(col("doc_id")).distinct()),
       s"${prefix}_bands", "key", buckets)
     sh.unpersist(false)
     // a foreachBatch clone's write must not leave the serving session
@@ -116,6 +127,19 @@ object DedupIndexLayout {
       Tombstones.filter(spark, prefix,
         BucketedTables.read(spark, s"${prefix}_bands"), "doc_id"),
       newDocs.dropDuplicates("doc_id"))
+
+  /** [[dedupDelta]] with the delta's shingle/band passes PRECOMPUTED
+    * ([[DedupQueries.deltaPairsCoreFrom]]) — the composed snapshot
+    * path shares one delta pass across the gate check and the curated
+    * refresh instead of re-shingling per consumer. */
+  private[sources] def dedupDeltaFrom(spark: SparkSession, prefix: String,
+      ids: DataFrame, shD: DataFrame, bD: DataFrame): DataFrame =
+    DedupQueries.deltaPairsCoreFrom(
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_shingles"), "doc_id"),
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_bands"), "doc_id"),
+      ids, shD, bD)
 
   /** CONTINUOUS ingest: a stream of (doc_id, text) rows is deduped
     * against the corpus-so-far and then filed into it, one micro-batch
@@ -191,6 +215,7 @@ object DedupIndexLayout {
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
     BucketedTables.compact(spark, s"${prefix}_bands", "key", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    IngestLedger.compact(spark, prefix, buckets)
     Tombstones.clear(spark, prefix)
   }
 }

@@ -63,15 +63,32 @@ object IngestGate {
   def checkDelta(spark: SparkSession, dir: String, prefix: String,
       newDocs: DataFrame, newVecs: DataFrame,
       minCosine: Double = 0.4): DataFrame = {
+    import graft.queries.DedupQueries
     val nd = newDocs.dropDuplicates("doc_id").localCheckpoint(true)
     val ids = nd.select(col("doc_id")).localCheckpoint(true)
+    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(nd))
+      .localCheckpoint(true)
+    val bD = DedupQueries.minhashBandsOf(
+        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, newVecs, minCosine)
+  }
+
+  /** [[checkDelta]] with the delta's shingle/band passes PRECOMPUTED —
+    * the seam [[ingestAndCurate]] uses so one snapshot pays each
+    * per-delta pass once across the gate check AND the curated
+    * refresh. `nd`/`ids`/`shD`/`bD` must already be materialized. */
+  private[sources] def checkDeltaWith(spark: SparkSession, dir: String,
+      prefix: String, nd: DataFrame, ids: DataFrame, shD: DataFrame,
+      bD: DataFrame, newVecs: DataFrame, minCosine: Double): DataFrame = {
     def hitsOf(pairs: DataFrame, flag: String): DataFrame =
       pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .join(broadcast(ids), Seq("doc_id"), "left_semi").distinct()
         .withColumn(flag, lit(1L))
     val tHits = hitsOf(
-      DedupIndexLayout.dedupDelta(spark, s"${prefix}_dd", nd), "text_dup")
+      DedupIndexLayout.dedupDeltaFrom(spark, s"${prefix}_dd", ids, shD, bD),
+      "text_dup")
     val mHits = hitsOf(
       MediaIndexLayout.dedupDelta(spark, s"${prefix}_mm", nd), "media_dup")
     val sHits = AnnIndexLayout.semanticDedupDelta(spark, dir,
@@ -84,8 +101,6 @@ object IngestGate {
     // (dedup_contam_delta's exact semantics, including its t.is_train
     // scope: an eval-side delta doc can never carry the flag;
     // IngestGateSpec reconciles)
-    val shD = graft.queries.DedupQueries.withSizes(
-      graft.queries.DedupQueries.shinglesOf(nd)).localCheckpoint(true)
     val cHits = graft.queries.DedupQueries.contamDeltaFlags(
         BucketedTables.read(spark, s"${prefix}_dd_shingles")
           .join(broadcast(ids), Seq("doc_id"), "left_anti"),
@@ -164,10 +179,21 @@ object IngestGate {
     * batch plans Structured Streaming forbids on unbounded input —
     * the usual stream-to-batch bridge). A replayed batch re-emits
     * IDENTICAL verdicts while the appends file nothing, so an
-    * idempotent sink completes exactly-once end to end. */
+    * idempotent sink completes exactly-once end to end.
+    *
+    * `monitor` gives the composite path the same when-to-retrain
+    * signal as [[AnnIndexLayout.maintainStream]]: after each filed
+    * batch, the geometry staleness audit runs with that batch's
+    * vectors as the freshness probe — the gate keeps FILING under the
+    * frozen geometry either way (retraining is a rebuild decision,
+    * never a stream's), and an audit failure is reported and
+    * swallowed so monitoring can never take down the ingest it
+    * observes. */
   def ingestStream(spark: SparkSession, dir: String, prefix: String,
       assetStream: DataFrame, buckets: Int = 8,
-      checkpoint: Option[String] = None)(sink: (DataFrame, Long) => Unit)
+      checkpoint: Option[String] = None,
+      monitor: Option[graft.streaming.AnnStalenessMonitor] = None)(
+      sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = assetStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
@@ -177,6 +203,16 @@ object IngestGate {
           .select(col("doc_id").as("vec_id"), col("embedding"))
         sink(checkDelta(spark, dir, prefix, docsB, vecsB), batchId)
         appendDelta(spark, prefix, docsB, vecsB, buckets)
+        monitor.foreach { m =>
+          try m.check(spark, s"${prefix}_ann", vecsB,
+            atMs = System.currentTimeMillis())
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[ann-staleness] gate audit tick failed " +
+                  s"(ingest unaffected): $e")
+          }
+        }
       }
       .start()
   }

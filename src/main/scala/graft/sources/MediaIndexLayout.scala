@@ -37,20 +37,32 @@ object MediaIndexLayout {
 
   /** [[build]] for an ARBITRARY (doc_id, text·payload) frame. */
   def buildDocs(spark: SparkSession, prefix: String, docs: DataFrame,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    val d = docs.dropDuplicates("doc_id")
     BucketedTables.writeBucketed(
-      MultimodalQueries.tileRowsOf(docs.dropDuplicates("doc_id")),
+      MultimodalQueries.tileRowsOf(d),
       s"${prefix}_tiles", "tile", buckets)
+    // the ingest ledger covers every INPUT doc (a tile-less asset is
+    // fully filed by filing nothing), so re-sends skip it either way
+    BucketedTables.writeBucketed(d.select(col("doc_id").as("id")),
+      IngestLedger.table(prefix), "id", buckets)
+  }
 
   /** Sign + tile ONLY the given media and append. Idempotent under
-    * retries and replays via the doc_id anti-join; within-batch
-    * duplicates collapse first. */
+    * retries and replays via the [[IngestLedger]] intent-first
+    * protocol: new docs append with no scan of the tile table; only a
+    * replayed/retried (dirty) subset pays the exact per-table doc_id
+    * anti-join. Within-batch duplicates collapse first. */
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs: DataFrame, buckets: Int = 8): Unit = {
+    val d = docs.dropDuplicates("doc_id")
+    val split = IngestLedger.begin(spark, prefix, d.select(col("doc_id")),
+      buckets,
+      BucketedTables.read(spark, s"${prefix}_tiles").select(col("doc_id")))
     BucketedTables.appendBucketed(
-      MultimodalQueries.tileRowsOf(docs.dropDuplicates("doc_id"))
-        .join(BucketedTables.read(spark, s"${prefix}_tiles")
-          .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
+      IngestLedger.filed(MultimodalQueries.tileRowsOf(d), "doc_id", split,
+        BucketedTables.read(spark, s"${prefix}_tiles")
+          .select(col("doc_id")).distinct()),
       s"${prefix}_tiles", "tile", buckets)
     spark.catalog.refreshTable(s"${prefix}_tiles")
   }
@@ -115,6 +127,7 @@ object MediaIndexLayout {
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_tiles", "tile", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    IngestLedger.compact(spark, prefix, buckets)
     Tombstones.clear(spark, prefix)
   }
 }

@@ -19,7 +19,8 @@ class AnnIndexLayoutSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def dropIndex(prefix: String): Unit =
-    Seq("cells", "codes", "coarse", "pqcb").foreach(t =>
+    Seq("cells", "codes", "coarse", "pqcb", "cellhist", "qref", "ids",
+        "tombstones").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 
   test("serving from the persisted index equals the online ivfpq query") {
@@ -97,8 +98,16 @@ class AnnIndexLayoutSpec extends SparkSpec {
     AnnIndexLayout.build(spark, dir, "ann_idx_retry", buckets = 4,
       where = predA)
     try {
-      // simulate "cells append succeeded, codes append died": land the
-      // B cells directly, without their codes
+      // simulate "cells append succeeded, codes append died" AS THE
+      // PROTOCOL CAN ACTUALLY REACH IT: the IngestLedger intent record
+      // lands before any data append, so the crash state is
+      // intent + cells present, codes missing. (Data rows without an
+      // intent record are unreachable through the layout API — that
+      // ordering is the protocol's correctness invariant.)
+      BucketedTables.appendBucketed(
+        spark.read.parquet(s"$dir/embeddings.parquet").filter(predB)
+          .select(col("vec_id").as("id")),
+        "ann_idx_retry_ids", "id", 4)
       BucketedTables.appendBucketed(
         SimilarityQueries.ivfAssignUsing(spark, dir,
           spark.table("ann_idx_retry_coarse"), predB),

@@ -18,9 +18,9 @@ class CuratedDeltaSpec extends SparkSpec {
 
   private def dropAll(prefix: String): Unit =
     Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
-      "cos_pairs", "ct_pairs", "dd_shingles", "dd_bands", "tombstones",
-      "vecs", "texts", "docs__compact_tmp", "manifest__compact_tmp",
-      "checksums__compact_tmp").foreach(t =>
+      "cos_pairs", "cos_geom", "ct_pairs", "dd_shingles", "dd_bands",
+      "tombstones", "vecs", "texts", "docs__compact_tmp",
+      "manifest__compact_tmp", "checksums__compact_tmp").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 
   test("refresh == full rebuild over corpus ∪ delta; replay idempotent") {
@@ -81,6 +81,53 @@ class CuratedDeltaSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().toSeq
     assert(compacted == refDocs, "compaction changed served rows")
     dropAll("curd"); dropAll("curd_ref")
+  }
+
+  test("refresh honors the persisted W=8 geometry; missing sidecar fails") {
+    dropAll("curw"); dropAll("curw_ref")
+    // full incremental build over corpus ∪ delta at the WIDE-band
+    // geometry (4 bands × 8 planes — the dial a 100× corpus turns)
+    CuratedCorpusLayout.buildIncremental(spark, dir, "curw_ref",
+      buckets = 4, cosNBands = 4, cosPlanesPerBand = 8)
+    val refDocs = CuratedCorpusLayout.serve(spark, "curw_ref")
+      .orderBy(col("doc_id")).collect().toSeq
+    val refManifest = CuratedCorpusLayout.manifest(spark, "curw_ref")
+      .orderBy(col("stage")).collect().toSeq
+    assert(refDocs.nonEmpty)
+
+    // corpus-only build at W=8, then one refresh: the delta must be
+    // banded under the PERSISTED geometry (a default-W=6 delta would
+    // probe disjoint buckets and silently miss cross-set near-dups)
+    CuratedCorpusLayout.buildIncremental(spark, dir, "curw", buckets = 4,
+      where = !DedupQueries.DeltaPred,
+      whereVec = col("vec_id") % 5 =!= 3,
+      cosNBands = 4, cosPlanesPerBand = 8)
+    val deltaDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(DedupQueries.DeltaPred)
+      .select(col("doc_id"), col("source"), col("text"))
+    val deltaVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 3)
+      .select(col("vec_id"), col("embedding"))
+    CuratedCorpusLayout.refresh(spark, dir, "curw", deltaDocs, deltaVecs,
+      buckets = 4)
+    val gotDocs = CuratedCorpusLayout.serve(spark, "curw")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(gotDocs == refDocs,
+      s"W=8 refresh drifted from the W=8 rebuild: got ${gotDocs.size}, " +
+        s"ref ${refDocs.size}")
+    val gotManifest = CuratedCorpusLayout.manifest(spark, "curw")
+      .orderBy(col("stage")).collect().toSeq
+    assert(gotManifest == refManifest)
+
+    // a prefix without the geometry sidecar must refuse to refresh —
+    // banding a delta under a guessed geometry is silent recall loss
+    spark.sql("DROP TABLE IF EXISTS curw_cos_geom")
+    val e = intercept[IllegalArgumentException] {
+      CuratedCorpusLayout.refresh(spark, dir, "curw", deltaDocs, deltaVecs,
+        buckets = 4)
+    }
+    assert(e.getMessage.contains("_cos_geom"), e.getMessage)
+    dropAll("curw"); dropAll("curw_ref")
   }
 
   test("incremental build over the full corpus equals the plain build") {

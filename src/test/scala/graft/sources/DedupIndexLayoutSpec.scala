@@ -22,7 +22,7 @@ class DedupIndexLayoutSpec extends SparkSpec {
       .filter(pred).select(col("doc_id"), col("text"))
 
   private def dropIndex(prefix: String): Unit =
-    Seq("shingles", "bands", "tombstones").foreach(t =>
+    Seq("shingles", "bands", "ids", "tombstones").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 
   private def pairSet(df: DataFrame): Seq[(Long, Long, Double)] =

@@ -17,9 +17,10 @@ class IngestGateSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def dropAll(prefix: String): Unit = {
-    Seq("dd_shingles", "dd_bands", "mm_tiles", "split",
+    Seq("dd_shingles", "dd_bands", "dd_ids", "mm_tiles", "mm_ids", "split",
       "ann_cells", "ann_codes", "ann_coarse", "ann_pqcb", "ann_cellhist",
-      "ann_qref", "dd_tombstones", "mm_tombstones", "ann_tombstones")
+      "ann_qref", "ann_ids", "dd_tombstones", "mm_tombstones",
+      "ann_tombstones")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
   }
 
@@ -120,5 +121,52 @@ class IngestGateSpec extends SparkSpec {
         deltaDocs, deltaVecs).orderBy("doc_id").collect().toSeq
       assert(converged == oneShot, "streamed ingest state diverged")
     } finally dropAll("igs")
+  }
+
+  test("planted shift raises the staleness alert through the gate's stream") {
+    // the AnnStalenessSpec shift fixture, driven through the COMPOSITE
+    // ingest path: a delta of vectors collapsed around one direction
+    // the corpus barely occupies must raise the when-to-retrain signal
+    // from inside ingestStream itself — the gate appends to the ANN
+    // index every batch, so it must also hear when that index's frozen
+    // geometry has rotted (previously only maintainStream did).
+    val rnd = new scala.util.Random(41)
+    def noise(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val spike = Array.tabulate(64)(i => if (i < 4) 8f else 0.05f)
+    def textOf(id: Long): String =
+      s"gate staleness fixture document $id with filler tokens " +
+        s"alpha$id beta${id * 31} gamma${id * 67} delta epsilon zeta eta"
+    val corpus = (200L until 1000L).map(id =>
+      (id, s"src${id % 3}", textOf(id), noise()))
+    val delta = (0L until 200L).map { id =>
+      val n = noise()
+      (id, "d", textOf(id), spike.zip(n).map { case (s, x) => s + 0.1f * x })
+    }
+    val d = tmpDir("graft-gate-stale")
+    writeFixture(d, "documents",
+      (corpus ++ delta).map { case (i, s, t, _) => (i, s, t) }
+        .toDF("doc_id", "source", "text"))
+    writeFixture(d, "embeddings",
+      (corpus ++ delta).map { case (i, _, _, e) => (i, "l", e) }
+        .toDF("vec_id", "label", "embedding"))
+    dropAll("igm")
+    IngestGate.build(spark, d.toString, "igm", buckets = 4,
+      whereDocs = col("doc_id") >= 200L, whereVecs = col("vec_id") >= 200L)
+    try {
+      val monitor = new graft.streaming.AnnStalenessMonitor()
+      val rows = delta.map { case (i, s, t, e) => (i, s, t, Option(e)) }
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val mem = MemoryStream[(Long, String, String, Option[Array[Float]])]
+      val q = IngestGate.ingestStream(spark, d.toString, "igm",
+        mem.toDF().toDF("doc_id", "source", "text", "embedding"),
+        buckets = 4, monitor = Some(monitor)) { (_, _) => () }
+      try {
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      assert(monitor.firing,
+        s"planted shift did not raise through the gate: " +
+          monitor.transitions.toString)
+    } finally dropAll("igm")
   }
 }

@@ -22,7 +22,7 @@ class MediaIndexLayoutSpec extends SparkSpec {
       .filter(pred).select(col("doc_id"), col("text"))
 
   private def dropIndex(prefix: String): Unit =
-    Seq("tiles", "tombstones").foreach(t =>
+    Seq("tiles", "ids", "tombstones").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
 
   private def pairSet(df: DataFrame): Seq[(String, Long, Long, Long, Boolean)] =

@@ -19,7 +19,8 @@ class StreamDeltaIndexSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("streamed ANN deltas equal the batch delta; replays append nothing") {
-    val drop = () => Seq("cells", "codes", "coarse", "pqcb").foreach(t =>
+    val drop = () => Seq("cells", "codes", "coarse", "pqcb", "cellhist",
+        "qref", "ids").foreach(t =>
       Seq("ann_sd", "ann_sd_ref").foreach(p =>
         spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
     drop()
@@ -70,7 +71,7 @@ class StreamDeltaIndexSpec extends SparkSpec {
   }
 
   test("streamed dedup ingest: pairs dedup exactly-once end to end") {
-    val drop = () => Seq("shingles", "bands").foreach(t =>
+    val drop = () => Seq("shingles", "bands", "ids").foreach(t =>
       Seq("dd_sd", "dd_sd_ref").foreach(p =>
         spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
     drop()
