@@ -1277,7 +1277,24 @@ object DedupQueries {
     * dial (per-bucket postings ~ corpus/2^W); band count B buys recall
     * at B x index cost, the standard LSH tradeoff. The verify joins
     * the deduped candidate LIST (small) back to raw embeddings by id —
-    * two equi-joins that shuffle candidates, never the corpus. */
+    * two equi-joins that shuffle candidates, never the corpus.
+    *
+    * WHY THE REGISTERED DEFAULT STAYS W=6 (the scale-threshold
+    * guidance): the 4x6 geometry is the RECALL-favoring setting — at
+    * the 0.4 floor it verifies 12 true pairs at sf0.01 (222 at sf0.1)
+    * where the scale-safe 4x8 finds 7 (95) — and its measured curve is
+    * 3.01x wall @10x data on the salted universe vs 1.79x for W=8
+    * (BENCH_SF1.md round 12; both oracle hash-checked at both SFs).
+    * This ad-hoc query is a corpus-build AUDIT run at a bounded SF,
+    * where recall is worth the superlinear constant; the DEPLOYMENT
+    * path for a growing corpus is the curated layout, where geometry
+    * is an explicit build-time dial FROZEN in the `_cos_geom` sidecar
+    * ([[graft.sources.CuratedCorpusLayout.buildIncremental]]) — turn W
+    * up there (per-bucket postings ~ corpus/2^W: at ~100x this SF,
+    * W=8+; each +1 of W quarters-to-halves candidate volume for the
+    * S-curve recall cost CosineLshRecallSpec measures). The W=8 point
+    * is itself REGISTERED (`dedup_cosine_lsh_w8`) so both ends of the
+    * dial stay oracle-pinned. */
   def cosineLsh(spark: SparkSession, dir: String): DataFrame =
     cosineLshConfig(spark, dir, CosineLshBands, CosineLshBandPlanes)
 

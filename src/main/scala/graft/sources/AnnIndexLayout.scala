@@ -61,37 +61,25 @@ object AnnIndexLayout {
     Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref", "ids")
 
   /** Drop a table we own and clear its orphaned default directory —
-    * guarded: the path delete happens only when NO catalog entry
-    * remains (the orphan case: a directory left behind by another
-    * session's catalog, which `saveAsTable`/`RENAME TO` refuse to
-    * adopt) and only at the table's DEFAULT managed location, which is
-    * inside the warehouse by construction — never a user-supplied
-    * path. */
-  private def dropWithOrphanDir(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    require(!spark.catalog.tableExists(table))
-    val p = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)))
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath).toUri.getPath
-    require(p.toUri.getPath.startsWith(warehouse),
-      s"refusing to delete $p: outside the managed warehouse $warehouse")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-  }
+    * the shared [[BucketedTables.dropWithOrphanDir]] guard (the delete
+    * is warehouse-contained and fires only when no catalog entry
+    * remains). */
+  private def dropWithOrphanDir(spark: SparkSession, table: String): Unit =
+    BucketedTables.dropWithOrphanDir(spark, table)
 
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true)): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // ATOMIC-ish rebuild (the replaceBucketed write-aside discipline
-    // applied to the six-table set): every table is fully computed and
-    // written under a temp prefix FIRST, so a crash anywhere in the
-    // expensive part leaves the live index untouched and serving; the
-    // publish step at the end is six catalog renames. A crash inside
-    // that (milliseconds-wide) swap window can leave a mixed index —
-    // the remaining plain-parquet gap a transactional table format
-    // would close — but never a missing one, and re-running the build
-    // repairs it.
+    // applied to the seven-table set): every table is fully computed
+    // and written under a temp prefix FIRST, so a crash anywhere in
+    // the expensive part leaves the live index untouched and serving;
+    // the publish step at the end renames each live table aside before
+    // renaming its replacement in, so no index BYTES are ever lost. A
+    // crash inside that (milliseconds-wide) swap window can leave a
+    // mixed index, or a table briefly resolvable under neither name —
+    // the remaining plain-parquet gaps a transactional table format
+    // would close — and re-running the build repairs both.
     val tp = s"${prefix}__build"
     IndexTables.foreach(t => dropWithOrphanDir(spark, s"${tp}_$t"))
     SimilarityQueries.coarseCentsOf(spark, dir, where)
@@ -148,11 +136,26 @@ object AnnIndexLayout {
         "silently report qerr_rise_ppm=0 forever; widen `where` or skip " +
         "the audit for this index")
     // publish: RENAME moves each managed directory under the live name
-    // (catalog + data in one step, bucket spec carried along)
+    // (catalog + data in one step, bucket spec carried along). The
+    // previous table is renamed ASIDE first — never dropped before its
+    // replacement is in place — so a crash anywhere in the swap loses
+    // no data: the old index survives under `__old` and re-running the
+    // build repairs the catalog. The swap window itself is not atomic
+    // (plain catalogs have no multi-table transaction): a concurrent
+    // reader can see a table briefly under neither name, and a crash
+    // mid-loop leaves a mixed index until the re-run — the remaining
+    // gap a transactional table format would close.
     IndexTables.foreach { t =>
-      dropWithOrphanDir(spark, s"${prefix}_$t")
-      spark.sql(s"ALTER TABLE ${tp}_$t RENAME TO ${prefix}_$t")
-      spark.catalog.refreshTable(s"${prefix}_$t")
+      val live = s"${prefix}_$t"
+      val aside = s"${live}__old"
+      dropWithOrphanDir(spark, aside) // leftover from a previous crash
+      if (spark.catalog.tableExists(live))
+        spark.sql(s"ALTER TABLE $live RENAME TO $aside")
+      else // clear a stranded directory so the rename below can land
+        BucketedTables.dropWithOrphanDir(spark, live)
+      spark.sql(s"ALTER TABLE ${tp}_$t RENAME TO $live")
+      spark.catalog.refreshTable(live)
+      spark.sql(s"DROP TABLE IF EXISTS $aside")
     }
   }
 

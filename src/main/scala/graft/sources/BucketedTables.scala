@@ -41,13 +41,49 @@ object BucketedTables {
       buckets: Int): DataFrame =
     df.repartition(buckets, col(key))
 
+  /** Clear the ORPHANED default directory of a table absent from the
+    * catalog — the directory an earlier SESSION's catalog left behind
+    * in `spark-warehouse/`, which `saveAsTable`/`RENAME TO` refuse to
+    * adopt (`LOCATION_ALREADY_EXISTS`). A fresh session over a
+    * previously-used warehouse is the NORMAL deployment mode of every
+    * build-once/query-many layout, so every create path below runs
+    * through this guard. No-op when the catalog owns the table (its
+    * directory is live data, not an orphan); the path delete is
+    * `require`-guarded to the DEFAULT managed location inside the
+    * warehouse — never a user-supplied path. */
+  private[sources] def clearOrphanDir(spark: SparkSession,
+      table: String): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+    // trailing-separator comparison: a warehouse at /wh must not accept
+    // a sibling /wh-other/... whose string merely starts with /wh
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath).toUri.getPath.stripSuffix("/")
+    require(p.toUri.getPath.startsWith(warehouse + "/"),
+      s"refusing to delete $p: outside the managed warehouse $warehouse")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** Drop a table we own and clear its orphaned default directory —
+    * the [[clearOrphanDir]] guard behind an explicit drop, for callers
+    * (rebuild publication, spec teardown) that must leave neither a
+    * catalog entry nor a stranded directory. */
+  def dropWithOrphanDir(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    clearOrphanDir(spark, table)
+  }
+
   /** Write `df` as a bucketed, bucket-sorted managed parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    clearOrphanDir(df.sparkSession, table)
     oneFilePerBucket(df, key, buckets)
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Append to an existing bucketed table with the SAME bucket spec —
     * Spark validates the (buckets, key) pair against the catalog, so a
@@ -58,11 +94,15 @@ object BucketedTables {
     * sort-skip degrades gracefully as deltas accumulate until a
     * rebuild compacts them.) */
   def appendBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int): Unit =
+                     buckets: Int): Unit = {
+    // an append to a table the CATALOG doesn't know creates it, so the
+    // orphan-directory guard applies here exactly as on the write path
+    clearOrphanDir(df.sparkSession, table)
     oneFilePerBucket(df, key, buckets)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

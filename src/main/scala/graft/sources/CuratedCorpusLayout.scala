@@ -310,13 +310,33 @@ object CuratedCorpusLayout {
   def refresh(spark: SparkSession, dir: String, prefix: String,
       deltaDocs0: DataFrame, deltaVecs: DataFrame,
       buckets: Int = 8): Unit = {
-    graft.functions.VectorFunctions.ensureRegistered(spark)
     val deltaDocs = deltaDocs0.dropDuplicates("doc_id").localCheckpoint(true)
     val ids = deltaDocs.select(col("doc_id")).localCheckpoint(true)
+    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(deltaDocs))
+      .localCheckpoint(true)
+    val bD = DedupQueries.minhashBandsOf(
+        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    refreshWith(spark, dir, prefix, deltaDocs, ids, shD, bD, deltaVecs,
+      buckets)
+  }
+
+  /** [[refresh]] with the delta's shingle/band passes PRECOMPUTED —
+    * the seam [[IngestGate.ingestAndCurate]] uses so one snapshot pays
+    * each per-delta pass once across the gate check AND the curated
+    * refresh. `deltaDocs` is already doc_id-deduplicated; `ids`, the
+    * sized shingles `shD`, and the band rows `bD` are already
+    * materialized (localCheckpoint). */
+  private[sources] def refreshWith(spark: SparkSession, dir: String,
+      prefix: String, deltaDocs: DataFrame, ids: DataFrame, shD: DataFrame,
+      bD: DataFrame, deltaVecs: DataFrame, buckets: Int): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val deltaBase = DedupQueries.curateBaseOf(deltaDocs).localCheckpoint(true)
     // 1. MinHash pairs touching the delta, through the persisted index
-    //    (replay-safe: the core anti-joins the delta's own filed rows)
-    val mhNew = DedupIndexLayout.dedupDelta(spark, s"${prefix}_dd", deltaDocs)
+    //    (replay-safe: the core anti-joins the delta's own filed rows),
+    //    fed the precomputed delta passes — no re-shingle here
+    val mhNew = DedupIndexLayout.dedupDeltaFrom(spark, s"${prefix}_dd",
+      ids, shD, bD)
     // replay idempotence: every mhNew pair touches the delta, so the
     // anti-join only needs the delta-touching SUBSET of stored pairs
     // (two broadcast semi scans, never a shuffle of the pair table)
@@ -333,9 +353,8 @@ object CuratedCorpusLayout {
     spark.catalog.refreshTable(s"${prefix}_mh_pairs")
     // 2. contamination pair state (reads the dd index EXCLUDING the
     //    delta's ids, so it must run before — or is immune to — the
-    //    index append below)
-    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(deltaDocs))
-      .localCheckpoint(true)
+    //    index append below); `shD` is the same materialized shingle
+    //    pass step 1 banded from
     val corpusSized = BucketedTables.read(spark, s"${prefix}_dd_shingles")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val allBase = BucketedTables.read(spark, s"${prefix}_base")
@@ -346,9 +365,10 @@ object CuratedCorpusLayout {
       buckets,
       DedupQueries.contamPairsState(corpusSized, shD, allBase, ids,
         spark.table(s"${prefix}_ct_pairs")))
-    // 3. file the delta into the dedup index
-    DedupIndexLayout.appendDeltaDocs(spark, s"${prefix}_dd", deltaDocs,
-      buckets)
+    // 3. file the delta into the dedup index (the same materialized
+    //    shingle/band frames — no re-shingle on the append either)
+    DedupIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_dd", ids, shD,
+      bD, buckets)
     // 4. cosine pair state + band index — the delta is banded under
     //    the PERSISTED build geometry (never the code default), so the
     //    candidate join and the stored `_cos_bands` index always agree

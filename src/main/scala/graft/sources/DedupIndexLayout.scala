@@ -87,24 +87,36 @@ object DedupIndexLayout {
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs0: DataFrame, buckets: Int = 8): Unit = {
     val docs = docs0.dropDuplicates("doc_id")
-    val split = IngestLedger.begin(spark, prefix,
-      docs.select(col("doc_id")), buckets,
+    val ids = docs.select(col("doc_id")).localCheckpoint(true)
+    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(docs))
+      .localCheckpoint(true)
+    val bD = DedupQueries.minhashBandsOf(
+        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets)
+  }
+
+  /** [[appendDeltaDocs]] with the delta's shingle/band passes
+    * PRECOMPUTED — the composed snapshot path
+    * ([[IngestGate.ingestAndCurate]]) files the same materialized
+    * frames the check and the curated refresh consumed, so a snapshot
+    * pays the shingle pass exactly once. Same ledger/idempotence
+    * discipline as the public entry. */
+  private[sources] def appendDeltaDocsFrom(spark: SparkSession,
+      prefix: String, ids: DataFrame, shD: DataFrame, bD: DataFrame,
+      buckets: Int): Unit = {
+    val split = IngestLedger.begin(spark, prefix, ids, buckets,
       BucketedTables.read(spark, s"${prefix}_shingles").select(col("doc_id")))
-    val sh = DedupQueries.shinglesOf(docs).persist()
-    sh.count()
     BucketedTables.appendBucketed(
-      IngestLedger.filed(DedupQueries.withSizes(sh), "doc_id", split,
+      IngestLedger.filed(shD, "doc_id", split,
         BucketedTables.read(spark, s"${prefix}_shingles")
           .select(col("doc_id")).distinct()),
       s"${prefix}_shingles", "doc_id", buckets)
     BucketedTables.appendBucketed(
-      IngestLedger.filed(
-        DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh)),
-        "doc_id", split,
+      IngestLedger.filed(bD, "doc_id", split,
         BucketedTables.read(spark, s"${prefix}_bands")
           .select(col("doc_id")).distinct()),
       s"${prefix}_bands", "key", buckets)
-    sh.unpersist(false)
     // a foreachBatch clone's write must not leave the serving session
     // reading the pre-delta file listing (see AnnIndexLayout)
     spark.catalog.refreshTable(s"${prefix}_shingles")

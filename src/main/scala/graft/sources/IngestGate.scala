@@ -137,6 +137,23 @@ object IngestGate {
   def appendDelta(spark: SparkSession, prefix: String, newDocs: DataFrame,
       newVecs: DataFrame, buckets: Int = 8): Unit = {
     DedupIndexLayout.appendDeltaDocs(spark, s"${prefix}_dd", newDocs, buckets)
+    appendDeltaRest(spark, prefix, newDocs, newVecs, buckets)
+  }
+
+  /** [[appendDelta]] with the text index's shingle/band passes
+    * PRECOMPUTED — the [[ingestAndCurate]] leg. */
+  private def appendDeltaFrom(spark: SparkSession, prefix: String,
+      newDocs: DataFrame, ids: DataFrame, shD: DataFrame, bD: DataFrame,
+      newVecs: DataFrame, buckets: Int): Unit = {
+    DedupIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_dd", ids, shD,
+      bD, buckets)
+    appendDeltaRest(spark, prefix, newDocs, newVecs, buckets)
+  }
+
+  /** The media/vector/split legs of [[appendDelta]] (no shingle pass to
+    * share — media tiles and PQ codes are their own per-delta work). */
+  private def appendDeltaRest(spark: SparkSession, prefix: String,
+      newDocs: DataFrame, newVecs: DataFrame, buckets: Int): Unit = {
     MediaIndexLayout.appendDeltaDocs(spark, s"${prefix}_mm", newDocs, buckets)
     AnnIndexLayout.appendDeltaVectors(spark, s"${prefix}_ann", newVecs,
       buckets)
@@ -172,6 +189,51 @@ object IngestGate {
         sum(col("keep").cast(LongType)).as("n_keep"))
       .orderBy(col("source"))
 
+  /** The COMPOSED snapshot path: gate check + index filing + curated
+    * refresh, paying each per-delta pass ONCE. A deployment that runs
+    * [[checkDelta]]/[[appendDelta]] and then
+    * [[CuratedCorpusLayout.refresh]] per snapshot shingles and
+    * MinHash-signs the delta twice (once in the gate, once in the
+    * refresh); here the delta's doc-dedup, sized-shingle, and band
+    * frames are materialized once and threaded through all three
+    * consumers ([[checkDeltaWith]],
+    * [[DedupIndexLayout.appendDeltaDocsFrom]],
+    * [[CuratedCorpusLayout.refreshWith]]). At 100 TB the shingle pass
+    * is the delta's dominant cost, so the composed path halves
+    * steady-state snapshot ingest.
+    *
+    * Semantics are EXACTLY check → append → refresh on the same delta
+    * (IngestAndCurateSpec pins verdicts and curated state byte-equal
+    * to the sequential calls, and that the composed plans re-derive no
+    * shingles). `gatePrefix` holds the three gate indexes + split
+    * table ([[build]]); `curatedPrefix` the curated layout
+    * ([[CuratedCorpusLayout.buildIncremental]]) — keep them distinct:
+    * each owns a `<prefix>_dd` text index. Verdicts are materialized
+    * BEFORE any filing (the check-before-append discipline), and every
+    * leg inherits its layout's replay idempotence, so a crashed
+    * composed run is repaired by re-running it. */
+  def ingestAndCurate(spark: SparkSession, dir: String, gatePrefix: String,
+      curatedPrefix: String, deltaDocs: DataFrame, deltaVecs0: DataFrame,
+      buckets: Int = 8, minCosine: Double = 0.4): DataFrame = {
+    import graft.queries.DedupQueries
+    val nd = deltaDocs.dropDuplicates("doc_id").localCheckpoint(true)
+    val ids = nd.select(col("doc_id")).localCheckpoint(true)
+    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(nd))
+      .localCheckpoint(true)
+    val bD = DedupQueries.minhashBandsOf(
+        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    // pinned: consumed by the gate check, the ANN filing, and the
+    // curated cosine-state refresh
+    val deltaVecs = deltaVecs0.localCheckpoint(true)
+    val verdicts = checkDeltaWith(spark, dir, gatePrefix, nd, ids, shD, bD,
+      deltaVecs, minCosine).localCheckpoint(true)
+    appendDeltaFrom(spark, gatePrefix, nd, ids, shD, bD, deltaVecs, buckets)
+    CuratedCorpusLayout.refreshWith(spark, dir, curatedPrefix, nd, ids, shD,
+      bD, deltaVecs, buckets)
+    verdicts
+  }
+
   /** CONTINUOUS composite ingest: a stream of assets — (doc_id,
     * source, text, embedding ARRAY<FLOAT> nullable) — is checked
     * against all three indexes and then filed into them, one
@@ -204,7 +266,11 @@ object IngestGate {
         sink(checkDelta(spark, dir, prefix, docsB, vecsB), batchId)
         appendDelta(spark, prefix, docsB, vecsB, buckets)
         monitor.foreach { m =>
-          try m.check(spark, s"${prefix}_ann", vecsB,
+          // a batch with NO embedded assets has nothing to probe
+          // freshness with — ticking anyway would raise on the NULL
+          // avg_qerr and (spuriously) log a failed audit every such
+          // batch, skipping the occupancy-skew check too
+          try if (!vecsB.isEmpty) m.check(spark, s"${prefix}_ann", vecsB,
             atMs = System.currentTimeMillis())
           catch {
             case scala.util.control.NonFatal(e) =>

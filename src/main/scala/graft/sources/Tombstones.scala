@@ -45,6 +45,9 @@ object Tombstones {
     val fresh =
       if (!exists(spark, prefix)) incoming
       else incoming.join(spark.table(table(prefix)), Seq("id"), "left_anti")
+    // first purge of a prefix creates the table — clear a stranded
+    // directory a previous session's catalog left behind first
+    BucketedTables.clearOrphanDir(spark, table(prefix))
     fresh.write.mode("append").format("parquet").saveAsTable(table(prefix))
     spark.catalog.refreshTable(table(prefix))
   }

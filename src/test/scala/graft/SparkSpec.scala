@@ -29,6 +29,31 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve(s"$name.parquet").toString)
 
+  /** Drop EVERY catalog table named `<prefix>_*` and delete every
+    * matching warehouse directory the catalog does not own — including
+    * orphans stranded by a previous session/JVM (whose `DROP TABLE IF
+    * EXISTS` is a no-op) and `.compact.old` swap leftovers. Enumerating
+    * table names per suite leaks whenever a layout grows a sidecar;
+    * sweeping the prefix cannot. */
+  def dropPrefix(prefix: String): Unit = {
+    val pfx = prefix.toLowerCase + "_"
+    spark.catalog.listTables().collect()
+      .filter(_.name.toLowerCase.startsWith(pfx))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(wh)) {
+      val live = spark.catalog.listTables().collect()
+        .map(_.name.toLowerCase).toSet
+      fs.listStatus(wh).foreach { st =>
+        val n = st.getPath.getName.toLowerCase
+        if (n.startsWith(pfx) && !live.contains(n))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   def tmpDir(prefix: String): java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     p.toFile.deleteOnExit()

@@ -16,12 +16,9 @@ class CuratedDeltaSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropAll(prefix: String): Unit =
-    Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
-      "cos_pairs", "cos_geom", "ct_pairs", "dd_shingles", "dd_bands",
-      "tombstones", "vecs", "texts", "docs__compact_tmp",
-      "manifest__compact_tmp", "checksums__compact_tmp").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  // prefix sweep (catalog + orphaned warehouse dirs): enumerating
+  // table names here leaked `_cos_geom`/`_dd_ids` orphans across JVMs
+  private def dropAll(prefix: String): Unit = dropPrefix(prefix)
 
   test("refresh == full rebuild over corpus ∪ delta; replay idempotent") {
     dropAll("curd"); dropAll("curd_ref")

@@ -16,12 +16,8 @@ class CuratedStreamSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropAll(prefix: String): Unit =
-    Seq("docs", "manifest", "checksums", "base", "mh_pairs", "cos_bands",
-      "cos_pairs", "ct_pairs", "dd_shingles", "dd_bands", "tombstones",
-      "vecs", "texts", "docs__compact_tmp", "manifest__compact_tmp",
-      "checksums__compact_tmp").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  // prefix sweep (catalog + orphaned warehouse dirs) — see SparkSpec
+  private def dropAll(prefix: String): Unit = dropPrefix(prefix)
 
   test("two streamed snapshots + a replay converge to the full rebuild") {
     dropAll("curs"); dropAll("curs_ref")

@@ -16,13 +16,8 @@ class IngestGateSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropAll(prefix: String): Unit = {
-    Seq("dd_shingles", "dd_bands", "dd_ids", "mm_tiles", "mm_ids", "split",
-      "ann_cells", "ann_codes", "ann_coarse", "ann_pqcb", "ann_cellhist",
-      "ann_qref", "ann_ids", "dd_tombstones", "mm_tombstones",
-      "ann_tombstones")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-  }
+  // prefix sweep (catalog + orphaned warehouse dirs) — see SparkSpec
+  private def dropAll(prefix: String): Unit = dropPrefix(prefix)
 
   private def corpusBuild(prefix: String): Unit =
     IngestGate.build(spark, dir, prefix, buckets = 4,
