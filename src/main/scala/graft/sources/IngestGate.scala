@@ -239,6 +239,37 @@ object IngestGate {
     verdicts
   }
 
+  /** CONTINUOUS composed ingest+curation: [[ingestAndCurate]] per
+    * micro-batch — the nightly-crawl deployment shape with ONE delta
+    * pass per snapshot: each batch is checked against all three gate
+    * indexes, filed into them, and refreshed into the curated corpus,
+    * all off the same materialized shingle/band frames; the verdicts
+    * go to `sink`. Convergence and replay safety are inherited leg by
+    * leg: every gate append and every curated state table ends
+    * byte-equal to the one-shot path over the union of batches, and a
+    * replayed batch re-emits identical verdicts while filing nothing
+    * (IngestAndCurateStreamSpec pins the curated artifact equal to the
+    * full rebuild over corpus ∪ all batches, through a replay). */
+  def ingestAndCurateStream(spark: SparkSession, dir: String,
+      gatePrefix: String, curatedPrefix: String, assetStream: DataFrame,
+      buckets: Int = 8, checkpoint: Option[String] = None,
+      minCosine: Double = 0.4)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = assetStream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // verdicts are materialized BEFORE any filing inside
+        // ingestAndCurate (the check-before-append discipline), so
+        // handing them to the sink after the call loses nothing
+        sink(ingestAndCurate(spark, dir, gatePrefix, curatedPrefix,
+          batch.select(col("doc_id"), col("source"), col("text")),
+          batch.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding")),
+          buckets, minCosine), batchId)
+      }
+      .start()
+  }
+
   /** CONTINUOUS composite ingest: a stream of assets — (doc_id,
     * source, text, embedding ARRAY<FLOAT> nullable) — is checked
     * against all three indexes and then filed into them, one
