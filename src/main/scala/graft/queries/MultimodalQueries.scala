@@ -630,6 +630,18 @@ object MultimodalQueries {
     val tD = tileRows(
       perceptualSigOf(deltaDocs.dropDuplicates("doc_id"))
         .localCheckpoint(true))
+    mediaDeltaPairsCoreFrom(corpusTiles, ids, tD)
+  }
+
+  /** [[mediaDeltaPairsCore]] with the delta's signature/tile pass
+    * PRECOMPUTED — the composed snapshot seam
+    * ([[graft.sources.IngestGate.ingestAndCurate]]): the `graft_psig`
+    * kernel is the media family's dominant per-doc cost, so a snapshot
+    * pays it once across the gate check AND the tile-index filing.
+    * `ids` is the delta's distinct doc_ids, `tD` its tile rows — both
+    * already materialized. */
+  private[graft] def mediaDeltaPairsCoreFrom(corpusTiles: DataFrame,
+      ids: DataFrame, tD: DataFrame): DataFrame = {
     val tAll = corpusTiles.join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionByName(tD)
     tD.as("a").join(tAll.as("b"),

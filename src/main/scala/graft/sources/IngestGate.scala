@@ -71,16 +71,21 @@ object IngestGate {
     val bD = DedupQueries.minhashBandsOf(
         DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
       .localCheckpoint(true)
-    checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, newVecs, minCosine)
+    val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
+      .localCheckpoint(true)
+    checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, tD, newVecs,
+      minCosine)
   }
 
-  /** [[checkDelta]] with the delta's shingle/band passes PRECOMPUTED —
-    * the seam [[ingestAndCurate]] uses so one snapshot pays each
-    * per-delta pass once across the gate check AND the curated
-    * refresh. `nd`/`ids`/`shD`/`bD` must already be materialized. */
+  /** [[checkDelta]] with the delta's shingle/band and signature/tile
+    * passes PRECOMPUTED — the seam [[ingestAndCurate]] uses so one
+    * snapshot pays each per-delta pass once across the gate check AND
+    * the curated refresh. `nd`/`ids`/`shD`/`bD`/`tD` must already be
+    * materialized. */
   private[sources] def checkDeltaWith(spark: SparkSession, dir: String,
       prefix: String, nd: DataFrame, ids: DataFrame, shD: DataFrame,
-      bD: DataFrame, newVecs: DataFrame, minCosine: Double): DataFrame = {
+      bD: DataFrame, tD: DataFrame, newVecs: DataFrame,
+      minCosine: Double): DataFrame = {
     def hitsOf(pairs: DataFrame, flag: String): DataFrame =
       pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
@@ -90,7 +95,8 @@ object IngestGate {
       DedupIndexLayout.dedupDeltaFrom(spark, s"${prefix}_dd", ids, shD, bD),
       "text_dup")
     val mHits = hitsOf(
-      MediaIndexLayout.dedupDelta(spark, s"${prefix}_mm", nd), "media_dup")
+      MediaIndexLayout.dedupDeltaFrom(spark, s"${prefix}_mm", ids, tD),
+      "media_dup")
     val sHits = AnnIndexLayout.semanticDedupDelta(spark, dir,
         s"${prefix}_ann", newVecs, minCosine)
       .select(col("vec_new").as("doc_id")).distinct()
@@ -137,24 +143,30 @@ object IngestGate {
   def appendDelta(spark: SparkSession, prefix: String, newDocs: DataFrame,
       newVecs: DataFrame, buckets: Int = 8): Unit = {
     DedupIndexLayout.appendDeltaDocs(spark, s"${prefix}_dd", newDocs, buckets)
+    MediaIndexLayout.appendDeltaDocs(spark, s"${prefix}_mm", newDocs, buckets)
     appendDeltaRest(spark, prefix, newDocs, newVecs, buckets)
   }
 
-  /** [[appendDelta]] with the text index's shingle/band passes
-    * PRECOMPUTED — the [[ingestAndCurate]] leg. */
+  /** [[appendDelta]] with the text index's shingle/band passes and the
+    * media index's signature/tile pass PRECOMPUTED — the
+    * [[ingestAndCurate]] leg. */
   private def appendDeltaFrom(spark: SparkSession, prefix: String,
       newDocs: DataFrame, ids: DataFrame, shD: DataFrame, bD: DataFrame,
-      newVecs: DataFrame, buckets: Int): Unit = {
+      tD: DataFrame, newVecs: DataFrame, buckets: Int): Unit = {
     DedupIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_dd", ids, shD,
       bD, buckets)
+    MediaIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_mm", ids, tD,
+      buckets)
     appendDeltaRest(spark, prefix, newDocs, newVecs, buckets)
   }
 
-  /** The media/vector/split legs of [[appendDelta]] (no shingle pass to
-    * share — media tiles and PQ codes are their own per-delta work). */
+  /** The vector/split legs of [[appendDelta]]. The ANN tier has no
+    * shareable per-delta frame: the check consumes the delta as
+    * QUERIES (probe-side centroid distances) while the append files
+    * the delta's cell assignment + PQ codes — different computations,
+    * both centroid-broadcast-bounded. */
   private def appendDeltaRest(spark: SparkSession, prefix: String,
       newDocs: DataFrame, newVecs: DataFrame, buckets: Int): Unit = {
-    MediaIndexLayout.appendDeltaDocs(spark, s"${prefix}_mm", newDocs, buckets)
     AnnIndexLayout.appendDeltaVectors(spark, s"${prefix}_ann", newVecs,
       buckets)
     val nd = newDocs.dropDuplicates("doc_id")
@@ -194,23 +206,27 @@ object IngestGate {
     * [[checkDelta]]/[[appendDelta]] and then
     * [[CuratedCorpusLayout.refresh]] per snapshot shingles and
     * MinHash-signs the delta twice (once in the gate, once in the
-    * refresh); here the delta's doc-dedup, sized-shingle, and band
-    * frames are materialized once and threaded through all three
-    * consumers ([[checkDeltaWith]],
+    * refresh); here the delta's doc-dedup, sized-shingle, band, and
+    * perceptual signature/tile frames are materialized once and
+    * threaded through every consumer ([[checkDeltaWith]],
     * [[DedupIndexLayout.appendDeltaDocsFrom]],
+    * [[MediaIndexLayout.appendDeltaDocsFrom]],
     * [[CuratedCorpusLayout.refreshWith]]) — two of the sequential
-    * path's three per-delta shingle/sign passes removed. The saving is
+    * path's three per-delta shingle/sign passes removed, and the
+    * media tier's `graft_psig` kernel (its dominant per-doc cost) paid
+    * once instead of twice. The saving is
     * PER-DELTA-DOC work, so it scales with snapshot size: measured
     * parity (1.01×) at a 1000-doc delta where the fixed
-    * state-maintenance algebra dominates, 0.92× at a 10k-doc delta
+    * state-maintenance algebra dominates, 0.86× at a 10k-doc delta
     * against a 10× corpus (ComposedIngestBench, composed leg timed
-    * first — conservative ordering), growing with the delta share
-    * from there.
+    * first — conservative ordering; 0.92× before the media kernel was
+    * shared), growing with the delta share from there.
     *
     * Semantics are EXACTLY check → append → refresh on the same delta
     * (IngestAndCurateSpec pins verdicts and curated state byte-equal
-    * to the sequential calls, and that the composed plans re-derive no
-    * shingles). `gatePrefix` holds the three gate indexes + split
+    * to the sequential calls, and that the composed plans re-derive
+    * neither shingles nor perceptual signatures). `gatePrefix` holds
+    * the three gate indexes + split
     * table ([[build]]); `curatedPrefix` the curated layout
     * ([[CuratedCorpusLayout.buildIncremental]]) — keep them distinct:
     * each owns a `<prefix>_dd` text index. Verdicts are materialized
@@ -228,12 +244,18 @@ object IngestGate {
     val bD = DedupQueries.minhashBandsOf(
         DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
       .localCheckpoint(true)
+    // the delta's perceptual signature/tile pass, paid once for the
+    // media check AND the tile-index filing (the graft_psig kernel is
+    // the media family's dominant per-doc cost)
+    val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
+      .localCheckpoint(true)
     // pinned: consumed by the gate check, the ANN filing, and the
     // curated cosine-state refresh
     val deltaVecs = deltaVecs0.localCheckpoint(true)
     val verdicts = checkDeltaWith(spark, dir, gatePrefix, nd, ids, shD, bD,
-      deltaVecs, minCosine).localCheckpoint(true)
-    appendDeltaFrom(spark, gatePrefix, nd, ids, shD, bD, deltaVecs, buckets)
+      tD, deltaVecs, minCosine).localCheckpoint(true)
+    appendDeltaFrom(spark, gatePrefix, nd, ids, shD, bD, tD, deltaVecs,
+      buckets)
     CuratedCorpusLayout.refreshWith(spark, dir, curatedPrefix, nd, ids, shD,
       bD, deltaVecs, buckets)
     verdicts

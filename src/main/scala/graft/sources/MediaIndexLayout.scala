@@ -56,11 +56,21 @@ object MediaIndexLayout {
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs: DataFrame, buckets: Int = 8): Unit = {
     val d = docs.dropDuplicates("doc_id")
-    val split = IngestLedger.begin(spark, prefix, d.select(col("doc_id")),
-      buckets,
+    appendDeltaDocsFrom(spark, prefix, d.select(col("doc_id")),
+      MultimodalQueries.tileRowsOf(d), buckets)
+  }
+
+  /** [[appendDeltaDocs]] with the delta's signature/tile pass
+    * PRECOMPUTED — the composed snapshot path files the same
+    * materialized tile rows the gate check consumed, so a snapshot
+    * pays the `graft_psig` kernel exactly once. Same ledger discipline
+    * as the public entry. */
+  private[sources] def appendDeltaDocsFrom(spark: SparkSession,
+      prefix: String, ids: DataFrame, tD: DataFrame, buckets: Int): Unit = {
+    val split = IngestLedger.begin(spark, prefix, ids, buckets,
       BucketedTables.read(spark, s"${prefix}_tiles").select(col("doc_id")))
     BucketedTables.appendBucketed(
-      IngestLedger.filed(MultimodalQueries.tileRowsOf(d), "doc_id", split,
+      IngestLedger.filed(tD, "doc_id", split,
         BucketedTables.read(spark, s"${prefix}_tiles")
           .select(col("doc_id")).distinct()),
       s"${prefix}_tiles", "tile", buckets)
@@ -78,6 +88,16 @@ object MediaIndexLayout {
       Tombstones.filter(spark, prefix,
         BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id"),
       newDocs)
+
+  /** [[dedupDelta]] with the delta's signature/tile pass PRECOMPUTED
+    * ([[MultimodalQueries.mediaDeltaPairsCoreFrom]]) — the composed
+    * snapshot path's media leg. */
+  private[sources] def dedupDeltaFrom(spark: SparkSession, prefix: String,
+      ids: DataFrame, tD: DataFrame): DataFrame =
+    MultimodalQueries.mediaDeltaPairsCoreFrom(
+      Tombstones.filter(spark, prefix,
+        BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id"),
+      ids, tD)
 
   /** CONTINUOUS media ingest: check-then-append per micro-batch —
     * at-least-once pair emission over an exactly-once index, the

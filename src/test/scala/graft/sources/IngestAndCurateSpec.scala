@@ -67,11 +67,13 @@ class IngestAndCurateSpec extends SparkSpec {
           .orderBy(col("stage")).collect().toSeq)
       assert(CuratedCorpusLayout.verifyHandoff(spark, "iacc")
         .head.getAs[Boolean]("ok"))
-      // the gate indexes filed identically (text index row grain)
+      // the gate indexes filed identically (text + media row grains)
       assert(spark.table("iacg_dd_shingles").count() ==
         spark.table("seqg_dd_shingles").count())
       assert(spark.table("iacg_dd_bands").count() ==
         spark.table("seqg_dd_bands").count())
+      assert(spark.table("iacg_mm_tiles").count() ==
+        spark.table("seqg_mm_tiles").count())
 
       // ONE shingle pass per snapshot: fed the materialized delta
       // frames, none of the composed consumers re-derives shingles in
@@ -97,6 +99,18 @@ class IngestAndCurateSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(!mhSelf.contains(marker),
         "dedupDelta's own pass should also be materialized (checkpointed)")
+      // same pin for the media tier: fed the materialized tile rows,
+      // the check plans no second graft_psig kernel pass
+      val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
+        .localCheckpoint(true)
+      val psig = "graft_psig"
+      assert(graft.queries.MultimodalQueries.tileRowsOf(nd)
+          .queryExecution.optimizedPlan.toString.contains(psig),
+        "control: the perceptual signature no longer plans as " + psig)
+      val mmPlan = MediaIndexLayout.dedupDeltaFrom(spark, "iacg_mm",
+        ids, tD).queryExecution.optimizedPlan.toString
+      assert(!mmPlan.contains(psig),
+        "dedupDeltaFrom re-signs the delta despite precomputed tD")
     } finally Seq("iacg", "iacc", "seqg", "seqc").foreach(dropPrefix)
   }
 
