@@ -39,8 +39,13 @@ object ComposedIngestBench {
     // delta against a corpus that is everything else
     val bound = sys.env.get("SPARK_GRAFT_DELTA_BOUND").map(_.toLong)
       .getOrElse(Long.MaxValue)
+    // both grains from the ONE split definition, so a retuned
+    // DeltaMod/DeltaRes can never pair a doc delta with a stale
+    // vector split (the two would drift silently — every internal
+    // require() still passes on an incoherent snapshot)
     val dPred = graft.queries.DedupQueries.DeltaPred && col("doc_id") < bound
-    val vPred = col("vec_id") % 5 === 3 && col("vec_id") < bound
+    val vPred = graft.queries.DedupQueries.DeltaVecPred &&
+      col("vec_id") < bound
     val deltaDocs = graft.util.Tables.load(spark, sfDir, "documents")
       .filter(dPred).select(col("doc_id"), col("source"), col("text"))
     val deltaVecs = graft.util.Tables.load(spark, sfDir, "embeddings")

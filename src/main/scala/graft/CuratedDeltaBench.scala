@@ -40,7 +40,7 @@ object CuratedDeltaBench {
     val bound = sys.env.get("SPARK_GRAFT_DELTA_BOUND").map(_.toLong)
       .getOrElse(Long.MaxValue)
     val deltaDocPred = DedupQueries.DeltaPred && col("doc_id") < bound
-    val deltaVecPred = col("vec_id") % 5 === 3 && col("vec_id") < bound
+    val deltaVecPred = DedupQueries.DeltaVecPred && col("vec_id") < bound
     // the stateful corpus build (pays the chain + state capture)
     val (_, buildSec) = timed(
       CuratedCorpusLayout.buildIncremental(spark, sfDir, "curd_bench",

@@ -2142,9 +2142,14 @@ object DedupQueries {
   /** The delta split: every doc with doc_id % 5 == 3 plays "today's
     * crawl snapshot" (~20%), the rest the already-indexed corpus.
     * Interpolated into BOTH engines. */
-  private val DeltaMod = 5L
-  private val DeltaRes = 3L
+  private[graft] val DeltaMod = 5L
+  private[graft] val DeltaRes = 3L
   private[graft] val DeltaPred: Column = col("doc_id") % DeltaMod === DeltaRes
+  /** [[DeltaPred]] at the VECTOR grain — vec_id == doc_id by the
+    * snapshot convention, kept as one definition so the doc and vector
+    * halves of a snapshot can never drift onto different splits. */
+  private[graft] val DeltaVecPred: Column =
+    col("vec_id") % DeltaMod === DeltaRes
   private val deltaPredSql: String = s"doc_id % $DeltaMod = $DeltaRes"
 
   /** Verified near-dup pairs TOUCHING a delta of new documents — the

@@ -50,7 +50,18 @@ object BucketedTables {
     * through this guard. No-op when the catalog owns the table (its
     * directory is live data, not an orphan); the path delete is
     * `require`-guarded to the DEFAULT managed location inside the
-    * warehouse — never a user-supplied path. */
+    * warehouse — never a user-supplied path — and is logged, never
+    * silent.
+    *
+    * ASSUMES THE CATALOG IS THE WAREHOUSE'S SOLE OWNER. "Absent from
+    * the catalog" can only mean "orphan" when no OTHER live session's
+    * catalog owns the directory — two JVMs with independent in-memory
+    * catalogs sharing one warehouse dir would let session B's create
+    * delete session A's live table. That topology is already outside
+    * these layouts' single-writer contract (and outside what
+    * session-local catalogs support at all — concurrent managed-table
+    * ownership needs a SHARED metastore, where `tableExists` is global
+    * and this guard is then exact). */
   private[sources] def clearOrphanDir(spark: SparkSession,
       table: String): Unit = {
     if (spark.catalog.tableExists(table)) return
@@ -63,7 +74,13 @@ object BucketedTables {
       spark.sessionState.conf.warehousePath).toUri.getPath.stripSuffix("/")
     require(p.toUri.getPath.startsWith(warehouse + "/"),
       s"refusing to delete $p: outside the managed warehouse $warehouse")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clearing orphaned managed directory $p (no catalog entry for " +
+          s"'$table' — left behind by a previous session's catalog)")
+      fs.delete(p, true)
+    }
   }
 
   /** Drop a table we own and clear its orphaned default directory —
