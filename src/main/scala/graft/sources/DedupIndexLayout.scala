@@ -175,8 +175,17 @@ object DedupIndexLayout {
     val w = docStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(dedupDelta(spark, prefix, batch), batchId)
-        appendDeltaDocs(spark, prefix, batch, buckets)
+        // one materialized shingle/band pass serves the check AND the
+        // filing — previously each leg re-shingled the batch
+        val docs = batch.dropDuplicates("doc_id").localCheckpoint(true)
+        val ids = docs.select(col("doc_id")).localCheckpoint(true)
+        val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(docs))
+          .localCheckpoint(true)
+        val bD = DedupQueries.minhashBandsOf(
+            DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+          .localCheckpoint(true)
+        sink(dedupDeltaFrom(spark, prefix, ids, shD, bD), batchId)
+        appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets)
       }
       .start()
   }

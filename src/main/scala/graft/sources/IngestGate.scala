@@ -65,6 +65,19 @@ object IngestGate {
       minCosine: Double = 0.4): DataFrame = {
     import graft.queries.DedupQueries
     val nd = newDocs.dropDuplicates("doc_id").localCheckpoint(true)
+    val (ids, shD, bD, tD) = deltaFrames(nd)
+    checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, tD, newVecs,
+      minCosine)
+  }
+
+  /** The delta's materialized per-doc frames — distinct ids, sized
+    * shingles, MinHash band rows, perceptual tile rows — built ONCE
+    * per snapshot and threaded through every consumer (check, filing,
+    * curated refresh). `nd` must already be doc_id-deduplicated and
+    * materialized. */
+  private def deltaFrames(nd: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.queries.DedupQueries
     val ids = nd.select(col("doc_id")).localCheckpoint(true)
     val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(nd))
       .localCheckpoint(true)
@@ -73,8 +86,7 @@ object IngestGate {
       .localCheckpoint(true)
     val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
       .localCheckpoint(true)
-    checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, tD, newVecs,
-      minCosine)
+    (ids, shD, bD, tD)
   }
 
   /** [[checkDelta]] with the delta's shingle/band and signature/tile
@@ -236,19 +248,8 @@ object IngestGate {
   def ingestAndCurate(spark: SparkSession, dir: String, gatePrefix: String,
       curatedPrefix: String, deltaDocs: DataFrame, deltaVecs0: DataFrame,
       buckets: Int = 8, minCosine: Double = 0.4): DataFrame = {
-    import graft.queries.DedupQueries
     val nd = deltaDocs.dropDuplicates("doc_id").localCheckpoint(true)
-    val ids = nd.select(col("doc_id")).localCheckpoint(true)
-    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(nd))
-      .localCheckpoint(true)
-    val bD = DedupQueries.minhashBandsOf(
-        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
-      .localCheckpoint(true)
-    // the delta's perceptual signature/tile pass, paid once for the
-    // media check AND the tile-index filing (the graft_psig kernel is
-    // the media family's dominant per-doc cost)
-    val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
-      .localCheckpoint(true)
+    val (ids, shD, bD, tD) = deltaFrames(nd)
     // pinned: consumed by the gate check, the ANN filing, and the
     // curated cosine-state refresh
     val deltaVecs = deltaVecs0.localCheckpoint(true)
@@ -321,8 +322,14 @@ object IngestGate {
         val docsB = batch.select(col("doc_id"), col("source"), col("text"))
         val vecsB = batch.filter(col("embedding").isNotNull)
           .select(col("doc_id").as("vec_id"), col("embedding"))
-        sink(checkDelta(spark, dir, prefix, docsB, vecsB), batchId)
-        appendDelta(spark, prefix, docsB, vecsB, buckets)
+        // one set of materialized delta frames serves the check AND
+        // the filing — the per-batch shingle and graft_psig passes are
+        // paid once, not per consumer (the ingestAndCurate discipline)
+        val nd = docsB.dropDuplicates("doc_id").localCheckpoint(true)
+        val (ids, shD, bD, tD) = deltaFrames(nd)
+        sink(checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, tD,
+          vecsB, minCosine = 0.4), batchId)
+        appendDeltaFrom(spark, prefix, nd, ids, shD, bD, tD, vecsB, buckets)
         monitor.foreach { m =>
           // a batch with NO embedded assets has nothing to probe
           // freshness with — ticking anyway would raise on the NULL

@@ -109,8 +109,13 @@ object MediaIndexLayout {
     val w = docStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(dedupDelta(spark, prefix, batch), batchId)
-        appendDeltaDocs(spark, prefix, batch, buckets)
+        // one materialized graft_psig signature/tile pass serves the
+        // check AND the filing — previously each leg re-signed the batch
+        val d = batch.dropDuplicates("doc_id").localCheckpoint(true)
+        val ids = d.select(col("doc_id")).localCheckpoint(true)
+        val tD = MultimodalQueries.tileRowsOf(d).localCheckpoint(true)
+        sink(dedupDeltaFrom(spark, prefix, ids, tD), batchId)
+        appendDeltaDocsFrom(spark, prefix, ids, tD, buckets)
       }
       .start()
   }
