@@ -248,6 +248,11 @@ object IngestGate {
   def ingestAndCurate(spark: SparkSession, dir: String, gatePrefix: String,
       curatedPrefix: String, deltaDocs: DataFrame, deltaVecs0: DataFrame,
       buckets: Int = 8, minCosine: Double = 0.4): DataFrame = {
+    // one prefix would alias the gate's `_dd`/`_split` tables onto the
+    // curated layout's — the gate's filing would silently change the
+    // refresh's dedup semantics instead of failing fast
+    require(gatePrefix != curatedPrefix,
+      s"gatePrefix and curatedPrefix must be distinct (both '$gatePrefix')")
     val nd = deltaDocs.dropDuplicates("doc_id").localCheckpoint(true)
     val (ids, shD, bD, tD) = deltaFrames(nd)
     // pinned: consumed by the gate check, the ANN filing, and the
@@ -278,6 +283,8 @@ object IngestGate {
       buckets: Int = 8, checkpoint: Option[String] = None,
       minCosine: Double = 0.4)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(gatePrefix != curatedPrefix,
+      s"gatePrefix and curatedPrefix must be distinct (both '$gatePrefix')")
     val w = assetStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -313,22 +320,27 @@ object IngestGate {
   def ingestStream(spark: SparkSession, dir: String, prefix: String,
       assetStream: DataFrame, buckets: Int = 8,
       checkpoint: Option[String] = None,
-      monitor: Option[graft.streaming.AnnStalenessMonitor] = None)(
+      monitor: Option[graft.streaming.AnnStalenessMonitor] = None,
+      minCosine: Double = 0.4)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = assetStream.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val docsB = batch.select(col("doc_id"), col("source"), col("text"))
+        // materialized: consumed by the check, the ANN filing, and the
+        // monitor tick (whose emptiness probe then reads checkpointed
+        // partitions instead of re-running the batch filter)
         val vecsB = batch.filter(col("embedding").isNotNull)
           .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
         // one set of materialized delta frames serves the check AND
         // the filing — the per-batch shingle and graft_psig passes are
         // paid once, not per consumer (the ingestAndCurate discipline)
         val nd = docsB.dropDuplicates("doc_id").localCheckpoint(true)
         val (ids, shD, bD, tD) = deltaFrames(nd)
         sink(checkDeltaWith(spark, dir, prefix, nd, ids, shD, bD, tD,
-          vecsB, minCosine = 0.4), batchId)
+          vecsB, minCosine), batchId)
         appendDeltaFrom(spark, prefix, nd, ids, shD, bD, tD, vecsB, buckets)
         monitor.foreach { m =>
           // a batch with NO embedded assets has nothing to probe

@@ -29,17 +29,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.coalesce(1).write.mode("overwrite")
       .parquet(dir.resolve(s"$name.parquet").toString)
 
-  /** Drop EVERY catalog table named `<prefix>_*` and delete every
+  /** Drop EVERY catalog table/view named `<prefix>_*` and delete every
     * matching warehouse directory the catalog does not own — including
     * orphans stranded by a previous session/JVM (whose `DROP TABLE IF
     * EXISTS` is a no-op) and `.compact.old` swap leftovers. Enumerating
     * table names per suite leaks whenever a layout grows a sidecar;
-    * sweeping the prefix cannot. */
+    * sweeping the prefix cannot.
+    *
+    * NESTED-PREFIX HAZARD: the match is `startsWith(prefix + "_")`, so
+    * dropPrefix("curd") also sweeps a sibling suite's "curd_ref_docs"
+    * (prefix "curd_ref"). Suites whose prefixes extend each other must
+    * either drop them together (every current call site does) or pick
+    * non-extending prefixes. */
   def dropPrefix(prefix: String): Unit = {
     val pfx = prefix.toLowerCase + "_"
     spark.catalog.listTables().collect()
       .filter(_.name.toLowerCase.startsWith(pfx))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      .foreach { t =>
+        // a VIEW (the ANN generation pointer) refuses DROP TABLE
+        if (t.tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS ${t.name}")
+        else spark.sql(s"DROP TABLE IF EXISTS ${t.name}")
+      }
     val wh = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath)
     val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())

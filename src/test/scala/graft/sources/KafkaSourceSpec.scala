@@ -22,12 +22,7 @@ import graft.streaming.EventsPipeline
   */
 class KafkaSourceSpec extends SparkSpec {
   import spark.implicits._
-
-  /** Row shape of the Kafka source's `.load()` output. */
-  private case class KafkaRecord(
-      key: Array[Byte], value: Array[Byte], topic: String,
-      partition: Int, offset: Long, timestamp: Timestamp,
-      timestampType: Int)
+  import KafkaSourceSpec.KafkaRecord
 
   private def rec(value: String, offset: Long): KafkaRecord =
     KafkaRecord(
@@ -129,4 +124,17 @@ class KafkaSourceSpec extends SparkSpec {
     assert(viaKafka == viaFiles)
     assert(viaKafka.nonEmpty)
   }
+}
+
+object KafkaSourceSpec {
+  /** Row shape of the Kafka source's `.load()` output. TOP-LEVEL (via
+    * the companion) on purpose: an inner case class captures an outer
+    * pointer, and its generated encoder fails janino compilation
+    * (`KafkaRecord.timestampType()` zero-arg mismatch) — Spark then
+    * falls back to interpreted mode, so the spec would exercise a
+    * DIFFERENT code path than a deployment's whole-stage codegen. */
+  final case class KafkaRecord(
+      key: Array[Byte], value: Array[Byte], topic: String,
+      partition: Int, offset: Long, timestamp: Timestamp,
+      timestampType: Int)
 }
