@@ -13,7 +13,14 @@ import graft.queries.SimilarityQueries
   * assignment and the PQ codes from raw embeddings on every run; both
   * are pure functions of the corpus, and at scale they are the two
   * expensive linear scans. This layout writes them ONCE, together with
-  * the GEOMETRY they were computed under, as managed tables:
+  * the GEOMETRY they were computed under, as managed tables.
+  *
+  * The tables live under a GENERATION prefix
+  * (`<prefix>_g<N>_coarse` …) resolved through the 1-row pointer view
+  * `<prefix>_livegen`; a rebuild writes the next generation in full
+  * and publishes it by flipping that pointer in one atomic catalog
+  * operation ([[build]]), so readers always resolve one complete
+  * index generation. Per generation:
   *
   *  - `<prefix>_coarse` (cent_id, cvec, cnrm) and `<prefix>_pqcb`
   *    (cent_id, cvec) — the index geometry (coarse centroids + PQ
@@ -67,21 +74,89 @@ object AnnIndexLayout {
   private def dropWithOrphanDir(spark: SparkSession, table: String): Unit =
     BucketedTables.dropWithOrphanDir(spark, table)
 
+  /** The generation POINTER — a 1-row view `<prefix>_livegen` naming
+    * the published generation number. Every reader resolves the seven
+    * index tables through it ([[livePrefix]]), and a rebuild publishes
+    * by flipping it with a single `CREATE OR REPLACE VIEW` — ONE
+    * atomic catalog operation for the whole seven-table set, so a
+    * reader always resolves one COMPLETE index generation: there is no
+    * moment at which any table is under neither name (the rename-loop
+    * swap this replaced had one). */
+  private def genView(prefix: String): String = s"${prefix}_livegen"
+
+  private def liveGen(spark: SparkSession, prefix: String): Option[Long] =
+    if (!spark.catalog.tableExists(genView(prefix))) None
+    else Some(spark.table(genView(prefix)).head().getAs[Long]("gen"))
+
+  /** The PHYSICAL prefix of the live generation — the seven index
+    * tables are `<livePrefix>_coarse` … `<livePrefix>_ids`. Public so
+    * specs and operational tooling can reach the backing tables;
+    * everything else should go through [[serve]]/[[query]]. Loud when
+    * nothing is published: resolving a half-built generation is
+    * exactly what the pointer exists to prevent. */
+  def livePrefix(spark: SparkSession, prefix: String): String = {
+    val g = liveGen(spark, prefix).getOrElse(throw new IllegalStateException(
+      s"$prefix: no published index generation (no ${genView(prefix)} " +
+        "view) — run build first"))
+    s"${prefix}_g$g"
+  }
+
+  private def genPattern(prefix: String) =
+    s"(?i)${java.util.regex.Pattern.quote(prefix)}_g(\\d+)_.*".r
+
+  /** Drop one generation's tables (and any orphaned directories). */
+  private def dropGeneration(spark: SparkSession, prefix: String,
+      gen: Long): Unit =
+    IndexTables.foreach(t => dropWithOrphanDir(spark, s"${prefix}_g${gen}_$t"))
+
+  /** Sweep every generation EXCEPT the live one: catalog tables first,
+    * then warehouse directories no catalog entry owns (a crashed
+    * build's half-written generation, or a crashed post-publish drop's
+    * leftovers — both from this or a previous session). Runs at the
+    * start of every [[build]]; also public for deployments that defer
+    * the post-publish drop ([[build]]'s `dropSuperseded = false`). */
+  def sweepStaleGenerations(spark: SparkSession, prefix: String): Unit = {
+    val keep = liveGen(spark, prefix)
+    val pat = genPattern(prefix)
+    spark.catalog.listTables().collect().map(_.name).foreach {
+      case n @ pat(g) if !keep.contains(g.toLong) => dropWithOrphanDir(spark, n)
+      case _ => ()
+    }
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(wh)) fs.listStatus(wh).map(_.getPath.getName).foreach {
+      // managed dirs are named after their table; clearOrphanDir no-ops
+      // when the catalog owns it (live data) and require-guards the path
+      case n @ pat(g) if !keep.contains(g.toLong) =>
+        BucketedTables.clearOrphanDir(spark, n)
+      case _ => ()
+    }
+  }
+
   def build(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8, where: Column = lit(true)): Unit = {
+      buckets: Int = 8, where: Column = lit(true),
+      dropSuperseded: Boolean = true): Unit =
+    buildImpl(spark, dir, prefix, buckets, where, dropSuperseded, _ => ())
+
+  /** [[build]] with a fault-injection hook for the publish-crash specs
+    * (`faultHook` is called at the named points and may throw). */
+  private[sources] def buildImpl(spark: SparkSession, dir: String,
+      prefix: String, buckets: Int, where: Column, dropSuperseded: Boolean,
+      faultHook: String => Unit): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // ATOMIC-ish rebuild (the replaceBucketed write-aside discipline
-    // applied to the seven-table set): every table is fully computed
-    // and written under a temp prefix FIRST, so a crash anywhere in
-    // the expensive part leaves the live index untouched and serving;
-    // the publish step at the end renames each live table aside before
-    // renaming its replacement in, so no index BYTES are ever lost. A
-    // crash inside that (milliseconds-wide) swap window can leave a
-    // mixed index, or a table briefly resolvable under neither name —
-    // the remaining plain-parquet gaps a transactional table format
-    // would close — and re-running the build repairs both.
-    val tp = s"${prefix}__build"
-    IndexTables.foreach(t => dropWithOrphanDir(spark, s"${tp}_$t"))
+    // GENERATIONAL rebuild: every table of the new index is fully
+    // computed and written under the next generation's prefix FIRST —
+    // a crash anywhere in the expensive part leaves the live
+    // generation untouched and serving (the half-built one is swept by
+    // the next build) — then the publish flips the `_livegen` pointer
+    // view in ONE atomic catalog operation and only afterwards drops
+    // the superseded generation's tables. A crash before the flip
+    // serves the old generation complete; after it, the new one —
+    // never a mixed set, never a missing table.
+    val cur = liveGen(spark, prefix)
+    val tp = s"${prefix}_g${cur.getOrElse(0L) + 1L}"
+    sweepStaleGenerations(spark, prefix)
     SimilarityQueries.coarseCentsOf(spark, dir, where)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tp}_coarse")
@@ -135,28 +210,21 @@ object AnnIndexLayout {
         "over-filtered for vec_id%8==1) — the staleness audit would " +
         "silently report qerr_rise_ppm=0 forever; widen `where` or skip " +
         "the audit for this index")
-    // publish: RENAME moves each managed directory under the live name
-    // (catalog + data in one step, bucket spec carried along). The
-    // previous table is renamed ASIDE first — never dropped before its
-    // replacement is in place — so a crash anywhere in the swap loses
-    // no data: the old index survives under `__old` and re-running the
-    // build repairs the catalog. The swap window itself is not atomic
-    // (plain catalogs have no multi-table transaction): a concurrent
-    // reader can see a table briefly under neither name, and a crash
-    // mid-loop leaves a mixed index until the re-run — the remaining
-    // gap a transactional table format would close.
-    IndexTables.foreach { t =>
-      val live = s"${prefix}_$t"
-      val aside = s"${live}__old"
-      dropWithOrphanDir(spark, aside) // leftover from a previous crash
-      if (spark.catalog.tableExists(live))
-        spark.sql(s"ALTER TABLE $live RENAME TO $aside")
-      else // clear a stranded directory so the rename below can land
-        BucketedTables.dropWithOrphanDir(spark, live)
-      spark.sql(s"ALTER TABLE ${tp}_$t RENAME TO $live")
-      spark.catalog.refreshTable(live)
-      spark.sql(s"DROP TABLE IF EXISTS $aside")
-    }
+    // publish: ONE atomic catalog operation — the pointer view flips
+    // to the new generation; every reader resolving after this sees
+    // all seven tables of the new index, every reader that resolved
+    // before it keeps the complete old set. The superseded
+    // generation's tables are dropped only AFTER the flip (a crash
+    // in between leaves them for the next build's sweep, costing
+    // bytes, never serving). Deployments with long-running concurrent
+    // queries can pass `dropSuperseded = false` and run
+    // [[sweepStaleGenerations]] after their max query latency, so an
+    // in-flight plan over the old generation never races its drop.
+    faultHook("before-publish")
+    spark.sql(s"CREATE OR REPLACE VIEW ${genView(prefix)} AS " +
+      s"SELECT CAST(${cur.getOrElse(0L) + 1L} AS BIGINT) AS gen")
+    faultHook("after-publish")
+    if (dropSuperseded) cur.foreach(g => dropGeneration(spark, prefix, g))
   }
 
   /** The deterministic 1-in-8 rate sample the `_qref` reference is
@@ -198,11 +266,12 @@ object AnnIndexLayout {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val (_, pqcb) = geometry(spark, prefix)
+    val phys = livePrefix(spark, prefix)
+    val (_, pqcb) = geometry(spark, phys)
     val nowHist = Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_cells"), "n_id")
+        BucketedTables.read(spark, s"${phys}_cells"), "n_id")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
-    val hist = spark.table(s"${prefix}_cellhist")
+    val hist = spark.table(s"${phys}_cellhist")
       .join(nowHist, Seq("cell"), "full_outer")
       .na.fill(0L, Seq("n_build", "n_now"))
       .localCheckpoint(true) // codebook-sized; feeds totals + the TV sum
@@ -221,7 +290,7 @@ object AnnIndexLayout {
         recentVecs.dropDuplicates("vec_id")
           .select(col("vec_id"), col("embedding")), pqcb)
       .agg(avg(col("qerr")).as("avg_qerr_now"))
-    val qRef = spark.table(s"${prefix}_qref")
+    val qRef = spark.table(s"${phys}_qref")
       .select(col("avg_qerr").as("avg_qerr_build"))
     // fail LOUDLY on a degenerate comparison instead of reading
     // healthy: greatest() skips NULL operands, so a NULL build
@@ -286,36 +355,40 @@ object AnnIndexLayout {
   def appendDeltaVectors(spark: SparkSession, prefix: String,
       vecs0: DataFrame, buckets: Int = 8): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // resolved ONCE per delta: appends and rebuilds are both writers
+    // under the layouts' single-writer contract — a rebuild publishing
+    // mid-append would strand this delta in the superseded generation
+    val phys = livePrefix(spark, prefix)
     // the idempotence machinery dedups only against PERSISTED rows; a
     // batch carrying the same vec_id twice would file it twice
     val vecs = vecs0.dropDuplicates("vec_id")
-    val split = IngestLedger.begin(spark, prefix,
+    val split = IngestLedger.begin(spark, phys,
       vecs.select(col("vec_id")), buckets,
-      BucketedTables.read(spark, s"${prefix}_cells").select(col("n_id")))
-    val (cents, pqcb) = geometry(spark, prefix)
+      BucketedTables.read(spark, s"${phys}_cells").select(col("n_id")))
+    val (cents, pqcb) = geometry(spark, phys)
     BucketedTables.appendBucketed(
       IngestLedger.filed(
         SimilarityQueries.ivfAssignWith(cents,
           SimilarityQueries.normedVectors(vecs)),
         "n_id", split,
-        BucketedTables.read(spark, s"${prefix}_cells")
+        BucketedTables.read(spark, s"${phys}_cells")
           .select(col("n_id"))),
-      s"${prefix}_cells", "cell", buckets)
+      s"${phys}_cells", "cell", buckets)
     BucketedTables.appendBucketed(
       IngestLedger.filed(
         SimilarityQueries.pqEncode(
           vecs.select(col("vec_id"), col("embedding")), pqcb),
         "n_id", split,
-        BucketedTables.read(spark, s"${prefix}_codes")
+        BucketedTables.read(spark, s"${phys}_codes")
           .select(col("n_id")).distinct()),
-      s"${prefix}_codes", "n_id", buckets)
+      s"${phys}_codes", "n_id", buckets)
     // the write commits through the FRAME's session — inside
     // foreachBatch that is the micro-batch CLONE, whose table refresh
     // does not invalidate this (the serving) session's cached file
     // listing; without this refresh the serve path would keep reading
     // the pre-delta index until some unrelated refresh
-    spark.catalog.refreshTable(s"${prefix}_cells")
-    spark.catalog.refreshTable(s"${prefix}_codes")
+    spark.catalog.refreshTable(s"${phys}_cells")
+    spark.catalog.refreshTable(s"${phys}_codes")
   }
 
   /** CONTINUOUS index maintenance: a stream of (vec_id, embedding)
@@ -368,13 +441,18 @@ object AnnIndexLayout {
     * bucket spec unchanged — [[BucketedTables.compact]]'s write-aside
     * + checked-rename swap). Serve results are byte-identical before
     * and after (CompactIndexSpec), and further deltas keep working
-    * against the compacted table. Run with index writers stopped. */
+    * against the compacted table. Same-JVM delta writers are quiesced
+    * by the per-table lock ([[BucketedTables]] header); cross-JVM
+    * writers are outside the single-writer contract. */
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
-    BucketedTables.compact(spark, s"${prefix}_cells", "cell", buckets,
+    val phys = livePrefix(spark, prefix)
+    BucketedTables.compact(spark, s"${phys}_cells", "cell", buckets,
       df => Tombstones.filter(spark, prefix, df, "n_id"))
-    BucketedTables.compact(spark, s"${prefix}_codes", "n_id", buckets,
+    BucketedTables.compact(spark, s"${phys}_codes", "n_id", buckets,
       df => Tombstones.filter(spark, prefix, df, "n_id"))
-    IngestLedger.compact(spark, prefix, buckets)
+    // the ledger lives at the GENERATION grain; the tombstones at the
+    // logical prefix (they must keep filtering across rebuilds)
+    IngestLedger.compact(spark, phys, buckets, tombstonePrefix = prefix)
     Tombstones.clear(spark, prefix)
   }
 
@@ -384,12 +462,13 @@ object AnnIndexLayout {
     * queries imply). */
   def query(spark: SparkSession, dir: String, prefix: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val (cents, pqcb) = geometry(spark, prefix)
+    val phys = livePrefix(spark, prefix)
+    val (cents, pqcb) = geometry(spark, phys)
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir,
       SimilarityQueries.registeredQueryFrame(spark, dir), cents, pqcb,
       Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_cells"), "n_id"),
-      BucketedTables.read(spark, s"${prefix}_codes"),
+        BucketedTables.read(spark, s"${phys}_cells"), "n_id"),
+      BucketedTables.read(spark, s"${phys}_codes"),
       excludeSelf = true)
   }
 
@@ -418,11 +497,12 @@ object AnnIndexLayout {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val q = queries.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
-    val (cents, pqcb) = geometry(spark, prefix)
+    val phys = livePrefix(spark, prefix)
+    val (cents, pqcb) = geometry(spark, phys)
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir, q, cents, pqcb,
       Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_cells"), "n_id"),
-      BucketedTables.read(spark, s"${prefix}_codes"), excludeSelf)
+        BucketedTables.read(spark, s"${phys}_cells"), "n_id"),
+      BucketedTables.read(spark, s"${phys}_codes"), excludeSelf)
   }
 
   /** SEMANTIC dedup at ingest — the third tier of the incremental
@@ -464,14 +544,15 @@ object AnnIndexLayout {
       col("embedding").as("qemb"))
     val c = graft.util.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id").as("n_id"), col("embedding").as("nemb"))
-    val (cents, pqcb) = geometry(spark, prefix)
+    val phys = livePrefix(spark, prefix)
+    val (cents, pqcb) = geometry(spark, phys)
     val cells = Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_cells"), "n_id")
+        BucketedTables.read(spark, s"${phys}_cells"), "n_id")
       .join(broadcast(dIds), col("n_id") === col("__did"), "left_anti")
     val qn = delta.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir, qn, cents, pqcb,
-        cells, BucketedTables.read(spark, s"${prefix}_codes"),
+        cells, BucketedTables.read(spark, s"${phys}_codes"),
         excludeSelf = false)
       .join(q, "q_id").join(c, "n_id")
       .select(col("q_id").as("vec_new"), col("n_id").as("vec_corpus"),

@@ -104,9 +104,14 @@ object IngestLedger {
   /** Compaction hook: rewrite the ledger without tombstoned ids, so it
     * keeps describing exactly the keys whose rows survive in the data
     * tables. Call BEFORE `Tombstones.clear`. No-op for a prefix that
-    * has never appended (no ledger yet). */
-  def compact(spark: SparkSession, prefix: String, buckets: Int): Unit =
+    * has never appended (no ledger yet). `tombstonePrefix` names where
+    * the layout keeps its tombstones when that differs from the ledger
+    * prefix (the ANN layout's ledger is generation-scoped while its
+    * tombstones are logical — they must survive rebuilds). */
+  def compact(spark: SparkSession, prefix: String, buckets: Int,
+      tombstonePrefix: String = null): Unit =
     if (spark.catalog.tableExists(table(prefix)))
       BucketedTables.compact(spark, table(prefix), "id", buckets,
-        df => Tombstones.filter(spark, prefix, df, "id"))
+        df => Tombstones.filter(spark,
+          Option(tombstonePrefix).getOrElse(prefix), df, "id"))
 }

@@ -18,10 +18,12 @@ class AnnIndexLayoutSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropIndex(prefix: String): Unit =
-    Seq("cells", "codes", "coarse", "pqcb", "cellhist", "qref", "ids",
-        "tombstones").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def dropIndex(prefix: String): Unit = dropPrefix(prefix)
+
+  /** The live generation's physical table — the spec-side reach into
+    * the backing tables the pointer view resolves. */
+  private def physT(prefix: String, t: String) =
+    spark.table(s"${AnnIndexLayout.livePrefix(spark, prefix)}_$t")
 
   test("serving from the persisted index equals the online ivfpq query") {
     AnnIndexLayout.build(spark, dir, "ann_idx_spec", buckets = 4)
@@ -33,8 +35,9 @@ class AnnIndexLayoutSpec extends SparkSpec {
 
       // the serve plan scans the two index tables...
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("ann_idx_spec_cells"), p)
-      assert(p.contains("ann_idx_spec_codes"), p)
+      val phys = AnnIndexLayout.livePrefix(spark, "ann_idx_spec")
+      assert(p.contains(s"${phys}_cells"), p)
+      assert(p.contains(s"${phys}_codes"), p)
       // ...and never re-runs the corpus encode: the PQ kernel must
       // survive only in the query-side LUT (queries x codebook), so
       // the corpus (n_id, s) code argmin — which prints as
@@ -61,7 +64,7 @@ class AnnIndexLayoutSpec extends SparkSpec {
         .collect().toSet
       val centsFull = SimilarityQueries.coarseCentsOf(spark, dir, lit(true))
         .collect().toSet
-      val persisted = spark.table("ann_idx_delta_coarse").collect().toSet
+      val persisted = physT("ann_idx_delta", "coarse").collect().toSet
       assert(persisted == centsA)
       assert(centsA != centsFull,
         "fixture too small to distinguish frozen from re-derived geometry")
@@ -69,21 +72,21 @@ class AnnIndexLayoutSpec extends SparkSpec {
       // cells == every corpus vector assigned under geometry(A),
       // each exactly once
       val expectedCells = SimilarityQueries
-        .ivfAssignUsing(spark, dir, spark.table("ann_idx_delta_coarse"),
+        .ivfAssignUsing(spark, dir, physT("ann_idx_delta", "coarse"),
           lit(true)).collect().toSet
-      val cells = spark.table("ann_idx_delta_cells").collect().toSet
+      val cells = physT("ann_idx_delta", "cells").collect().toSet
       assert(cells == expectedCells)
-      assert(spark.table("ann_idx_delta_cells").count() ==
+      assert(physT("ann_idx_delta", "cells").count() ==
         spark.read.parquet(s"$dir/embeddings.parquet").count())
 
       // serving from the delta'd index == serving computed from
       // in-memory frames under the same frozen geometry
       val expected = SimilarityQueries.ivfpqServeQueriesWith(spark, dir,
         SimilarityQueries.registeredQueryFrame(spark, dir),
-        spark.table("ann_idx_delta_coarse"),
-        spark.table("ann_idx_delta_pqcb"),
-        spark.table("ann_idx_delta_cells"),
-        spark.table("ann_idx_delta_codes"),
+        physT("ann_idx_delta", "coarse"),
+        physT("ann_idx_delta", "pqcb"),
+        physT("ann_idx_delta", "cells"),
+        physT("ann_idx_delta", "codes"),
         excludeSelf = true).collect().toSeq
       val served = AnnIndexLayout.query(spark, dir, "ann_idx_delta")
         .collect().toSeq
@@ -104,29 +107,30 @@ class AnnIndexLayoutSpec extends SparkSpec {
       // intent + cells present, codes missing. (Data rows without an
       // intent record are unreachable through the layout API — that
       // ordering is the protocol's correctness invariant.)
+      val retryPhys = AnnIndexLayout.livePrefix(spark, "ann_idx_retry")
       BucketedTables.appendBucketed(
         spark.read.parquet(s"$dir/embeddings.parquet").filter(predB)
           .select(col("vec_id").as("id")),
-        "ann_idx_retry_ids", "id", 4)
+        s"${retryPhys}_ids", "id", 4)
       BucketedTables.appendBucketed(
         SimilarityQueries.ivfAssignUsing(spark, dir,
-          spark.table("ann_idx_retry_coarse"), predB),
-        "ann_idx_retry_cells", "cell", 4)
-      val cellsAfterPartial = spark.table("ann_idx_retry_cells").count()
+          spark.table(s"${retryPhys}_coarse"), predB),
+        s"${retryPhys}_cells", "cell", 4)
+      val cellsAfterPartial = spark.table(s"${retryPhys}_cells").count()
 
       // the retry must fill ONLY the missing codes
       AnnIndexLayout.appendDelta(spark, dir, "ann_idx_retry", predB,
         buckets = 4)
       val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      assert(spark.table("ann_idx_retry_cells").count() == cellsAfterPartial)
-      assert(spark.table("ann_idx_retry_cells").count() == nVecs)
-      assert(spark.table("ann_idx_retry_codes").count() == nVecs * 16)
+      assert(spark.table(s"${retryPhys}_cells").count() == cellsAfterPartial)
+      assert(spark.table(s"${retryPhys}_cells").count() == nVecs)
+      assert(spark.table(s"${retryPhys}_codes").count() == nVecs * 16)
 
       // and a full re-run appends nothing at all
       AnnIndexLayout.appendDelta(spark, dir, "ann_idx_retry", predB,
         buckets = 4)
-      assert(spark.table("ann_idx_retry_cells").count() == nVecs)
-      assert(spark.table("ann_idx_retry_codes").count() == nVecs * 16)
+      assert(spark.table(s"${retryPhys}_cells").count() == nVecs)
+      assert(spark.table(s"${retryPhys}_codes").count() == nVecs * 16)
     } finally dropIndex("ann_idx_retry")
   }
 

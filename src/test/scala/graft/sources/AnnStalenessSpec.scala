@@ -13,10 +13,7 @@ import graft.streaming.AnnStalenessMonitor
 class AnnStalenessSpec extends SparkSpec {
   import spark.implicits._
 
-  private def dropIndex(prefix: String): Unit =
-    Seq("cells", "codes", "coarse", "pqcb", "cellhist", "qref",
-      "tombstones").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def dropIndex(prefix: String): Unit = dropPrefix(prefix)
 
   test("planted shift raises the alert; rebuild clears it") {
     val rnd = new scala.util.Random(17)

@@ -16,8 +16,7 @@ class CompactIndexSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("ANN index: N deltas grow files per bucket; compact re-bounds; serve identical") {
-    Seq("cells", "codes", "coarse", "pqcb").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ann_cmp_$t"))
+    dropPrefix("ann_cmp")
     val buckets = 4
     AnnIndexLayout.build(spark, dir, "ann_cmp", buckets,
       where = col("vec_id") < 200L)
@@ -29,15 +28,16 @@ class CompactIndexSpec extends SparkSpec {
       // build + 2 deltas -> 3 file generations per (non-empty) bucket;
       // a bucket only yields a file when some key hashes into it (the
       // cells table has few distinct cell ids), so counts are relative
-      val cellsBefore = spark.table("ann_cmp_cells").inputFiles.length
-      val codesBefore = spark.table("ann_cmp_codes").inputFiles.length
+      val phys = AnnIndexLayout.livePrefix(spark, "ann_cmp")
+      val cellsBefore = spark.table(s"${phys}_cells").inputFiles.length
+      val codesBefore = spark.table(s"${phys}_codes").inputFiles.length
 
       val before = AnnIndexLayout.query(spark, dir, "ann_cmp")
         .collect().toSeq
       assert(before.nonEmpty)
       AnnIndexLayout.compact(spark, "ann_cmp", buckets)
-      val cellsAfter = spark.table("ann_cmp_cells").inputFiles.length
-      val codesAfter = spark.table("ann_cmp_codes").inputFiles.length
+      val cellsAfter = spark.table(s"${phys}_cells").inputFiles.length
+      val codesAfter = spark.table(s"${phys}_codes").inputFiles.length
       assert(cellsAfter <= buckets && cellsBefore >= 2 * cellsAfter,
         s"cells files $cellsBefore -> $cellsAfter")
       assert(codesAfter <= buckets && codesBefore >= 2 * codesAfter,
@@ -52,8 +52,7 @@ class CompactIndexSpec extends SparkSpec {
         col("vec_id") >= 350L, buckets) // no-op rows (anti-joined away)
       assert(AnnIndexLayout.query(spark, dir, "ann_cmp")
         .collect().toSeq == before)
-    } finally Seq("cells", "codes", "coarse", "pqcb").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ann_cmp_$t"))
+    } finally dropPrefix("ann_cmp")
   }
 
   test("text index: compact re-bounds postings files; serve identical") {

@@ -97,17 +97,15 @@ class IndexPurgeSpec extends SparkSpec {
       val served = AnnIndexLayout.query(spark, dir, "purge_ann").collect()
       assert(!served.exists(r => victims.contains(r.getAs[Long]("n_id"))))
       AnnIndexLayout.compact(spark, "purge_ann", buckets = 4)
-      assert(spark.table("purge_ann_cells")
+      val phys = AnnIndexLayout.livePrefix(spark, "purge_ann")
+      assert(spark.table(s"${phys}_cells")
         .filter(col("n_id").isin(victims: _*)).count() == 0L)
-      assert(spark.table("purge_ann_codes")
+      assert(spark.table(s"${phys}_codes")
         .filter(col("n_id").isin(victims: _*)).count() == 0L)
       assert(!spark.catalog.tableExists("purge_ann_tombstones"))
       assert(AnnIndexLayout.query(spark, dir, "purge_ann").collect()
         .map(_.toString).toSeq == served.map(_.toString).toSeq)
-    } finally {
-      Seq("coarse", "pqcb", "cells", "codes", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_ann_$t"))
-    }
+    } finally dropPrefix("purge_ann")
   }
 
   test("dense sig index: purge excludes vectors and survives compaction") {

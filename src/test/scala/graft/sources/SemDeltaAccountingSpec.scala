@@ -17,9 +17,7 @@ class SemDeltaAccountingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropIndex(prefix: String): Unit =
-    Seq("cells", "codes", "coarse", "pqcb", "tombstones").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def dropIndex(prefix: String): Unit = dropPrefix(prefix)
 
   test("registered query equals the persisted-index accounting rollup") {
     dropIndex("sem_acc")

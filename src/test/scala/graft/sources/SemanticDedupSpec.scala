@@ -14,9 +14,7 @@ class SemanticDedupSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropIndex(prefix: String): Unit =
-    Seq("cells", "codes", "coarse", "pqcb", "tombstones").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def dropIndex(prefix: String): Unit = dropPrefix(prefix)
 
   test("near-copy caught; unrelated not; replay + purge behave") {
     dropIndex("sem_dd")

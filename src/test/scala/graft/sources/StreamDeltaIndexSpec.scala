@@ -19,10 +19,9 @@ class StreamDeltaIndexSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("streamed ANN deltas equal the batch delta; replays append nothing") {
-    val drop = () => Seq("cells", "codes", "coarse", "pqcb", "cellhist",
-        "qref", "ids").foreach(t =>
-      Seq("ann_sd", "ann_sd_ref").foreach(p =>
-        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
+    // "ann_sd_ref" extends the "ann_sd" prefix, so sweeping "ann_sd"
+    // drops both suites' state (the documented dropPrefix behavior)
+    val drop = () => dropPrefix("ann_sd")
     drop()
     val predA = col("vec_id") < 300L
     // reference: batch build over A, one batch delta for the rest
@@ -51,19 +50,21 @@ class StreamDeltaIndexSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
 
+      val physS = AnnIndexLayout.livePrefix(spark, "ann_sd")
+      val physR = AnnIndexLayout.livePrefix(spark, "ann_sd_ref")
       def diff(t: String): Unit = {
-        val s = spark.table(s"ann_sd_$t").collect().toSet
-        val r = spark.table(s"ann_sd_ref_$t").collect().toSet
+        val s = spark.table(s"${physS}_$t").collect().toSet
+        val r = spark.table(s"${physR}_$t").collect().toSet
         assert(s == r, s"$t only-stream=${(s -- r).take(5)} " +
           s"only-ref=${(r -- s).take(5)} sizes=${s.size}/${r.size}")
       }
       diff("cells")
       diff("codes")
       // counts too: set equality alone would hide double-filed rows
-      assert(spark.table("ann_sd_cells").count() ==
-        spark.table("ann_sd_ref_cells").count())
-      assert(spark.table("ann_sd_codes").count() ==
-        spark.table("ann_sd_ref_codes").count())
+      assert(spark.table(s"${physS}_cells").count() ==
+        spark.table(s"${physR}_cells").count())
+      assert(spark.table(s"${physS}_codes").count() ==
+        spark.table(s"${physR}_codes").count())
       // and the serve surface is byte-equal
       assert(AnnIndexLayout.query(spark, dir, "ann_sd").collect().toSeq ==
         AnnIndexLayout.query(spark, dir, "ann_sd_ref").collect().toSeq)
