@@ -21,6 +21,34 @@ import org.apache.spark.sql.functions.col
   */
 object BucketedTables {
 
+  /** WRITER-QUIESCE contract, enforced: plain parquet has no commit
+    * protocol, so an append landing between a maintenance pass's
+    * snapshot read and its directory swap would be silently LOST with
+    * the replaced directory. Every mutation of a table — append,
+    * overwrite, compaction/replacement — therefore serializes on a
+    * per-table lock: a delta append racing a compaction simply WAITS
+    * for the swap and then lands in the compacted directory (the
+    * catalog location is stable across the swap), so it is absorbed,
+    * never lost (QuiesceSpec races them and counts rows). Reentrant,
+    * so a replacement's internal tmp-write nests safely.
+    *
+    * Scope matches the layouts' documented topology: the lock is
+    * JVM-LOCAL, exactly as far as the in-memory catalog's
+    * sole-owner assumption reaches ([[clearOrphanDir]]); two JVMs
+    * sharing one warehouse are already outside the single-writer
+    * contract, and making THAT safe needs a shared metastore holding
+    * the lock, not a comment. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  private def withTableLock[T](table: String)(body: => T): T = {
+    val l = tableLocks.computeIfAbsent(table.toLowerCase,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try body finally l.unlock()
+  }
+
   /** One write task per bucket: `repartition(n, key)` and the bucket
     * spec hash the same way (Murmur3 pmod n), so task i holds exactly
     * bucket i's rows and each bucket lands as ONE file. Without it
@@ -94,7 +122,7 @@ object BucketedTables {
 
   /** Write `df` as a bucketed, bucket-sorted managed parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int): Unit = withTableLock(table) {
     clearOrphanDir(df.sparkSession, table)
     oneFilePerBucket(df, key, buckets)
       .write.mode("overwrite").format("parquet")
@@ -111,7 +139,7 @@ object BucketedTables {
     * sort-skip degrades gracefully as deltas accumulate until a
     * rebuild compacts them.) */
   def appendBucketed(df: DataFrame, table: String, key: String,
-                     buckets: Int): Unit = {
+                     buckets: Int): Unit = withTableLock(table) {
     // an append to a table the CATALOG doesn't know creates it, so the
     // orphan-directory guard applies here exactly as on the write path
     clearOrphanDir(df.sparkSession, table)
@@ -139,11 +167,11 @@ object BucketedTables {
     * reports failure by returning false, not throwing). The tmp
     * table's metadata is dropped only after its directory has been
     * swapped into place (an empty placeholder dir keeps the catalog
-    * drop from ever touching live data). Run it with writers stopped:
-    * plain parquet has no commit protocol, so an append landing
-    * between the snapshot read and the swap would be lost. Readers
-    * see identical rows before and after (spec'd for both index
-    * layouts). */
+    * drop from ever touching live data). Same-JVM writers are QUIESCED
+    * by the per-table lock (see the object header): an append racing
+    * this pass waits for the swap and lands in the compacted
+    * directory. Readers see identical rows before and after (spec'd
+    * for both index layouts). */
   def compact(spark: SparkSession, table: String, key: String,
       buckets: Int, transform: DataFrame => DataFrame = identity): Unit = {
     // read the FILES, not the catalog table: a bucketed scan advertises
@@ -155,8 +183,14 @@ object BucketedTables {
     // repartition stands and each bucket lands as one file.
     // `transform` lets a layout apply its row-dropping maintenance
     // (tombstone erasure) inside the same crash-safe rewrite.
-    replaceBucketed(spark, table, key, buckets,
-      transform(spark.read.parquet(location(spark, table).toString)))
+    // The table lock is taken HERE (reentrantly re-taken inside
+    // replaceBucketed), so the snapshot's file listing, the rewrite,
+    // and the swap are one quiesced unit — an append arriving mid-pass
+    // waits and lands in the compacted directory.
+    withTableLock(table) {
+      replaceBucketed(spark, table, key, buckets,
+        transform(spark.read.parquet(location(spark, table).toString)))
+    }
   }
 
   private def location(spark: SparkSession,
@@ -177,34 +211,37 @@ object BucketedTables {
     * reports failure by returning false, not throwing). The tmp
     * table's metadata is dropped only after its directory has been
     * swapped into place (an empty placeholder dir keeps the catalog
-    * drop from ever touching live data). Run with writers stopped:
-    * plain parquet has no commit protocol, so an append landing
-    * between the source read and the swap would be lost. `df` may
-    * read from the live table itself (compaction does): it is fully
-    * materialized into tmp before the live directory moves. */
+    * drop from ever touching live data). Same-JVM writers are
+    * QUIESCED by the table lock (no commit protocol in plain parquet
+    * means an append landing between the source read and the swap
+    * would be lost — so appends wait for the swap and land in the new
+    * directory instead). `df` may read from the live table itself
+    * (compaction does): it is fully materialized into tmp before the
+    * live directory moves. */
   def replaceBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int, df: DataFrame): Unit = {
+      buckets: Int, df: DataFrame): Unit = withTableLock(table) {
     import org.apache.hadoop.fs.Path
     if (!spark.catalog.tableExists(table)) {
       writeBucketed(df, table, key, buckets)
-      return
+    } else {
+      val tmpTable = s"${table}__compact_tmp"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      writeBucketed(df, tmpTable, key, buckets)
+      val live = location(spark, table)
+      val tmp = location(spark, tmpTable)
+      val aside = new Path(live.toString + ".compact.old")
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(aside, true) // stale leftover from a previous crash
+      require(fs.rename(live, aside),
+        s"compaction: could not move $live aside")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(aside, live) // restore the original before failing
+        throw new IllegalStateException(s"compaction: could not swap in $tmp")
+      }
+      fs.mkdirs(tmp) // placeholder so dropping tmp metadata is harmless
+      spark.sql(s"DROP TABLE $tmpTable")
+      fs.delete(aside, true)
+      spark.catalog.refreshTable(table)
     }
-    val tmpTable = s"${table}__compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-    writeBucketed(df, tmpTable, key, buckets)
-    val live = location(spark, table)
-    val tmp = location(spark, tmpTable)
-    val aside = new Path(live.toString + ".compact.old")
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(aside, true) // stale leftover from a previous crash
-    require(fs.rename(live, aside), s"compaction: could not move $live aside")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(aside, live) // restore the original before failing
-      throw new IllegalStateException(s"compaction: could not swap in $tmp")
-    }
-    fs.mkdirs(tmp) // placeholder so dropping tmp metadata is harmless
-    spark.sql(s"DROP TABLE $tmpTable")
-    fs.delete(aside, true)
-    spark.catalog.refreshTable(table)
   }
 }

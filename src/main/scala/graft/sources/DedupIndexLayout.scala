@@ -230,7 +230,9 @@ object DedupIndexLayout {
   /** Rewrite both tables back to one file per bucket, erasing
     * tombstoned docs' rows in the same pass and clearing the tombstone
     * list ([[BucketedTables.compact]]'s write-aside + checked-rename
-    * swap). Run with ingest writers stopped. */
+    * swap). Same-JVM ingest writers are quiesced by the per-table lock
+    * ([[BucketedTables]] header); an append racing this pass waits and
+    * lands in the compacted table. */
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_shingles", "doc_id", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))

@@ -85,7 +85,8 @@ object HybridIndexLayout {
 
   /** Rewrite the delta-accumulated signatures back to one file per
     * bucket, erasing any tombstoned vectors' rows in the same rewrite
-    * and clearing the tombstone list. Run with writers stopped. */
+    * and clearing the tombstone list. Same-JVM delta writers are
+    * quiesced by the per-table lock ([[BucketedTables]] header). */
   def compactDense(spark: SparkSession, prefix: String,
       buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_sigs", "bucket", buckets,

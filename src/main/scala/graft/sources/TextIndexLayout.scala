@@ -154,7 +154,8 @@ object TextIndexLayout {
     * doc_id may re-enter via a future delta. Serve results are
     * byte-identical before and after (CompactIndexSpec;
     * IndexPurgeSpec for the purge interaction). Run with index
-    * writers stopped. */
+    * writers quiesced per table by the [[BucketedTables]] lock (same
+    * JVM; cross-JVM writers are outside the single-writer contract). */
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_postings", "term", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
