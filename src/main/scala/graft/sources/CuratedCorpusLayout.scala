@@ -150,7 +150,11 @@ object CuratedCorpusLayout {
     *  - `<prefix>_dd_shingles` / `<prefix>_dd_bands`: a full
     *    [[DedupIndexLayout]] over the corpus (the MinHash ingest index,
     *    reused verbatim — candidate generation AND the contamination
-    *    posting grain read from it).
+    *    posting grain read from it). With `ddPrefix` the layout
+    *    BORROWS an existing index (an ingest gate's) instead of
+    *    building its own — one shingle index per composed deployment,
+    *    one filing per snapshot, recorded in the `<prefix>_ddsrc`
+    *    sidecar (SharedDdSpec pins the borrow byte-equal to owning).
     *  - `<prefix>_mh_pairs` (doc_a, doc_b, jaccard): the FULL verified
     *    MinHash pair set. Append-only: a delta adds exactly the pairs
     *    touching it ([[DedupIndexLayout.dedupDelta]]'s proven-byte-equal
@@ -201,7 +205,8 @@ object CuratedCorpusLayout {
       buckets: Int = 8, where: Column = lit(true),
       whereVec: Column = lit(true),
       cosNBands: Int = DedupQueries.CosineLshBands,
-      cosPlanesPerBand: Int = DedupQueries.CosineLshBandPlanes): Unit = {
+      cosPlanesPerBand: Int = DedupQueries.CosineLshBandPlanes,
+      ddPrefix: Option[String] = None): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // the geometry sidecar goes FIRST: every later state table derives
     // from it, and a crash mid-build then leaves a prefix whose partial
@@ -213,10 +218,42 @@ object CuratedCorpusLayout {
       .select(col("doc_id"), col("source"), col("text"))
     BucketedTables.writeBucketed(DedupQueries.curateBaseOf(docsW),
       s"${prefix}_base", "doc_id", buckets)
-    DedupIndexLayout.buildDocs(spark, s"${prefix}_dd",
-      docsW.select(col("doc_id"), col("text")), buckets)
-    val sized = BucketedTables.read(spark, s"${prefix}_dd_shingles")
-    val ddBands = BucketedTables.read(spark, s"${prefix}_dd_bands")
+    // the MinHash index: OWNED by default, or BORROWED from an ingest
+    // gate ([[IngestGate.buildWithCurated]]) — at 100 TB the shingle
+    // index is the layout's dominant storage and per-snapshot filing
+    // cost, and a composed gate+curation deployment would otherwise
+    // keep two byte-identical copies and file every delta twice. The
+    // choice is PERSISTED in the `_ddsrc` sidecar so every later
+    // refresh resolves the same index this build read.
+    val dd = ddPrefix.getOrElse(s"${prefix}_dd")
+    BucketedTables.replaceBucketed(spark, s"${prefix}_ddsrc", "dd_prefix", 1,
+      spark.range(1).select(lit(dd).as("dd_prefix")))
+    ddPrefix match {
+      case None =>
+        DedupIndexLayout.buildDocs(spark, dd,
+          docsW.select(col("doc_id"), col("text")), buckets)
+      case Some(ext) =>
+        // the borrowed index must cover EXACTLY this build's corpus —
+        // a missing doc silently under-generates candidates, an extra
+        // one injects foreign pairs into the gate algebra. Its ledger
+        // records every filed doc_id (narrow), so set equality is two
+        // id-column scans, paid once at build.
+        require(spark.catalog.tableExists(s"${ext}_shingles"),
+          s"$prefix: shared dd index '$ext' does not exist — build the " +
+            "gate first (IngestGate.buildWithCurated orders this)")
+        val extIds = spark.table(IngestLedger.table(ext))
+        val corpusIds = docsW.select(col("doc_id"))
+        val missing = corpusIds
+          .join(extIds.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_anti").count()
+        val extra = extIds.count() - (corpusIds.count() - missing)
+        require(missing == 0L && extra == 0L,
+          s"$prefix: shared dd index '$ext' covers a different corpus " +
+            s"($missing docs missing, $extra extra) — gate and curated " +
+            "builds must use the same document predicate")
+    }
+    val sized = BucketedTables.read(spark, s"${dd}_shingles")
+    val ddBands = BucketedTables.read(spark, s"${dd}_bands")
     BucketedTables.writeBucketed(
       DedupQueries.minhashPairsFromIndex(sized, ddBands),
       s"${prefix}_mh_pairs", "doc_a", buckets)
@@ -280,6 +317,15 @@ object CuratedCorpusLayout {
     (row.getAs[Int]("n_bands"), row.getAs[Int]("planes_per_band"))
   }
 
+  /** The MinHash index this prefix reads/files — its own `<prefix>_dd`
+    * or a gate's borrowed one, as the `_ddsrc` sidecar recorded at
+    * build time (absent sidecar = a legacy prefix, which always owned
+    * its index). */
+  private[sources] def ddPrefixOf(spark: SparkSession,
+      prefix: String): String =
+    if (!spark.catalog.tableExists(s"${prefix}_ddsrc")) s"${prefix}_dd"
+    else spark.table(s"${prefix}_ddsrc").head().getAs[String]("dd_prefix")
+
   /** The curation gate over the PERSISTED state — the same algebra
     * `pipeline_curate` runs, fed table reads instead of fresh passes. */
   private def gateFromState(spark: SparkSession,
@@ -329,13 +375,21 @@ object CuratedCorpusLayout {
     * materialized (localCheckpoint). */
   private[sources] def refreshWith(spark: SparkSession, dir: String,
       prefix: String, deltaDocs: DataFrame, ids: DataFrame, shD: DataFrame,
-      bD: DataFrame, deltaVecs: DataFrame, buckets: Int): Unit = {
+      bD: DataFrame, deltaVecs: DataFrame, buckets: Int,
+      ddFiled: Boolean = false): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the `_ddsrc` sidecar names the MinHash index this prefix reads —
+    // its own, or the gate's shared one. Every step below is correct
+    // under BOTH values and regardless of whether the delta is already
+    // filed there: the candidate core and the contamination state
+    // anti-join the delta's own ids out of the index (the replay
+    // discipline), and the filing append is idempotent.
+    val dd = ddPrefixOf(spark, prefix)
     val deltaBase = DedupQueries.curateBaseOf(deltaDocs).localCheckpoint(true)
     // 1. MinHash pairs touching the delta, through the persisted index
     //    (replay-safe: the core anti-joins the delta's own filed rows),
     //    fed the precomputed delta passes — no re-shingle here
-    val mhNew = DedupIndexLayout.dedupDeltaFrom(spark, s"${prefix}_dd",
+    val mhNew = DedupIndexLayout.dedupDeltaFrom(spark, dd,
       ids, shD, bD)
     // replay idempotence: every mhNew pair touches the delta, so the
     // anti-join only needs the delta-touching SUBSET of stored pairs
@@ -355,7 +409,7 @@ object CuratedCorpusLayout {
     //    delta's ids, so it must run before — or is immune to — the
     //    index append below); `shD` is the same materialized shingle
     //    pass step 1 banded from
-    val corpusSized = BucketedTables.read(spark, s"${prefix}_dd_shingles")
+    val corpusSized = BucketedTables.read(spark, s"${dd}_shingles")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val allBase = BucketedTables.read(spark, s"${prefix}_base")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
@@ -366,9 +420,13 @@ object CuratedCorpusLayout {
       DedupQueries.contamPairsState(corpusSized, shD, allBase, ids,
         spark.table(s"${prefix}_ct_pairs")))
     // 3. file the delta into the dedup index (the same materialized
-    //    shingle/band frames — no re-shingle on the append either)
-    DedupIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_dd", ids, shD,
-      bD, buckets)
+    //    shingle/band frames — no re-shingle on the append either).
+    //    The composed path ([[IngestGate.ingestAndCurate]] on a shared
+    //    dd) has ALREADY filed it through the gate and says so — the
+    //    idempotent append would file nothing, but its ledger fallback
+    //    would pay the per-table anti-join scans to find that out.
+    if (!ddFiled)
+      DedupIndexLayout.appendDeltaDocsFrom(spark, dd, ids, shD, bD, buckets)
     // 4. cosine pair state + band index — the delta is banded under
     //    the PERSISTED build geometry (never the code default), so the
     //    candidate join and the stored `_cos_bands` index always agree
@@ -516,7 +574,8 @@ object CuratedCorpusLayout {
   /** Maintenance: rewrite the docs table to one file per bucket,
     * erasing tombstoned (evicted) rows physically, and clear the
     * tombstone list — [[serve]] results identical before and after.
-    * Run with refreshes stopped. */
+    * Same-JVM refreshes are quiesced per table by the
+    * [[BucketedTables]] lock. */
   def compactDocs(spark: SparkSession, prefix: String,
       buckets: Int = 8): Unit = {
     BucketedTables.compact(spark, s"${prefix}_docs", "doc_id", buckets,

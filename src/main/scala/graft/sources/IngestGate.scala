@@ -53,6 +53,34 @@ object IngestGate {
       s"${prefix}_split", "doc_id", buckets)
   }
 
+  /** [[build]] + [[CuratedCorpusLayout.buildIncremental]] with ONE
+    * shingle index between them: the curated layout borrows the gate's
+    * `<gatePrefix>_dd` instead of building its own byte-identical copy
+    * — at 100 TB that halves the composed deployment's dominant index
+    * storage, removes one full corpus shingle pass from the build, and
+    * (with [[ingestAndCurate]]) files each snapshot into the shared
+    * index exactly ONCE. Both layouts keep their exact semantics: the
+    * gate's dedup verdicts and the curated gate algebra each anti-join
+    * the delta's own rows, so neither can observe who filed the index
+    * (SharedDdSpec pins verdicts AND the served corpus byte-equal to
+    * the two-copy deployment). The borrow is recorded in the curated
+    * prefix's `_ddsrc` sidecar; the shared index's lifecycle (compact,
+    * purge) belongs to the GATE. */
+  def buildWithCurated(spark: SparkSession, dir: String, gatePrefix: String,
+      curatedPrefix: String, buckets: Int = 8,
+      whereDocs: Column = lit(true), whereVecs: Column = lit(true),
+      cosNBands: Int = graft.queries.DedupQueries.CosineLshBands,
+      cosPlanesPerBand: Int =
+        graft.queries.DedupQueries.CosineLshBandPlanes): Unit = {
+    require(gatePrefix != curatedPrefix,
+      s"gatePrefix and curatedPrefix must be distinct (both '$gatePrefix')")
+    build(spark, dir, gatePrefix, buckets, whereDocs, whereVecs)
+    CuratedCorpusLayout.buildIncremental(spark, dir, curatedPrefix, buckets,
+      where = whereDocs, whereVec = whereVecs, cosNBands = cosNBands,
+      cosPlanesPerBand = cosPlanesPerBand,
+      ddPrefix = Some(s"${gatePrefix}_dd"))
+  }
+
   /** ONE verdict row per new asset: (doc_id, source, text_dup,
     * media_dup, sem_dup, crossmodal, keep). Does NOT append — call
     * [[appendDelta]] after acting on the result ([[ingestStream]]
@@ -240,8 +268,11 @@ object IngestGate {
     * neither shingles nor perceptual signatures). `gatePrefix` holds
     * the three gate indexes + split
     * table ([[build]]); `curatedPrefix` the curated layout
-    * ([[CuratedCorpusLayout.buildIncremental]]) — keep them distinct:
-    * each owns a `<prefix>_dd` text index. Verdicts are materialized
+    * ([[CuratedCorpusLayout.buildIncremental]]) — distinct prefixes,
+    * enforced. A [[buildWithCurated]] deployment additionally SHARES
+    * the `_dd` shingle index between them (one storage copy, one
+    * filing per snapshot — the refresh's own filing is skipped since
+    * the gate's append already landed it). Verdicts are materialized
     * BEFORE any filing (the check-before-append discipline), and every
     * leg inherits its layout's replay idempotence, so a crashed
     * composed run is repaired by re-running it. */
@@ -262,8 +293,14 @@ object IngestGate {
       tD, deltaVecs, minCosine).localCheckpoint(true)
     appendDeltaFrom(spark, gatePrefix, nd, ids, shD, bD, tD, deltaVecs,
       buckets)
+    // a [[buildWithCurated]] deployment shares the gate's `_dd` index:
+    // the append above already filed the delta there, so the refresh
+    // skips its (idempotent, but ledger-fallback-priced) re-filing
+    val sharedDd =
+      CuratedCorpusLayout.ddPrefixOf(spark, curatedPrefix) ==
+        s"${gatePrefix}_dd"
     CuratedCorpusLayout.refreshWith(spark, dir, curatedPrefix, nd, ids, shD,
-      bD, deltaVecs, buckets)
+      bD, deltaVecs, buckets, ddFiled = sharedDd)
     verdicts
   }
 
