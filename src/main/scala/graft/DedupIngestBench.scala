@@ -41,8 +41,16 @@ object DedupIngestBench {
       where = !deltaPred)
     val buildSec = (System.nanoTime() - tb0) / 1e9
 
+    // SPARK_GRAFT_DELTA_BOUND caps the STREAMED delta (build corpus
+    // unchanged): the corpus-slope measurement wants the SAME batch
+    // sizes against a 10×/100× corpus, not a 10×/100× delta — without
+    // the cap a 100×-corpus run would need 400 batches to keep the
+    // 250-doc grain
+    val bound = sys.env.get("SPARK_GRAFT_DELTA_BOUND").map(_.toLong)
+      .getOrElse(Long.MaxValue)
     val delta = graft.util.Tables.load(spark, sfDir, "documents")
-      .filter(deltaPred).select(col("doc_id"), col("text"))
+      .filter(deltaPred && col("doc_id") < bound)
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val groups = delta.grouped(
       math.max(1, (delta.length + batches - 1) / batches)).toSeq
