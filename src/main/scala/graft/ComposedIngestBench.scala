@@ -29,6 +29,10 @@ object ComposedIngestBench {
         java.nio.file.Files.createTempDirectory("graft-cib-wh").toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // decade-scale legs legitimately stall the one local executor in
+      // multi-minute GC; keep the heartbeat from killing the run
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeatInterval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed[T](f: => T): (T, Double) = {

@@ -24,6 +24,11 @@ object CuratedDeltaBench {
         java.nio.file.Files.createTempDirectory("graft-curdelta-wh").toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // decade-scale builds legitimately stall the one local executor
+      // in multi-minute GC; the default 120 s heartbeat would declare
+      // it dead mid-measurement (the round-15 100× W=6 post-mortem)
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeatInterval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -27,6 +27,11 @@ object DedupIngestBench {
         java.nio.file.Files.createTempDirectory("graft-dedup-wh").toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // decade-scale index builds legitimately stall the one local
+      // executor in multi-minute GC; keep the heartbeat from killing
+      // the run
+      .config("spark.network.timeout", "1200s")
+      .config("spark.executor.heartbeatInterval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -53,6 +53,45 @@ import graft.util.Tables
   */
 object CuratedCorpusLayout {
 
+  /** Sentinel for [[buildIncremental]]'s `cosPlanesPerBand`: size the
+    * sign-LSH band width W from the corpus itself (the default). The
+    * scale story used to end with "turn W up at ~100× this SF" — a
+    * scaladoc instruction an operator had to remember at exactly the
+    * scale where forgetting it makes the cosine pass the build's
+    * superlinear term. Auto makes the build turn its own dial:
+    * [[autoPlanesPerBand]] picks the smallest W that bounds expected
+    * per-bucket postings (corpus/2^W) to [[AutoTargetPostings]], never
+    * below the recall-favoring audit default (W=6 — so every bounded-SF
+    * build, spec, and oracle is byte-identical to the explicit-W=6
+    * build), and the choice is frozen in the `_cos_geom` sidecar like
+    * any explicit W: refreshes band deltas under the persisted
+    * geometry, and re-sizing remains a rebuild. */
+  val AutoPlanes: Int = 0
+
+  /** Per-band bucket-load target for [[AutoPlanes]]: expected postings
+    * per bucket stay ≤ this, so per-bucket candidate work (~p²/2) stays
+    * bounded and the cosine pass scales with corpus × target instead of
+    * corpus²/2^W at a frozen W. 1024 puts the thresholds exactly on
+    * the measured guidance: ≤65k vectors keep the audit W=6, the 50×
+    * decade (100k) gets W=7, the 100× decade (200k) gets the
+    * documented W=8 (BENCH_SF1.md round 15 measures that turn). */
+  val AutoTargetPostings: Long = 1024L
+
+  /** The [[AutoPlanes]] resolution — pure so the threshold behavior is
+    * unit-testable without 100k-row fixtures: smallest W with
+    * nVecs/2^W ≤ [[AutoTargetPostings]], floored at the W=6 audit
+    * default ([[DedupQueries.CosineLshBandPlanes]]), capped at 16
+    * (beyond it the bucket domain outruns any plausible single-table
+    * corpus; band count, not width, is the next knob). Recall moves
+    * the documented way — each +1 of W trades S-curve recall for a
+    * halved bucket load (CosineLshRecallSpec measures the curve;
+    * `dedup_cosine_lsh_w8` keeps the wide end oracle-pinned). */
+  def autoPlanesPerBand(nVecs: Long): Int = {
+    val need = math.ceil(math.log(math.max(1L, nVecs).toDouble /
+      AutoTargetPostings) / math.log(2.0)).toInt
+    math.min(16, math.max(DedupQueries.CosineLshBandPlanes, need))
+  }
+
   /** Canonical per-row checksum string — doc_id (the unique key, so
     * identical texts cannot XOR-cancel), content hash, and the two
     * contract columns a consumer depends on. Each column is coalesced
@@ -193,27 +232,40 @@ object CuratedCorpusLayout {
     * persisted cosine state — the capacity dial a 100× corpus turns
     * (band width W re-bounds per-bucket postings ~corpus/2^W; the
     * salted-universe measurement put the W=6 default at 3.01× @10×
-    * vs W=8 at 1.79×, [[DedupQueries.cosineLshConfig]]). The geometry
-    * is PERSISTED in a `<prefix>_cos_geom` sidecar at build time and
-    * every [[refresh]] reads it from there — the
-    * [[AnnIndexLayout]] frozen-geometry discipline: a delta banded
-    * under a different geometry than the stored `_cos_bands` index
-    * would generate candidates in incomparable buckets (silent recall
-    * loss), so the dial exists ONLY at build; changing it is a
-    * rebuild. */
+    * vs W=8 at 1.79×, [[DedupQueries.cosineLshConfig]]). The default
+    * is [[AutoPlanes]]: the build sizes W from the corpus itself
+    * ([[autoPlanesPerBand]] — W=6 at every bounded SF, W=8 at the
+    * 100× decade), so the dial turns without an operator remembering
+    * the scaladoc. Auto or explicit, the geometry is PERSISTED in a
+    * `<prefix>_cos_geom` sidecar at build time and every [[refresh]]
+    * reads it from there — the [[AnnIndexLayout]] frozen-geometry
+    * discipline: a delta banded under a different geometry than the
+    * stored `_cos_bands` index would generate candidates in
+    * incomparable buckets (silent recall loss), so the dial exists
+    * ONLY at build; changing it is a rebuild. */
   def buildIncremental(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true),
       whereVec: Column = lit(true),
       cosNBands: Int = DedupQueries.CosineLshBands,
-      cosPlanesPerBand: Int = DedupQueries.CosineLshBandPlanes,
+      cosPlanesPerBand: Int = AutoPlanes,
       ddPrefix: Option[String] = None): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // resolve AUTO before anything persists: one narrow vec_id count
+    // against the corpus split — build-rare, and the sidecar must name
+    // the RESOLVED geometry (a sidecar saying "auto" would leave every
+    // refresh re-deriving it against a grown corpus, exactly the
+    // mixed-geometry drift the freeze exists to prevent)
+    val cosPlanes =
+      if (cosPlanesPerBand == AutoPlanes)
+        autoPlanesPerBand(Tables.load(spark, dir, "embeddings")
+          .filter(whereVec).select(col("vec_id")).count())
+      else cosPlanesPerBand
     // the geometry sidecar goes FIRST: every later state table derives
     // from it, and a crash mid-build then leaves a prefix whose partial
     // state at least names the geometry it was being built under
     BucketedTables.replaceBucketed(spark, s"${prefix}_cos_geom", "n_bands", 1,
       spark.range(1).select(lit(cosNBands).as("n_bands"),
-        lit(cosPlanesPerBand).as("planes_per_band")))
+        lit(cosPlanes).as("planes_per_band")))
     val docsW = Tables.load(spark, dir, "documents").filter(where)
       .select(col("doc_id"), col("source"), col("text"))
     BucketedTables.writeBucketed(DedupQueries.curateBaseOf(docsW),
@@ -260,7 +312,7 @@ object CuratedCorpusLayout {
     val e = DedupQueries.normedDirVecs(
       Tables.load(spark, dir, "embeddings").filter(whereVec)
         .select(col("vec_id"), col("embedding")))
-    val cosBands = DedupQueries.cosineBandsOf(e, cosNBands, cosPlanesPerBand)
+    val cosBands = DedupQueries.cosineBandsOf(e, cosNBands, cosPlanes)
       .persist()
     cosBands.count()
     BucketedTables.writeBucketed(cosBands,

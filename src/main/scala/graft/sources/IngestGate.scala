@@ -70,8 +70,7 @@ object IngestGate {
       curatedPrefix: String, buckets: Int = 8,
       whereDocs: Column = lit(true), whereVecs: Column = lit(true),
       cosNBands: Int = graft.queries.DedupQueries.CosineLshBands,
-      cosPlanesPerBand: Int =
-        graft.queries.DedupQueries.CosineLshBandPlanes): Unit = {
+      cosPlanesPerBand: Int = CuratedCorpusLayout.AutoPlanes): Unit = {
     require(gatePrefix != curatedPrefix,
       s"gatePrefix and curatedPrefix must be distinct (both '$gatePrefix')")
     build(spark, dir, gatePrefix, buckets, whereDocs, whereVecs)

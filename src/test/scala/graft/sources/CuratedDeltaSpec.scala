@@ -127,6 +127,46 @@ class CuratedDeltaSpec extends SparkSpec {
     dropAll("curw"); dropAll("curw_ref")
   }
 
+  test("AUTO geometry: thresholds scale with the corpus; floor at W=6") {
+    // pure resolution: smallest W with nVecs/2^W <= AutoTargetPostings,
+    // floored at the recall-favoring audit default, capped at 16
+    assert(CuratedCorpusLayout.autoPlanesPerBand(0L) == 6)
+    assert(CuratedCorpusLayout.autoPlanesPerBand(2000L) == 6) // sf0.1
+    assert(CuratedCorpusLayout.autoPlanesPerBand(65536L) == 6) // 1024·2^6
+    assert(CuratedCorpusLayout.autoPlanesPerBand(65537L) == 7)
+    assert(CuratedCorpusLayout.autoPlanesPerBand(100000L) == 7) // 50× decade
+    assert(CuratedCorpusLayout.autoPlanesPerBand(200000L) == 8) // 100× decade
+    assert(CuratedCorpusLayout.autoPlanesPerBand(Long.MaxValue) == 16)
+    // at W: postings bound holds (n/2^W ≤ target < n/2^(W-1) when above
+    // the floor) — the defining inequality, checked at the 100× point
+    val w = CuratedCorpusLayout.autoPlanesPerBand(200000L)
+    assert(200000L / (1L << w) <= CuratedCorpusLayout.AutoTargetPostings)
+    assert(200000L / (1L << (w - 1)) >
+      CuratedCorpusLayout.AutoTargetPostings)
+  }
+
+  test("AUTO default build == explicit W=6 build at bounded SF") {
+    dropAll("cura"); dropAll("cura_ref")
+    // the default is now AUTO; at spec SF it must resolve to the W=6
+    // floor and persist it — byte-identical state to the explicit build
+    CuratedCorpusLayout.buildIncremental(spark, dir, "cura", buckets = 4)
+    CuratedCorpusLayout.buildIncremental(spark, dir, "cura_ref",
+      buckets = 4, cosPlanesPerBand = DedupQueries.CosineLshBandPlanes)
+    val geom = spark.table("cura_cos_geom").head()
+    assert(geom.getAs[Int]("planes_per_band") == 6,
+      s"auto resolved ${geom.getAs[Int]("planes_per_band")}, expected the floor")
+    def state(p: String) = (
+      CuratedCorpusLayout.serve(spark, p).orderBy(col("doc_id"))
+        .collect().toSeq,
+      CuratedCorpusLayout.manifest(spark, p).orderBy(col("stage"))
+        .collect().toSeq,
+      spark.table(s"${p}_cos_pairs").orderBy(col("vec_a"), col("vec_b"))
+        .collect().toSeq)
+    assert(state("cura") == state("cura_ref"),
+      "auto-geometry build drifted from the explicit W=6 build")
+    dropAll("cura"); dropAll("cura_ref")
+  }
+
   test("incremental build over the full corpus equals the plain build") {
     dropAll("curi"); dropAll("curi_ref")
     CuratedCorpusLayout.build(spark, dir, "curi_ref", buckets = 4)
