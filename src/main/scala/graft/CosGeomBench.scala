@@ -48,6 +48,17 @@ object CosGeomBench {
       // heartbeat declare it dead mid-measurement
       .config("spark.network.timeout", "1200s")
       .config("spark.executor.heartbeatInterval", "120s")
+      // single-host fitting, not engine tuning: the 100× vector frame
+      // (~200k × 260 B ≈ 60 MB) broadcasts, turning the verify joins
+      // into broadcast-hash — without it each candidate row drags its
+      // embedding through a sort-merge shuffle (~80 GB spill at W=8,
+      // ~220 GB at W=6; the W=6 leg filled this host's disk). On a
+      // cluster the aggregate shuffle capacity absorbs that by design;
+      // here the measurement would die of disk, not of the work.
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      // sequential legs in one JVM stack their shuffle files until the
+      // stale RDD references are GC'd; reclaim between legs
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.ensureRegistered(spark)

@@ -97,22 +97,51 @@ object IngestGate {
       minCosine)
   }
 
-  /** The delta's materialized per-doc frames — distinct ids, sized
-    * shingles, MinHash band rows, perceptual tile rows — built ONCE
-    * per snapshot and threaded through every consumer (check, filing,
+  /** Above this delta size the composed path's shared per-doc frames
+    * (shingles, bands, tiles) stay LAZY instead of being cached: a
+    * cached frame is computed once but every consumer re-reads its
+    * serialized rows from the block manager, while a lazy frame is
+    * recomputed per consumer FUSED into that consumer's whole-stage
+    * codegen pipeline — and past bulk-backfill size the store+re-read
+    * costs more than the recompute. Measured on the 50× salted
+    * universe (ComposedIngestBench, STREAMBENCH.md round 15): cached
+    * wins at a 10k-doc delta (0.86× vs sequential), INVERTS at 50k
+    * (1.76×, reproduced twice); lazy composition is the sequential
+    * path's plans by construction, so above the threshold composed ≈
+    * sequential in cost while keeping the composition's structural
+    * guarantees (one split definition, one verdict frame, one filing
+    * discipline). Steady-state snapshot deltas sit far below this;
+    * only bulk backfills cross it. */
+  val ComposeCacheMaxDocs: Long = 16384L
+
+  /** The delta's per-doc frames — distinct ids, sized shingles,
+    * MinHash band rows, perceptual tile rows — defined ONCE per
+    * snapshot and threaded through every consumer (check, filing,
     * curated refresh). `nd` must already be doc_id-deduplicated and
-    * materialized. */
+    * materialized; every derivation below is pure (deterministic
+    * hashing over `nd`'s checkpointed rows), so consumers see
+    * identical frame CONTENT whether the frames are cached
+    * (≤ [[ComposeCacheMaxDocs]] docs: pay each pass once) or lazy
+    * (bulk deltas: each consumer recomputes, fused into its own
+    * codegen pipeline — see the threshold's scaladoc). */
   private def deltaFrames(nd: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.queries.DedupQueries
+    // ids always materialize: delta-sized, broadcast into every
+    // consumer's anti-joins, and the count doubles as the cache dial
     val ids = nd.select(col("doc_id")).localCheckpoint(true)
-    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(nd))
-      .localCheckpoint(true)
-    val bD = DedupQueries.minhashBandsOf(
-        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
-      .localCheckpoint(true)
-    val tD = graft.queries.MultimodalQueries.tileRowsOf(nd)
-      .localCheckpoint(true)
+    // runtime-tunable (session conf) so a deployment can move the
+    // crossover for its own doc sizes; the default carries the
+    // measured 10k-win / 50k-loss bracket
+    val cacheMax = nd.sparkSession.conf
+      .get("graft.compose.cacheMaxDocs", ComposeCacheMaxDocs.toString).toLong
+    val cache = ids.count() <= cacheMax
+    def mat(df: DataFrame): DataFrame =
+      if (cache) df.localCheckpoint(true) else df
+    val shD = mat(DedupQueries.withSizes(DedupQueries.shinglesOf(nd)))
+    val bD = mat(DedupQueries.minhashBandsOf(
+      DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s")))))
+    val tD = mat(graft.queries.MultimodalQueries.tileRowsOf(nd))
     (ids, shD, bD, tD)
   }
 

@@ -114,6 +114,49 @@ class IngestAndCurateSpec extends SparkSpec {
     } finally Seq("iacg", "iacc", "seqg", "seqc").foreach(dropPrefix)
   }
 
+  test("lazy composition (bulk-delta branch) == cached == sequential") {
+    // above graft.compose.cacheMaxDocs the shared frames stay lazy
+    // (each consumer recomputes, fused into its own pipeline — the
+    // measured bulk-backfill crossover); forcing the dial to 0 runs
+    // the spec delta through that branch, which must be semantically
+    // invisible exactly like the cached one
+    Seq("lzg", "lzc", "lsg", "lsc").foreach(dropPrefix)
+    val whereDocs = !(col("doc_id") % 5 === 3)
+    val whereVecs = !(col("vec_id") % 5 === 3)
+    try {
+      spark.conf.set("graft.compose.cacheMaxDocs", "0")
+      IngestGate.build(spark, dir, "lzg", buckets = 4, whereDocs, whereVecs)
+      IngestGate.build(spark, dir, "lsg", buckets = 4, whereDocs, whereVecs)
+      CuratedCorpusLayout.buildIncremental(spark, dir, "lzc", buckets = 4,
+        where = whereDocs, whereVec = whereVecs)
+      CuratedCorpusLayout.buildIncremental(spark, dir, "lsc", buckets = 4,
+        where = whereDocs, whereVec = whereVecs)
+      val composed = IngestGate.ingestAndCurate(spark, dir, "lzg", "lzc",
+        deltaDocs, deltaVecs, buckets = 4)
+        .orderBy(col("doc_id")).collect().toSeq
+      val sequential = IngestGate.checkDelta(spark, dir, "lsg",
+        deltaDocs, deltaVecs).localCheckpoint(true)
+      IngestGate.appendDelta(spark, "lsg", deltaDocs, deltaVecs, buckets = 4)
+      CuratedCorpusLayout.refresh(spark, dir, "lsc", deltaDocs, deltaVecs,
+        buckets = 4)
+      assert(composed.nonEmpty &&
+        composed == sequential.orderBy(col("doc_id")).collect().toSeq,
+        "lazy-composed verdicts drifted from sequential")
+      assert(CuratedCorpusLayout.serve(spark, "lzc")
+        .orderBy(col("doc_id")).collect().toSeq ==
+        CuratedCorpusLayout.serve(spark, "lsc")
+          .orderBy(col("doc_id")).collect().toSeq,
+        "lazy-composed curated state drifted from sequential")
+      assert(spark.table("lzg_dd_shingles").count() ==
+        spark.table("lsg_dd_shingles").count())
+      assert(spark.table("lzg_mm_tiles").count() ==
+        spark.table("lsg_mm_tiles").count())
+    } finally {
+      spark.conf.unset("graft.compose.cacheMaxDocs")
+      Seq("lzg", "lzc", "lsg", "lsc").foreach(dropPrefix)
+    }
+  }
+
   test("replayed composed snapshot changes nothing (crash repair)") {
     Seq("iarg", "iarc").foreach(dropPrefix)
     val whereDocs = !(col("doc_id") % 5 === 3)
