@@ -72,6 +72,16 @@ object CosGeomBench {
       .localCheckpoint(true)
     val nVecs = e.count()
     val autoW = CuratedCorpusLayout.autoPlanesPerBand(nVecs)
+    // the scaladoc claim "autoPlanesPerBand resolves the same width at
+    // this corpus" is ASSERTED, not just reported in the JSON: in the
+    // 100×-decade bracket (2^17 < nVecs ≤ 2^18 ⇒ W=8 under
+    // AutoTargetPostings=1024) a drifted auto resolution fails the run
+    // instead of silently benching a different geometry than the
+    // deployment would build
+    if (nVecs > 131072L && nVecs <= 262144L)
+      require(autoW == 8,
+        s"autoPlanesPerBand($nVecs) resolved W=$autoW, expected 8 — the " +
+          "bench's W=8 legs no longer measure the auto deployment point")
 
     def cosPass(planes: Int): (org.apache.spark.sql.DataFrame, Double) =
       timed {

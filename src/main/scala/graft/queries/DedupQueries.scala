@@ -1294,7 +1294,19 @@ object DedupQueries {
     * W=8+; each +1 of W quarters-to-halves candidate volume for the
     * S-curve recall cost CosineLshRecallSpec measures). The W=8 point
     * is itself REGISTERED (`dedup_cosine_lsh_w8`) so both ends of the
-    * dial stay oracle-pinned. */
+    * dial stay oracle-pinned.
+    *
+    * SATURATION CAVEAT, measured (BENCH_SF1 round 15): once per-band
+    * bucket postings exceed the md5 pool cap (~corpus/2^W >
+    * [[MaxCosinePool]], i.e. ≥50× this SF at W=6), candidate
+    * generation is silently TRUNCATED and W=6 returns FEWER true
+    * pairs than W=8 while claiming the recall-favoring geometry — the
+    * recall trade inverts exactly where the dial should turn. Run the
+    * registered companion `dedup_cosine_pool_audit`
+    * ([[cosinePoolAudit]]) next to this query: nonzero
+    * n_saturated_buckets / n_evicted is the telltale that this pair
+    * set is cap-bound and the W dial (or the curated layout's
+    * auto-geometry) must take over. */
   def cosineLsh(spark: SparkSession, dir: String): DataFrame =
     cosineLshConfig(spark, dir, CosineLshBands, CosineLshBandPlanes)
 
@@ -1579,6 +1591,101 @@ object DedupQueries {
         col("doc_id") === col("__did"), "left_anti")
       .join(affKeys, Seq("eval_doc", "doc_id"), "left_anti")
     storedClean.unionByName(recomputed).unionByName(pairsNew)
+  }
+
+  /** SATURATION audit for the cosine-LSH md5 pool cap — the
+    * `dedup_posting_audit` discipline applied to [[cosineLsh]]'s
+    * candidate pool: the per-bucket cap ([[MaxCosinePool]]) keeps
+    * candidate volume linear at any scale, but once per-band bucket
+    * postings exceed it the CANONICAL side of candidate generation is
+    * silently rate-sampled — pairs whose smaller id was evicted from
+    * every shared bucket are never verified, so the "recall-favoring"
+    * narrow band quietly stops being recall-favoring (BENCH_SF1 round
+    * 15 measured W=6 returning FEWER true pairs than W=8 at the ≥50×
+    * corpus for exactly this reason). A 100 TB operator needs to SEE
+    * that, not infer it: one row per band with the saturated-bucket
+    * count, the member mass sitting in saturated buckets, and the
+    * evicted (truncation-source) share in ppm. All zeros ⇒ the
+    * geometry is below its capacity and [[cosineLsh]]'s pair set is
+    * cap-free; any nonzero row ⇒ turn the W dial (the curated layout's
+    * [[graft.sources.CuratedCorpusLayout.autoPlanesPerBand]] turns it
+    * automatically). Eviction is possible only in saturated buckets
+    * (the pool predicate keeps everything when n_bucket ≤ cap), so
+    * n_evicted > 0 exactly flags binding truncation.
+    * CosinePoolAuditSpec plants a saturated bucket and pins the audit
+    * against the pair set it truncates. */
+  def cosinePoolAudit(spark: SparkSession, dir: String): DataFrame =
+    cosinePoolAuditConfig(spark, dir, CosineLshBands, CosineLshBandPlanes)
+
+  /** [[cosinePoolAudit]] at an explicit (bands, planes-per-band)
+    * geometry — audits the same banding [[cosineLshConfig]] queries. */
+  def cosinePoolAuditConfig(spark: SparkSession, dir: String,
+      nBands: Int, planesPerBand: Int): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val e = normedDirVecs(embs(spark, dir))
+    val bands = cosineBandsOf(e, nBands, planesPerBand)
+    val nb = bands.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("n_bucket"))
+    // bucket grain: membership + how much of it survives the pool
+    val bkt = bands.join(broadcast(nb), Seq("band", "code"))
+      .groupBy(col("band"), col("code"), col("n_bucket"))
+      .agg(Tables.countIf(
+        h60Pool(col("vec_id"), col("n_bucket"), MaxCosinePool)).as("n_pool"))
+    bkt.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_bucket")).as("n_members"),
+        max(col("n_bucket")).as("max_bucket"),
+        Tables.countIf(col("n_bucket") > MaxCosinePool)
+          .as("n_saturated_buckets"),
+        coalesce(sum(when(col("n_bucket") > MaxCosinePool,
+          col("n_bucket"))), lit(0L)).as("n_sat_members"),
+        sum(col("n_bucket") - col("n_pool")).as("n_evicted"))
+      .withColumn("evicted_ppm",
+        floor(col("n_evicted") * lit(1000000L) / col("n_members"))
+          .cast(LongType))
+      .orderBy(col("band"))
+  }
+
+  val cosinePoolAuditSql: String =
+    cosinePoolAuditSqlConfig(CosineLshBands, CosineLshBandPlanes)
+
+  def cosinePoolAuditSqlConfig(bands: Int, planesPerBand: Int): String = {
+    val bandCtes = (0 until bands).map { b =>
+      s"""SELECT vec_id, $b AS band,
+         |         ${SimilarityQueries.bucketCodeFromSql("embedding",
+        b * planesPerBand, planesPerBand)} AS code
+         |  FROM e""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${norm2Sql("embedding")}) AS nrm
+       |  FROM embeddings
+       |  WHERE ${norm2Sql("embedding")} > 0),
+       |bands AS (
+       |  $bandCtes),
+       |nb AS (SELECT band, code, count(*) AS n_bucket
+       |       FROM bands GROUP BY band, code),
+       |bkt AS (
+       |  SELECT band, code, n_bucket,
+       |         count(CASE WHEN ${h60PoolSql("vec_id", "n_bucket",
+        MaxCosinePool)} THEN 1 END) AS n_pool
+       |  FROM bands JOIN nb USING (band, code)
+       |  GROUP BY band, code, n_bucket)
+       |SELECT band,
+       |       count(*) AS n_buckets,
+       |       CAST(sum(n_bucket) AS BIGINT) AS n_members,
+       |       CAST(max(n_bucket) AS BIGINT) AS max_bucket,
+       |       count(CASE WHEN n_bucket > $MaxCosinePool THEN 1 END)
+       |         AS n_saturated_buckets,
+       |       CAST(COALESCE(sum(CASE WHEN n_bucket > $MaxCosinePool
+       |         THEN n_bucket END), 0) AS BIGINT) AS n_sat_members,
+       |       CAST(sum(n_bucket - n_pool) AS BIGINT) AS n_evicted,
+       |       CAST(floor(sum(n_bucket - n_pool) * 1000000
+       |         / sum(n_bucket)) AS BIGINT) AS evicted_ppm
+       |FROM bkt
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
   }
 
   val cosineLshSql: String =
@@ -2193,18 +2300,43 @@ object DedupQueries {
     * refresh) uses to pay the delta's shingle/sign work exactly once
     * per snapshot instead of once per consumer. `ids` is the delta's
     * distinct doc_ids, `shD` its sized shingles, `bD` its band rows —
-    * all already materialized (localCheckpoint) by the caller. */
+    * all materialized (localCheckpoint) or deterministically
+    * recomputable from a checkpointed doc frame (the caller's
+    * cache-vs-lazy call — [[graft.sources.IngestGate.deltaFrames]]). */
   private[graft] def deltaPairsCoreFrom(corpusSized: DataFrame,
       corpusBands: DataFrame, ids: DataFrame, shD: DataFrame,
-      bD: DataFrame): DataFrame = {
+      bD: DataFrame): DataFrame =
+    deltaVerifyFrom(deltaCandidatesFrom(corpusBands, ids, bD),
+      corpusSized, ids, shD)
+
+  /** Candidate-generation half of [[deltaPairsCoreFrom]]: the
+    * (doc_a, doc_b) pairs sharing ≥1 band cell with the delta, delta ×
+    * (corpus ∪ delta). Split out so a persisted-index caller
+    * ([[graft.sources.DedupIndexLayout.dedupDeltaFrom]]) can
+    * materialize the candidates FIRST and prune the verification's
+    * corpus-shingle read to exactly the candidate doc_ids — the
+    * band-key equi-join only ever matches corpus rows whose `key`
+    * appears in `bD`, so a corpus side pre-filtered to the delta's
+    * band keys is byte-equal by construction. */
+  private[graft] def deltaCandidatesFrom(corpusBands: DataFrame,
+      ids: DataFrame, bD: DataFrame): DataFrame = {
     val bAll = corpusBands.join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionByName(bD)
-    val cand = bD.as("a").join(bAll.as("b"),
+    bD.as("a").join(bAll.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+  }
+
+  /** Verification half of [[deltaPairsCoreFrom]]: exact Jaccard over
+    * the union shingle index restricted (by the join itself) to the
+    * candidate docs. `corpusSized` may be pre-pruned to any superset
+    * of the candidates' corpus doc_ids — verification reads only rows
+    * whose doc_id appears in `cand`, so the result is unchanged. */
+  private[graft] def deltaVerifyFrom(cand: DataFrame,
+      corpusSized: DataFrame, ids: DataFrame, shD: DataFrame): DataFrame = {
     val shAll = corpusSized.join(broadcast(ids), Seq("doc_id"), "left_anti")
       .unionByName(shD)
     verifyJaccardSized(cand, shAll).filter(col("jaccard") >= 0.3)
@@ -2471,6 +2603,12 @@ object DedupQueries {
     ("dedup_embedding_cosine", embeddingCosine _, embeddingCosineSql),
     ("dedup_semantic_clean", semanticClean _, semanticCleanSql),
     ("dedup_cosine_lsh", cosineLsh _, cosineLshSql),
+    // the pool-cap saturation telltale for the query above: any
+    // nonzero n_saturated_buckets/n_evicted row means the registered
+    // geometry's candidate generation is being silently truncated and
+    // the W dial must turn (all-zero at the bounded test SFs, where
+    // the cap never binds)
+    ("dedup_cosine_pool_audit", cosinePoolAudit _, cosinePoolAuditSql),
     // the band-width dial's measured point: W=8 re-bounds per-bucket
     // postings 4x (corpus/2^8 per band) — the knob a growing corpus
     // turns (BENCH_SF1 r12: the salted universe exposed W=6's true

@@ -636,10 +636,13 @@ object MultimodalQueries {
   /** [[mediaDeltaPairsCore]] with the delta's signature/tile pass
     * PRECOMPUTED — the composed snapshot seam
     * ([[graft.sources.IngestGate.ingestAndCurate]]): the `graft_psig`
-    * kernel is the media family's dominant per-doc cost, so a snapshot
-    * pays it once across the gate check AND the tile-index filing.
-    * `ids` is the delta's distinct doc_ids, `tD` its tile rows — both
-    * already materialized. */
+    * kernel is the media family's dominant per-doc cost, so a bounded
+    * snapshot pays it once across the gate check AND the tile-index
+    * filing. `ids` is the delta's distinct doc_ids (materialized);
+    * `tD` its tile rows — materialized for deltas within
+    * [[graft.sources.IngestGate.ComposeCacheMaxBytes]], else a
+    * lazy-but-deterministic recomputation from the checkpointed doc
+    * frame (same rows either way). */
   private[graft] def mediaDeltaPairsCoreFrom(corpusTiles: DataFrame,
       ids: DataFrame, tD: DataFrame): DataFrame = {
     val tAll = corpusTiles.join(broadcast(ids), Seq("doc_id"), "left_anti")

@@ -255,10 +255,15 @@ object CuratedCorpusLayout {
     // the RESOLVED geometry (a sidecar saying "auto" would leave every
     // refresh re-deriving it against a grown corpus, exactly the
     // mixed-geometry drift the freeze exists to prevent)
+    // distinct vec_id: the docs state the AUTO input as "the corpus
+    // vector count", so a raw feed carrying duplicate vec_id rows must
+    // not inflate the resolved W past what the banded set warrants
+    // (the residual zero-norm overcount is ≤ the duplicates one and
+    // only ever errs toward a wider, safer W)
     val cosPlanes =
       if (cosPlanesPerBand == AutoPlanes)
         autoPlanesPerBand(Tables.load(spark, dir, "embeddings")
-          .filter(whereVec).select(col("vec_id")).count())
+          .filter(whereVec).select(col("vec_id")).distinct().count())
       else cosPlanesPerBand
     // the geometry sidecar goes FIRST: every later state table derives
     // from it, and a crash mid-build then leaves a prefix whose partial
@@ -396,6 +401,18 @@ object CuratedCorpusLayout {
     * (CuratedDeltaSpec), at delta-plus-algebra cost instead of the
     * full chain (CuratedDeltaBench measures the gap).
     *
+    * GEOMETRY SCOPE of that equality: a refresh runs under the FROZEN
+    * `_cos_geom` geometry, so "equals a full rebuild" means a rebuild
+    * AT THE SAME RESOLVED W. Under the [[AutoPlanes]] default that is
+    * exact until corpus ∪ delta crosses an auto threshold
+    * ([[autoPlanesPerBand]] — 2^W × [[AutoTargetPostings]] vectors);
+    * past it a DEFAULT rebuild would resolve a wider W than the
+    * frozen one and its pair state differs exactly as the W dial
+    * differs (the S-curve recall trade, CosineLshRecallSpec). The
+    * refresh stays internally exact either way — crossing the
+    * threshold is the signal to schedule the rebuild that re-freezes
+    * the wider geometry (the `dedup_cosine_pool_audit` telltale).
+    *
     * Idempotent end to end: every state append anti-joins what is
     * already filed, the two replace-maintained pair states reconverge
     * on replay (their delta-member rows are rebuilt from scratch each
@@ -420,11 +437,16 @@ object CuratedCorpusLayout {
   }
 
   /** [[refresh]] with the delta's shingle/band passes PRECOMPUTED —
-    * the seam [[IngestGate.ingestAndCurate]] uses so one snapshot pays
-    * each per-delta pass once across the gate check AND the curated
-    * refresh. `deltaDocs` is already doc_id-deduplicated; `ids`, the
-    * sized shingles `shD`, and the band rows `bD` are already
-    * materialized (localCheckpoint). */
+    * the seam [[IngestGate.ingestAndCurate]] uses so one snapshot
+    * defines each per-delta frame once across the gate check AND the
+    * curated refresh. `deltaDocs` and `ids` are already
+    * doc_id-deduplicated and materialized (localCheckpoint);
+    * `shD`/`bD` are either materialized (deltas within
+    * [[IngestGate.ComposeCacheMaxBytes]] — each pass paid once) or
+    * lazy-but-deterministic recomputations from the checkpointed
+    * `deltaDocs` (bulk deltas re-derive per consumer by design —
+    * [[IngestGate.deltaFrames]]); identical frame content either
+    * way. */
   private[sources] def refreshWith(spark: SparkSession, dir: String,
       prefix: String, deltaDocs: DataFrame, ids: DataFrame, shD: DataFrame,
       bD: DataFrame, deltaVecs: DataFrame, buckets: Int,

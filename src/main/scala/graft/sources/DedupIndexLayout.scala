@@ -132,26 +132,66 @@ object DedupIndexLayout {
     * index against the delta's own ids, so the already-filed copies
     * are invisible and a replay returns the identical pair set. */
   def dedupDelta(spark: SparkSession, prefix: String,
-      newDocs: DataFrame): DataFrame =
-    DedupQueries.deltaPairsCore(
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_shingles"), "doc_id"),
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_bands"), "doc_id"),
-      newDocs.dropDuplicates("doc_id"))
+      newDocs: DataFrame): DataFrame = {
+    val docs = newDocs.dropDuplicates("doc_id").localCheckpoint(true)
+    val ids = docs.select(col("doc_id")).localCheckpoint(true)
+    val shD = DedupQueries.withSizes(DedupQueries.shinglesOf(docs))
+      .localCheckpoint(true)
+    val bD = DedupQueries.minhashBandsOf(
+        DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
+      .localCheckpoint(true)
+    dedupDeltaFrom(spark, prefix, ids, shD, bD)
+  }
 
-  /** [[dedupDelta]] with the delta's shingle/band passes PRECOMPUTED
-    * ([[DedupQueries.deltaPairsCoreFrom]]) — the composed snapshot
-    * path shares one delta pass across the gate check and the curated
-    * refresh instead of re-shingling per consumer. */
+  /** [[dedupDelta]] with the delta's shingle/band passes PRECOMPUTED —
+    * the composed snapshot path shares one delta pass across the gate
+    * check and the curated refresh instead of re-shingling per
+    * consumer.
+    *
+    * Bounded deltas (≤ [[ScanPrune.maxDeltaDocs]]) take the PRUNED
+    * verify plan: the corpus band scan is restricted to the delta's
+    * own band keys before candidate generation, and the corpus shingle
+    * scan to the materialized candidates' corpus doc_ids before
+    * verification — both filters are exact by join algebra (a band row
+    * with a non-delta key, or a shingle row of a non-candidate doc,
+    * cannot reach the output), and both engage bucket-file + parquet
+    * page pruning because each filter column is its table's
+    * bucket/sort key ([[ScanPrune]] header for the full argument;
+    * PrunedVerifySpec pins pruned == full). This removes the
+    * per-batch corpus-sized read that was the ingest slope's last
+    * linear term. */
   private[sources] def dedupDeltaFrom(spark: SparkSession, prefix: String,
-      ids: DataFrame, shD: DataFrame, bD: DataFrame): DataFrame =
-    DedupQueries.deltaPairsCoreFrom(
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_shingles"), "doc_id"),
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_bands"), "doc_id"),
-      ids, shD, bD)
+      ids: DataFrame, shD: DataFrame, bD: DataFrame): DataFrame = {
+    val sized = Tombstones.filter(spark, prefix,
+      BucketedTables.read(spark, s"${prefix}_shingles"), "doc_id")
+    val bands = Tombstones.filter(spark, prefix,
+      BucketedTables.read(spark, s"${prefix}_bands"), "doc_id")
+    val maxDocs = ScanPrune.maxDeltaDocs(spark)
+    if (maxDocs > 0L && ids.count() <= maxDocs) {
+      // the delta's band keys bound what candidate generation can
+      // match on the corpus side
+      val keys = bD.select(col("key")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      ScanPrune.ensureInPushdown(spark, keys.length)
+      val cand = DedupQueries.deltaCandidatesFrom(
+          ScanPrune.inSet(bands, "key", keys), ids, bD)
+        .localCheckpoint(true)
+      // the candidates' CORPUS doc_ids bound what verification can
+      // read (the delta side's shingles come from shD); a degenerate
+      // delta colliding with a large corpus slice falls back to the
+      // full shingle scan rather than an unbounded IN list
+      val deltaIds = ids.collect().map(_.getLong(0)).toSet
+      val candIds = cand.select(col("doc_a"))
+        .unionByName(cand.select(col("doc_b").as("doc_a"))).distinct()
+        .collect().map(_.getLong(0)).filterNot(deltaIds).toSeq
+      val sizedIn =
+        if (candIds.length <= 16 * maxDocs) {
+          ScanPrune.ensureInPushdown(spark, candIds.length)
+          ScanPrune.inSet(sized, "doc_id", candIds)
+        } else sized
+      DedupQueries.deltaVerifyFrom(cand, sizedIn, ids, shD)
+    } else DedupQueries.deltaPairsCoreFrom(sized, bands, ids, shD, bD)
+  }
 
   /** CONTINUOUS ingest: a stream of (doc_id, text) rows is deduped
     * against the corpus-so-far and then filed into it, one micro-batch

@@ -111,8 +111,29 @@ object IngestGate {
     * sequential in cost while keeping the composition's structural
     * guarantees (one split definition, one verdict frame, one filing
     * discipline). Steady-state snapshot deltas sit far below this;
-    * only bulk backfills cross it. */
+    * only bulk backfills cross it.
+    *
+    * This doc-count form survives as the EXPLICIT override
+    * (`graft.compose.cacheMaxDocs` — also the specs' force-lazy
+    * switch); the DEFAULT dial is [[ComposeCacheMaxBytes]], because
+    * the crossover is a byte phenomenon, not a row-count one. */
   val ComposeCacheMaxDocs: Long = 16384L
+
+  /** The cache-vs-lazy crossover in the dimension that actually
+    * drives it: SERIALIZED FRAME BYTES per consumer. The measured
+    * bracket (10k-doc win / 50k-doc loss) was taken on ~300-byte docs
+    * — i.e. the win/loss boundary sits near 16 384 docs × ~300 B ≈
+    * 5 MB of delta text, from which the per-doc frames (shingles,
+    * bands, tiles) derive roughly linearly. A doc-count dial would
+    * misclassify by the doc-length ratio in either direction: a
+    * 16k-doc delta of 100 kB documents is ~300× the measured bracket
+    * (must stay lazy), a million tweet-length docs is within it (may
+    * cache). [[deltaFrames]] therefore compares the batch's own summed
+    * text length — one cheap agg over the already-checkpointed `nd` —
+    * against this bound; override via `graft.compose.cacheMaxBytes`,
+    * or pin the legacy doc-count behavior with
+    * `graft.compose.cacheMaxDocs` (which, when set, wins). */
+  val ComposeCacheMaxBytes: Long = ComposeCacheMaxDocs * 300L
 
   /** The delta's per-doc frames — distinct ids, sized shingles,
     * MinHash band rows, perceptual tile rows — defined ONCE per
@@ -121,21 +142,31 @@ object IngestGate {
     * materialized; every derivation below is pure (deterministic
     * hashing over `nd`'s checkpointed rows), so consumers see
     * identical frame CONTENT whether the frames are cached
-    * (≤ [[ComposeCacheMaxDocs]] docs: pay each pass once) or lazy
-    * (bulk deltas: each consumer recomputes, fused into its own
-    * codegen pipeline — see the threshold's scaladoc). */
+    * (bounded deltas: pay each pass once) or lazy (bulk deltas: each
+    * consumer recomputes, fused into its own codegen pipeline). The
+    * cache decision is BYTES-driven by default
+    * ([[ComposeCacheMaxBytes]]), with the doc-count conf as the
+    * explicit override. */
   private def deltaFrames(nd: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.queries.DedupQueries
     // ids always materialize: delta-sized, broadcast into every
-    // consumer's anti-joins, and the count doubles as the cache dial
+    // consumer's anti-joins
     val ids = nd.select(col("doc_id")).localCheckpoint(true)
-    // runtime-tunable (session conf) so a deployment can move the
-    // crossover for its own doc sizes; the default carries the
-    // measured 10k-win / 50k-loss bracket
-    val cacheMax = nd.sparkSession.conf
-      .get("graft.compose.cacheMaxDocs", ComposeCacheMaxDocs.toString).toLong
-    val cache = ids.count() <= cacheMax
+    val conf = nd.sparkSession.conf
+    // the crossover is a serialized-BYTES phenomenon, so the default
+    // dial is the batch's own summed text length — one cheap agg over
+    // the checkpointed nd. An explicitly set doc-count conf wins (a
+    // deployment that knows its regime, and the specs' force-lazy
+    // switch).
+    val cache = conf.getOption("graft.compose.cacheMaxDocs") match {
+      case Some(maxDocs) => ids.count() <= maxDocs.toLong
+      case None =>
+        val maxBytes = conf.get("graft.compose.cacheMaxBytes",
+          ComposeCacheMaxBytes.toString).toLong
+        nd.agg(coalesce(sum(length(col("text"))), lit(0L)))
+          .head().getLong(0) <= maxBytes
+    }
     def mat(df: DataFrame): DataFrame =
       if (cache) df.localCheckpoint(true) else df
     val shD = mat(DedupQueries.withSizes(DedupQueries.shinglesOf(nd)))
@@ -147,9 +178,13 @@ object IngestGate {
 
   /** [[checkDelta]] with the delta's shingle/band and signature/tile
     * passes PRECOMPUTED — the seam [[ingestAndCurate]] uses so one
-    * snapshot pays each per-delta pass once across the gate check AND
-    * the curated refresh. `nd`/`ids`/`shD`/`bD`/`tD` must already be
-    * materialized. */
+    * snapshot defines each per-delta frame once across the gate check
+    * AND the curated refresh. `nd` and `ids` are always materialized
+    * (localCheckpoint); `shD`/`bD`/`tD` are either materialized
+    * (deltas within [[ComposeCacheMaxBytes]]: each pass paid once) or
+    * lazy-but-deterministic recomputations from the checkpointed `nd`
+    * (bulk deltas: each consumer re-derives them fused into its own
+    * codegen pipeline — same content either way, [[deltaFrames]]). */
   private[sources] def checkDeltaWith(spark: SparkSession, dir: String,
       prefix: String, nd: DataFrame, ids: DataFrame, shD: DataFrame,
       bD: DataFrame, tD: DataFrame, newVecs: DataFrame,
@@ -270,25 +305,29 @@ object IngestGate {
       .orderBy(col("source"))
 
   /** The COMPOSED snapshot path: gate check + index filing + curated
-    * refresh, paying each per-delta pass ONCE. A deployment that runs
-    * [[checkDelta]]/[[appendDelta]] and then
+    * refresh off ONE shared delta-frame definition. A deployment that
+    * runs [[checkDelta]]/[[appendDelta]] and then
     * [[CuratedCorpusLayout.refresh]] per snapshot shingles and
     * MinHash-signs the delta twice (once in the gate, once in the
     * refresh); here the delta's doc-dedup, sized-shingle, band, and
-    * perceptual signature/tile frames are materialized once and
-    * threaded through every consumer ([[checkDeltaWith]],
+    * perceptual signature/tile frames are defined once and threaded
+    * through every consumer ([[checkDeltaWith]],
     * [[DedupIndexLayout.appendDeltaDocsFrom]],
     * [[MediaIndexLayout.appendDeltaDocsFrom]],
-    * [[CuratedCorpusLayout.refreshWith]]) — two of the sequential
-    * path's three per-delta shingle/sign passes removed, and the
-    * media tier's `graft_psig` kernel (its dominant per-doc cost) paid
-    * once instead of twice. The saving is
-    * PER-DELTA-DOC work, so it scales with snapshot size: measured
-    * parity (1.01×) at a 1000-doc delta where the fixed
-    * state-maintenance algebra dominates, 0.86× at a 10k-doc delta
-    * against a 10× corpus (ComposedIngestBench, composed leg timed
-    * first — conservative ordering; 0.92× before the media kernel was
-    * shared), growing with the delta share from there.
+    * [[CuratedCorpusLayout.refreshWith]]). For deltas within
+    * [[ComposeCacheMaxBytes]] the frames are CACHED, so the shingle
+    * and `graft_psig` passes are paid once instead of per consumer —
+    * two of the sequential path's three per-delta shingle/sign passes
+    * removed: measured parity (1.01×) at a 1000-doc delta where the
+    * fixed state-maintenance algebra dominates, 0.86× at a 10k-doc
+    * delta against a 10× corpus (ComposedIngestBench, composed leg
+    * timed first — conservative ordering; 0.92× before the media
+    * kernel was shared). ABOVE the byte threshold the frames stay
+    * lazy BY DESIGN and each consumer re-derives its own fused pass
+    * (the measured 50k-doc inversion, STREAMBENCH round 15) — the
+    * pay-once claim holds only under the threshold; the structural
+    * guarantees (one split definition, one verdict frame, one filing
+    * discipline) hold at every size.
     *
     * Semantics are EXACTLY check → append → refresh on the same delta
     * (IngestAndCurateSpec pins verdicts and curated state byte-equal

@@ -83,21 +83,40 @@ object MediaIndexLayout {
     * append (delta-id anti-join hides the filed copies). Tombstoned
     * docs stop matching immediately. */
   def dedupDelta(spark: SparkSession, prefix: String,
-      newDocs: DataFrame): DataFrame =
-    MultimodalQueries.mediaDeltaPairsCore(
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id"),
-      newDocs)
+      newDocs: DataFrame): DataFrame = {
+    val d = newDocs.dropDuplicates("doc_id").localCheckpoint(true)
+    dedupDeltaFrom(spark, prefix,
+      d.select(col("doc_id")).localCheckpoint(true),
+      MultimodalQueries.tileRowsOf(d).localCheckpoint(true))
+  }
 
   /** [[dedupDelta]] with the delta's signature/tile pass PRECOMPUTED
     * ([[MultimodalQueries.mediaDeltaPairsCoreFrom]]) — the composed
-    * snapshot path's media leg. */
+    * snapshot path's media leg.
+    *
+    * Bounded deltas (≤ [[ScanPrune.maxDeltaDocs]]) PRUNE the corpus
+    * tile scan to the delta's own tile values before the candidate
+    * join — exact by join algebra (the join requires tile equality,
+    * so a corpus row with a non-delta tile cannot match), and
+    * bucket-file + parquet-page prunable because `tile` is the
+    * table's bucket/sort key ([[ScanPrune]]; PrunedVerifySpec pins
+    * pruned == full). The tile join IS the verification here (the
+    * full psig rides every row), so one pruned scan covers the whole
+    * check. */
   private[sources] def dedupDeltaFrom(spark: SparkSession, prefix: String,
-      ids: DataFrame, tD: DataFrame): DataFrame =
-    MultimodalQueries.mediaDeltaPairsCoreFrom(
-      Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id"),
-      ids, tD)
+      ids: DataFrame, tD: DataFrame): DataFrame = {
+    val tiles = Tombstones.filter(spark, prefix,
+      BucketedTables.read(spark, s"${prefix}_tiles"), "doc_id")
+    val maxDocs = ScanPrune.maxDeltaDocs(spark)
+    val tilesIn =
+      if (maxDocs > 0L && ids.count() <= maxDocs) {
+        val tvals = tD.select(col("tile")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        ScanPrune.ensureInPushdown(spark, tvals.length)
+        ScanPrune.inSet(tiles, "tile", tvals)
+      } else tiles
+    MultimodalQueries.mediaDeltaPairsCoreFrom(tilesIn, ids, tD)
+  }
 
   /** CONTINUOUS media ingest: check-then-append per micro-batch —
     * at-least-once pair emission over an exactly-once index, the

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** File/page-level pruning of corpus-side index scans for DELTA
+  * verification — the fix for the ingest slope's last corpus-linear
+  * term.
+  *
+  * A delta check is an equi-join of a request-sized delta against a
+  * corpus-sized bucketed table (MinHash bands on `key`, shingles on
+  * `doc_id`, perceptual tiles on `tile`). The join itself is
+  * shuffle-free — the corpus side is bucketed on the join key — but a
+  * sort-merge or broadcast join still READS every bucket: IO/decode
+  * linear in index size, paid per micro-batch. That scan was the
+  * measured residual ≈1.5–1.8×-per-decade ingest slope at the 100×
+  * corpus (STREAMBENCH.md round 15).
+  *
+  * A bounded delta can only match corpus rows whose join key appears
+  * in the delta, so the corpus scan is pre-filtered with an explicit
+  * IN over the delta's (collected, bounded) key set. One declarative
+  * filter engages every scan-pruning layer Spark/parquet already
+  * have:
+  *  - BUCKET pruning: the filter column IS the bucket column, so
+  *    non-matching bucket FILES drop out at planning time. At
+  *    deployment bucket counts (buckets ≈ table_size / 128–512 MB —
+  *    tens of thousands at 100 TB) a small delta's key set touches a
+  *    vanishing fraction of buckets, making the check's read
+  *    DELTA-sized, not corpus-sized;
+  *  - row-group and PAGE pruning: the tables are `sortBy` the same
+  *    key within buckets, so parquet min/max statistics and column
+  *    indexes skip every page containing no delta key — this is the
+  *    layer that bites at test bucket counts, where a 250-doc delta
+  *    still touches all N buckets but reads only the matching pages
+  *    of each;
+  *  - ordinary row-level predicate eval on whatever survives.
+  * Correctness is join algebra, not sampling: an equi-join output row
+  * whose corpus key lies outside the delta's key set cannot exist, so
+  * the pruned check is byte-equal to the full-scan check
+  * (PrunedVerifySpec pins both layouts, both directions).
+  *
+  * The key set is collected to the driver, so the path is gated to
+  * bounded deltas (`graft.ingest.pruneMaxDeltaDocs` docs, default
+  * [[PruneMaxDeltaDocs]]); above the gate the full-scan plan runs
+  * unchanged — a bulk backfill's key set approaches the corpus's own
+  * anyway, and its one scan amortizes over the whole delta. The gate
+  * sits below [[IngestGate.ComposeCacheMaxDocs]] by design: whenever
+  * pruning collects from the shared delta frames, those frames are
+  * cached, so the collect reads checkpointed rows instead of
+  * re-running a per-doc kernel.
+  */
+private[sources] object ScanPrune {
+
+  /** Default doc-count gate for the pruned path — the steady-state
+    * micro-batch class (hundreds to low thousands of docs) prunes;
+    * bulk backfills fall back to the full scan. At 4 band keys and a
+    * handful of tiles per doc the implied IN lists stay ≤ ~20k
+    * literals, bounded driver and planning cost. */
+  val PruneMaxDeltaDocs: Long = 4096L
+
+  def maxDeltaDocs(spark: SparkSession): Long =
+    spark.conf.get("graft.ingest.pruneMaxDeltaDocs",
+      PruneMaxDeltaDocs.toString).toLong
+
+  /** Spark pushes an IN to parquet as an eq-or-chain only up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values — beyond
+    * that only the [min, max] RANGE is pushed, which prunes nothing
+    * for hash-uniform keys. Delta key sets legitimately run to a few
+    * thousand, so raise the session threshold to cover the set being
+    * pushed (never lower it). Planning/eval cost stays bounded by the
+    * same doc gate that bounds the collect. */
+  def ensureInPushdown(spark: SparkSession, n: Int): Unit = {
+    val k = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(k, "10").toInt < n) spark.conf.set(k, n.toString)
+  }
+
+  /** `df` restricted to rows whose `key` ∈ `values` — the prunable IN
+    * literal filter. The empty set degenerates to `false` (an empty
+    * delta matches nothing; `isin()` with zero arguments is not
+    * well-defined). */
+  def inSet(df: DataFrame, key: String, values: Seq[Any]): DataFrame =
+    if (values.isEmpty) df.filter(lit(false))
+    else df.filter(col(key).isin(values: _*))
+}

@@ -47,11 +47,20 @@ class DedupIndexLayoutSpec extends SparkSpec {
         .filter(col("doc_a") % 5 === 3 || col("doc_b") % 5 === 3)
       assert(got == pairSet(full))
 
-      // plan shape: the check reads the persisted index (bucketed
-      // tables), and the only documents scan is the delta's own
+      // plan shape: the check reads the persisted index. The PRUNED
+      // path (default at this delta size) reads the bands table inside
+      // its materialized candidate stage, so the returned plan shows
+      // only the (pruned) shingle scan; the forced full-scan plan
+      // shows both tables.
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("dd_idx_bands"), p)
       assert(p.contains("dd_idx_shingles"), p)
+      try {
+        spark.conf.set("graft.ingest.pruneMaxDeltaDocs", "0")
+        val pFull = DedupIndexLayout.dedupDelta(spark, "dd_idx",
+          docs(deltaPred)).queryExecution.executedPlan.toString
+        assert(pFull.contains("dd_idx_bands"), pFull)
+        assert(pFull.contains("dd_idx_shingles"), pFull)
+      } finally spark.conf.unset("graft.ingest.pruneMaxDeltaDocs")
     } finally dropIndex("dd_idx")
   }
 
