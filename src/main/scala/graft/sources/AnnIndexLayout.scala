@@ -67,26 +67,18 @@ object AnnIndexLayout {
   private val IndexTables =
     Seq("coarse", "pqcb", "cells", "codes", "cellhist", "qref", "ids")
 
-  /** Drop a table we own and clear its orphaned default directory —
-    * the shared [[BucketedTables.dropWithOrphanDir]] guard (the delete
-    * is warehouse-contained and fires only when no catalog entry
-    * remains). */
-  private def dropWithOrphanDir(spark: SparkSession, table: String): Unit =
-    BucketedTables.dropWithOrphanDir(spark, table)
-
-  /** The generation POINTER — a 1-row view `<prefix>_livegen` naming
-    * the published generation number. Every reader resolves the seven
-    * index tables through it ([[livePrefix]]), and a rebuild publishes
-    * by flipping it with a single `CREATE OR REPLACE VIEW` — ONE
-    * atomic catalog operation for the whole seven-table set, so a
-    * reader always resolves one COMPLETE index generation: there is no
-    * moment at which any table is under neither name (the rename-loop
-    * swap this replaced had one). */
-  private def genView(prefix: String): String = s"${prefix}_livegen"
-
+  /** The generation POINTER — the shared [[GenerationPointer]]
+    * machinery (extracted from this layout): a 1-row view
+    * `<prefix>_livegen` naming the published generation number. Every
+    * reader resolves the seven index tables through it
+    * ([[livePrefix]]), and a rebuild publishes by flipping it with a
+    * single `CREATE OR REPLACE VIEW` — ONE atomic catalog operation
+    * for the whole seven-table set, so a reader always resolves one
+    * COMPLETE index generation: there is no moment at which any table
+    * is under neither name (the rename-loop swap this replaced had
+    * one). */
   private def liveGen(spark: SparkSession, prefix: String): Option[Long] =
-    if (!spark.catalog.tableExists(genView(prefix))) None
-    else Some(spark.table(genView(prefix)).head().getAs[Long]("gen"))
+    GenerationPointer.liveGen(spark, prefix)
 
   /** The PHYSICAL prefix of the live generation — the seven index
     * tables are `<livePrefix>_coarse` … `<livePrefix>_ids`. Public so
@@ -94,45 +86,15 @@ object AnnIndexLayout {
     * everything else should go through [[serve]]/[[query]]. Loud when
     * nothing is published: resolving a half-built generation is
     * exactly what the pointer exists to prevent. */
-  def livePrefix(spark: SparkSession, prefix: String): String = {
-    val g = liveGen(spark, prefix).getOrElse(throw new IllegalStateException(
-      s"$prefix: no published index generation (no ${genView(prefix)} " +
-        "view) — run build first"))
-    s"${prefix}_g$g"
-  }
+  def livePrefix(spark: SparkSession, prefix: String): String =
+    GenerationPointer.livePrefix(spark, prefix)
 
-  private def genPattern(prefix: String) =
-    s"(?i)${java.util.regex.Pattern.quote(prefix)}_g(\\d+)_.*".r
-
-  /** Drop one generation's tables (and any orphaned directories). */
-  private def dropGeneration(spark: SparkSession, prefix: String,
-      gen: Long): Unit =
-    IndexTables.foreach(t => dropWithOrphanDir(spark, s"${prefix}_g${gen}_$t"))
-
-  /** Sweep every generation EXCEPT the live one: catalog tables first,
-    * then warehouse directories no catalog entry owns (a crashed
-    * build's half-written generation, or a crashed post-publish drop's
-    * leftovers — both from this or a previous session). Runs at the
-    * start of every [[build]]; also public for deployments that defer
-    * the post-publish drop ([[build]]'s `dropSuperseded = false`). */
-  def sweepStaleGenerations(spark: SparkSession, prefix: String): Unit = {
-    val keep = liveGen(spark, prefix)
-    val pat = genPattern(prefix)
-    spark.catalog.listTables().collect().map(_.name).foreach {
-      case n @ pat(g) if !keep.contains(g.toLong) => dropWithOrphanDir(spark, n)
-      case _ => ()
-    }
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath)
-    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(wh)) fs.listStatus(wh).map(_.getPath.getName).foreach {
-      // managed dirs are named after their table; clearOrphanDir no-ops
-      // when the catalog owns it (live data) and require-guards the path
-      case n @ pat(g) if !keep.contains(g.toLong) =>
-        BucketedTables.clearOrphanDir(spark, n)
-      case _ => ()
-    }
-  }
+  /** Sweep every generation EXCEPT the live one ([[GenerationPointer
+    * .sweepStale]]). Runs at the start of every [[build]]; also public
+    * for deployments that defer the post-publish drop ([[build]]'s
+    * `dropSuperseded = false`). */
+  def sweepStaleGenerations(spark: SparkSession, prefix: String): Unit =
+    GenerationPointer.sweepStale(spark, prefix)
 
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true),
@@ -155,7 +117,7 @@ object AnnIndexLayout {
     // serves the old generation complete; after it, the new one —
     // never a mixed set, never a missing table.
     val cur = liveGen(spark, prefix)
-    val tp = s"${prefix}_g${cur.getOrElse(0L) + 1L}"
+    val (tp, nextGen) = GenerationPointer.nextPrefix(spark, prefix)
     sweepStaleGenerations(spark, prefix)
     SimilarityQueries.coarseCentsOf(spark, dir, where)
       .write.mode("overwrite").format("parquet")
@@ -221,10 +183,10 @@ object AnnIndexLayout {
     // [[sweepStaleGenerations]] after their max query latency, so an
     // in-flight plan over the old generation never races its drop.
     faultHook("before-publish")
-    spark.sql(s"CREATE OR REPLACE VIEW ${genView(prefix)} AS " +
-      s"SELECT CAST(${cur.getOrElse(0L) + 1L} AS BIGINT) AS gen")
+    GenerationPointer.publish(spark, prefix, nextGen)
     faultHook("after-publish")
-    if (dropSuperseded) cur.foreach(g => dropGeneration(spark, prefix, g))
+    if (dropSuperseded) cur.foreach(g =>
+      GenerationPointer.dropGeneration(spark, prefix, g, IndexTables))
   }
 
   /** The deterministic 1-in-8 rate sample the `_qref` reference is

@@ -45,14 +45,59 @@ object HybridIndexLayout {
 
   // ---- dense leg: persisted LSH signatures ----------------------------
 
+  /** The dense leg's table set — one copy per generation. A single
+    * table, so each [[BucketedTables.replaceBucketed]] swap was
+    * already atomic in isolation; the generation pointer aligns the
+    * leg with [[TextIndexLayout]]/[[AnnIndexLayout]] (one publication
+    * discipline across every index layout) and buys the same deferred
+    * superseded-drop option for long-running concurrent queries. */
+  private val DenseTables = Seq("sigs")
+
+  /** The PHYSICAL prefix of the dense leg's live generation
+    * ([[GenerationPointer]]). */
+  def livePrefixDense(spark: SparkSession, prefix: String): String =
+    GenerationPointer.livePrefix(spark, prefix)
+
+  /** Generation-or-legacy resolution (the [[TextIndexLayout]]
+    * convention): pointer if published, logical-name table for a
+    * pre-pointer prefix, loud error when nothing is built. */
+  private def physDense(spark: SparkSession, prefix: String): String =
+    if (spark.catalog.tableExists(GenerationPointer.view(prefix)))
+      GenerationPointer.livePrefix(spark, prefix)
+    else if (spark.catalog.tableExists(s"${prefix}_sigs")) prefix
+    else GenerationPointer.livePrefix(spark, prefix) // loud: nothing built
+
   /** Build the signature table over the vectors matching `where`: one
     * corpus scan (norm + 8 plane projections per vector), bucketed by
-    * the probe key. */
+    * the probe key, written under the next generation and published
+    * with the atomic pointer flip. */
   def buildDense(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8, where: Column = lit(true)): Unit =
+      buckets: Int = 8, where: Column = lit(true),
+      dropSuperseded: Boolean = true): Unit =
+    buildDenseImpl(spark, dir, prefix, buckets, where, dropSuperseded,
+      _ => ())
+
+  /** [[buildDense]] with the publish-crash fault hook (spec'd like
+    * AnnPublishSpec/TextPublishSpec). */
+  private[sources] def buildDenseImpl(spark: SparkSession, dir: String,
+      prefix: String, buckets: Int, where: Column, dropSuperseded: Boolean,
+      faultHook: String => Unit): Unit = {
+    val cur = GenerationPointer.liveGen(spark, prefix)
+    val (tp, nextGen) = GenerationPointer.nextPrefix(spark, prefix)
+    GenerationPointer.sweepStale(spark, prefix)
     BucketedTables.writeBucketed(
       SimilarityQueries.lshSignatures(spark, dir, where),
-      s"${prefix}_sigs", "bucket", buckets)
+      s"${tp}_sigs", "bucket", buckets)
+    faultHook("before-publish")
+    GenerationPointer.publish(spark, prefix, nextGen)
+    faultHook("after-publish")
+    if (dropSuperseded) {
+      cur.foreach(g =>
+        GenerationPointer.dropGeneration(spark, prefix, g, DenseTables))
+      if (cur.isEmpty) DenseTables.foreach(t =>
+        BucketedTables.dropWithOrphanDir(spark, s"${prefix}_$t"))
+    }
+  }
 
   /** Incremental maintenance — encode ONLY the vectors matching
     * `where` and append their signatures. Idempotent under retries via
@@ -71,16 +116,19 @@ object HybridIndexLayout {
     * time. */
   def appendDeltaVectorsDense(spark: SparkSession, prefix: String,
       vecs: DataFrame, buckets: Int = 8): Unit = {
+    // resolved once per delta (the single-writer contract — see
+    // TextIndexLayout.appendDeltaDocs)
+    val pp = physDense(spark, prefix)
     // the anti-join dedups only against the PERSISTED signatures; a
     // batch carrying the same vec_id twice would pass it twice and
     // file duplicate signature rows — dedup within the batch first
     BucketedTables.appendBucketed(
       SimilarityQueries.lshSignaturesOf(SimilarityQueries.normedVectors(
           vecs.dropDuplicates("vec_id")))
-        .join(BucketedTables.read(spark, s"${prefix}_sigs")
+        .join(BucketedTables.read(spark, s"${pp}_sigs")
           .select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"),
-      s"${prefix}_sigs", "bucket", buckets)
-    spark.catalog.refreshTable(s"${prefix}_sigs")
+      s"${pp}_sigs", "bucket", buckets)
+    spark.catalog.refreshTable(s"${pp}_sigs")
   }
 
   /** Rewrite the delta-accumulated signatures back to one file per
@@ -89,8 +137,10 @@ object HybridIndexLayout {
     * quiesced by the per-table lock ([[BucketedTables]] header). */
   def compactDense(spark: SparkSession, prefix: String,
       buckets: Int = 8): Unit = {
-    BucketedTables.compact(spark, s"${prefix}_sigs", "bucket", buckets,
-      df => Tombstones.filter(spark, prefix, df, "vec_id"))
+    // sigs live at the generation grain; tombstones at the logical
+    // prefix (they must keep filtering across rebuilds)
+    BucketedTables.compact(spark, s"${physDense(spark, prefix)}_sigs",
+      "bucket", buckets, df => Tombstones.filter(spark, prefix, df, "vec_id"))
     Tombstones.clear(spark, prefix)
   }
 
@@ -111,7 +161,8 @@ object HybridIndexLayout {
       queries: DataFrame, excludeSelf: Boolean = false): DataFrame =
     SimilarityQueries.lshServeQueriesWith(spark, dir, queries,
       Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_sigs"), "vec_id"),
+        BucketedTables.read(spark, s"${physDense(spark, prefix)}_sigs"),
+        "vec_id"),
       excludeSelf)
 
   // ---- fused serving --------------------------------------------------

@@ -15,7 +15,12 @@ import graft.util.Tables
   * pure function of the corpus, and at scale the tokenize + two
   * aggregations are the expensive linear passes. This layout writes
   * the finished index ONCE, together with the GEOMETRY it was computed
-  * under, as managed tables:
+  * under, as managed tables — all three under a GENERATION prefix
+  * (`<prefix>_g<N>_*`) resolved through the 1-row pointer view
+  * `<prefix>_livegen` ([[GenerationPointer]]), so a rebuild publishes
+  * postings AND geometry with one atomic pointer flip and no reader
+  * ever scores new postings against an old generation's idf scale
+  * (TextPublishSpec kills a rebuild on both sides of the flip):
   *
   *  - `<prefix>_vocab` (term, df, n_docs, avgdl, idf_micro) and
   *    `<prefix>_stats` (n_docs, avgdl) — the index geometry, captured
@@ -45,6 +50,28 @@ import graft.util.Tables
   */
 object TextIndexLayout {
 
+  /** The index's table set — one complete copy per generation. */
+  private val IndexTables = Seq("vocab", "stats", "postings")
+
+  /** The PHYSICAL prefix of the live generation ([[GenerationPointer]]
+    * — this index's three tables are `<livePrefix>_vocab` /
+    * `_stats` / `_postings`). Public so specs and operational tooling
+    * can reach the backing tables; everything else should go through
+    * [[serve]]. */
+  def livePrefix(spark: SparkSession, prefix: String): String =
+    GenerationPointer.livePrefix(spark, prefix)
+
+  /** Generation-or-legacy resolution: a prefix built by [[build]]
+    * resolves through the `_livegen` pointer; a pre-pointer prefix
+    * (tables at the logical names, no view) keeps resolving as
+    * itself, so existing deployments read on unchanged until their
+    * next rebuild publishes generationally. */
+  private def phys(spark: SparkSession, prefix: String): String =
+    if (spark.catalog.tableExists(GenerationPointer.view(prefix)))
+      GenerationPointer.livePrefix(spark, prefix)
+    else if (spark.catalog.tableExists(s"${prefix}_postings")) prefix
+    else GenerationPointer.livePrefix(spark, prefix) // loud: nothing built
+
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
@@ -63,24 +90,62 @@ object TextIndexLayout {
     * ([[TextQueries.bm25TermGrain]] persisted for the duration of the
     * build). */
   def build(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8, where: Column = lit(true)): Unit = {
+      buckets: Int = 8, where: Column = lit(true),
+      dropSuperseded: Boolean = true): Unit =
+    buildImpl(spark, dir, prefix, buckets, where, dropSuperseded, _ => ())
+
+  /** [[build]] with a fault-injection hook for the publish-crash specs
+    * (`faultHook` is called at the named points and may throw).
+    *
+    * GENERATIONAL rebuild ([[GenerationPointer]]): vocab, stats, and
+    * postings are fully written under the next generation's prefix
+    * FIRST — a rebuild between two per-table swaps used to expose a
+    * reader to new postings against old idf geometry (the mixed-set
+    * window the ANN layout closed in round 15) — then the `_livegen`
+    * pointer flips in ONE atomic catalog operation and only afterwards
+    * does the superseded generation drop. A crash before the flip
+    * leaves the old index complete and serving; after it, the new one;
+    * never a mix (TextPublishSpec kills the build on both sides of the
+    * flip). A rebuild recaptures the frozen geometry, so
+    * [[stalenessMetrics]]/[[driftAudit]] re-baseline at the flip by
+    * construction — they resolve the live generation's vocab/stats. */
+  private[sources] def buildImpl(spark: SparkSession, dir: String,
+      prefix: String, buckets: Int, where: Column, dropSuperseded: Boolean,
+      faultHook: String => Unit): Unit = {
+    val cur = GenerationPointer.liveGen(spark, prefix)
+    val (tp, nextGen) = GenerationPointer.nextPrefix(spark, prefix)
+    GenerationPointer.sweepStale(spark, prefix)
     val perDoc = TextQueries.bm25TermGrain(docsOf(spark, dir).filter(where))
       .persist()
     perDoc.count()
     try {
       val dl = TextQueries.bm25DocLens(perDoc)
       val (vocab, stats) = TextQueries.bm25Vocab(perDoc, dl)
+      BucketedTables.dropWithOrphanDir(spark, s"${tp}_vocab")
       vocab.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${prefix}_vocab")
+        .saveAsTable(s"${tp}_vocab")
+      BucketedTables.dropWithOrphanDir(spark, s"${tp}_stats")
       stats.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${prefix}_stats")
+        .saveAsTable(s"${tp}_stats")
       // re-read the PERSISTED vocabulary so the postings are provably a
       // function of the frozen geometry (and the plan reuses one scan)
-      val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
+      val frozen = BucketedTables.read(spark, s"${tp}_vocab")
       BucketedTables.writeBucketed(
         TextQueries.bm25Postings(perDoc, frozen, dl),
-        s"${prefix}_postings", "term", buckets)
+        s"${tp}_postings", "term", buckets)
     } finally perDoc.unpersist()
+    faultHook("before-publish")
+    GenerationPointer.publish(spark, prefix, nextGen)
+    faultHook("after-publish")
+    if (dropSuperseded) {
+      cur.foreach(g =>
+        GenerationPointer.dropGeneration(spark, prefix, g, IndexTables))
+      // a pre-pointer (legacy) layout's logical-name tables are
+      // superseded by the first generational publish exactly like an
+      // old generation (tombstones are NOT index tables and survive)
+      if (cur.isEmpty) IndexTables.foreach(t =>
+        BucketedTables.dropWithOrphanDir(spark, s"${prefix}_$t"))
+    }
   }
 
   /** Incremental maintenance — encode ONLY the documents matching
@@ -111,18 +176,22 @@ object TextIndexLayout {
     * postings already hold and the anti-join drops them. */
   def appendDeltaDocs(spark: SparkSession, prefix: String,
       docs: DataFrame, buckets: Int = 8): Unit = {
-    val frozen = BucketedTables.read(spark, s"${prefix}_vocab")
+    // resolved ONCE per delta: appends and rebuilds are both writers
+    // under the layouts' single-writer contract — a rebuild publishing
+    // mid-append would strand this delta in the superseded generation
+    val pp = phys(spark, prefix)
+    val frozen = BucketedTables.read(spark, s"${pp}_vocab")
     // within-batch duplicates would pass the persisted-postings
     // anti-join together and double-file their term rows
     val perDoc = TextQueries.bm25TermGrain(docs.dropDuplicates("doc_id"))
     BucketedTables.appendBucketed(
       TextQueries.bm25Postings(perDoc, frozen, TextQueries.bm25DocLens(perDoc))
-        .join(BucketedTables.read(spark, s"${prefix}_postings")
+        .join(BucketedTables.read(spark, s"${pp}_postings")
           .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"),
-      s"${prefix}_postings", "term", buckets)
+      s"${pp}_postings", "term", buckets)
     // see AnnIndexLayout.appendDeltaVectors: a foreachBatch clone's
     // write does not invalidate the serving session's file listing
-    spark.catalog.refreshTable(s"${prefix}_postings")
+    spark.catalog.refreshTable(s"${pp}_postings")
   }
 
   /** CONTINUOUS index maintenance: a stream of (doc_id, text) rows
@@ -157,8 +226,10 @@ object TextIndexLayout {
     * writers quiesced per table by the [[BucketedTables]] lock (same
     * JVM; cross-JVM writers are outside the single-writer contract). */
   def compact(spark: SparkSession, prefix: String, buckets: Int = 8): Unit = {
-    BucketedTables.compact(spark, s"${prefix}_postings", "term", buckets,
-      df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    // postings live at the generation grain; tombstones at the logical
+    // prefix (they must keep filtering across rebuilds)
+    BucketedTables.compact(spark, s"${phys(spark, prefix)}_postings", "term",
+      buckets, df => Tombstones.filter(spark, prefix, df, "doc_id"))
     Tombstones.clear(spark, prefix)
   }
 
@@ -191,7 +262,8 @@ object TextIndexLayout {
       excludeSelf: Boolean = false): DataFrame =
     TextQueries.bm25Score(queryTerms(queries),
       Tombstones.filter(spark, prefix,
-        BucketedTables.read(spark, s"${prefix}_postings"), "doc_id"),
+        BucketedTables.read(spark, s"${phys(spark, prefix)}_postings"),
+        "doc_id"),
       excludeSelf)
 
   /** ONLINE serving: a stream of (q_id, text) queries answered from
@@ -239,7 +311,8 @@ object TextIndexLayout {
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val postings = Tombstones.filter(spark, prefix,
-      BucketedTables.read(spark, s"${prefix}_postings"), "doc_id")
+      BucketedTables.read(spark, s"${phys(spark, prefix)}_postings"),
+      "doc_id")
     // qt is request-sized: recomputing the tokenize per consumer is
     // cheaper than owning cached blocks on a long-lived serving session
     val qt = queryTerms(queries)
@@ -316,9 +389,10 @@ object TextIndexLayout {
       prefix: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
+    val pp = phys(spark, prefix)
     val grain = TextQueries.bm25TermGrain(docsOf(spark, dir)).persist()
     grain.count()
-    val known = spark.table(s"${prefix}_vocab")
+    val known = spark.table(s"${pp}_vocab")
       .select(col("term"), lit(1L).as("known"))
     val mass = grain.join(broadcast(known), Seq("term"), "left")
       .agg(sum(col("tf")).as("tot"),
@@ -328,7 +402,7 @@ object TextIndexLayout {
       count(lit(1)).as("n_docs_now"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl_now"))
-    val frozen = spark.table(s"${prefix}_stats")
+    val frozen = spark.table(s"${pp}_stats")
       .select(col("n_docs").as("n_docs_frozen"),
         col("avgdl").as("avgdl_frozen"))
     Tables.released(
@@ -357,12 +431,15 @@ object TextIndexLayout {
           TextQueries.bm25Vocab(perDoc, TextQueries.bm25DocLens(perDoc))
         (v0.localCheckpoint(true), s0.localCheckpoint(true))
       } finally perDoc.unpersist()
-    val terms = spark.table(s"${prefix}_vocab")
+    // the live generation's frozen geometry: a rebuild re-baselines
+    // this audit at the pointer flip by construction
+    val pp = phys(spark, prefix)
+    val terms = spark.table(s"${pp}_vocab")
       .select(col("term"), col("df").as("df_frozen"))
       .join(vocabNow.select(col("term"), col("df").as("df_now")),
         Seq("term"), "full_outer")
       .na.fill(0L, Seq("df_frozen", "df_now"))
-    val frozenS = spark.table(s"${prefix}_stats")
+    val frozenS = spark.table(s"${pp}_stats")
       .select(col("n_docs").as("n_docs_frozen"),
         col("avgdl").as("avgdl_frozen"))
     val nowS = statsNow

@@ -56,8 +56,7 @@ class CompactIndexSpec extends SparkSpec {
   }
 
   test("text index: compact re-bounds postings files; serve identical") {
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS txt_cmp_$t"))
+    dropPrefix("txt_cmp")
     val buckets = 4
     TextIndexLayout.build(spark, dir, "txt_cmp", buckets,
       where = col("doc_id") < 250L)
@@ -66,7 +65,8 @@ class CompactIndexSpec extends SparkSpec {
         col("doc_id") >= 250L && col("doc_id") < 400L, buckets)
       TextIndexLayout.appendDelta(spark, dir, "txt_cmp",
         col("doc_id") >= 400L, buckets)
-      val postBefore = spark.table("txt_cmp_postings").inputFiles.length
+      val phys = TextIndexLayout.livePrefix(spark, "txt_cmp")
+      val postBefore = spark.table(s"${phys}_postings").inputFiles.length
       assert(postBefore >= 2 * buckets, s"postings files $postBefore")
 
       val before = TextIndexLayout.query(spark, dir, "txt_cmp")
@@ -75,14 +75,13 @@ class CompactIndexSpec extends SparkSpec {
       TextIndexLayout.compact(spark, "txt_cmp", buckets)
       // the vocabulary hashes into every bucket, so the compacted
       // table is exactly one file per bucket
-      assert(spark.table("txt_cmp_postings").inputFiles.length == buckets)
+      assert(spark.table(s"${phys}_postings").inputFiles.length == buckets)
       assert(TextIndexLayout.query(spark, dir, "txt_cmp")
         .collect().toSeq == before)
 
       TextIndexLayout.appendDelta(spark, dir, "txt_cmp",
         col("doc_id") >= 400L, buckets) // already filed -> appends nothing
-      assert(spark.table("txt_cmp_postings").inputFiles.length == buckets)
-    } finally Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS txt_cmp_$t"))
+      assert(spark.table(s"${phys}_postings").inputFiles.length == buckets)
+    } finally dropPrefix("txt_cmp")
   }
 }

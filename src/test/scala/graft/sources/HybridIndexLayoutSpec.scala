@@ -17,9 +17,8 @@ class HybridIndexLayoutSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def dropIndexes(textPrefix: String, densePrefix: String): Unit = {
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${textPrefix}_$t"))
-    spark.sql(s"DROP TABLE IF EXISTS ${densePrefix}_sigs")
+    dropPrefix(textPrefix)
+    dropPrefix(densePrefix)
   }
 
   test("dense serve from persisted signatures equals online multi-probe lsh") {
@@ -38,8 +37,9 @@ class HybridIndexLayoutSpec extends SparkSpec {
       // embedding row) reruns: the embeddings table appears only for
       // the request rows and the exact-dot point lookups
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("hyb_dense_eq_sigs"), p)
-    } finally spark.sql("DROP TABLE IF EXISTS hyb_dense_eq_sigs")
+      assert(p.contains(
+        s"${HybridIndexLayout.livePrefixDense(spark, "hyb_dense_eq")}_sigs"), p)
+    } finally dropPrefix("hyb_dense_eq")
   }
 
   test("hybrid serve from the two persisted indexes equals txt_hybrid_rrf") {
@@ -54,8 +54,10 @@ class HybridIndexLayoutSpec extends SparkSpec {
       // build-once means SERVE pays neither leg build: no posting-cap
       // constant (sparse index build), no df/dl partial_sum
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("hyb_txt_eq_postings"), p)
-      assert(p.contains("hyb_ann_eq_sigs"), p)
+      assert(p.contains(
+        s"${TextIndexLayout.livePrefix(spark, "hyb_txt_eq")}_postings"), p)
+      assert(p.contains(
+        s"${HybridIndexLayout.livePrefixDense(spark, "hyb_ann_eq")}_sigs"), p)
       assert(!p.contains("1048576"), p)
       assert(!p.contains("partial_sum(tf"), p)
     } finally dropIndexes("hyb_txt_eq", "hyb_ann_eq")
@@ -96,16 +98,16 @@ class HybridIndexLayoutSpec extends SparkSpec {
     try {
       HybridIndexLayout.appendDeltaDense(spark, dir, "hyb_dense_delta",
         col("vec_id") >= 300L, buckets = 4)
-      val afterFirst = spark.table("hyb_dense_delta_sigs").count()
+      val afterFirst = spark.table(s"${HybridIndexLayout.livePrefixDense(spark, "hyb_dense_delta")}_sigs").count()
       // replayed delta: nothing new to file
       HybridIndexLayout.appendDeltaDense(spark, dir, "hyb_dense_delta",
         col("vec_id") >= 300L, buckets = 4)
-      assert(spark.table("hyb_dense_delta_sigs").count() == afterFirst)
+      assert(spark.table(s"${HybridIndexLayout.livePrefixDense(spark, "hyb_dense_delta")}_sigs").count() == afterFirst)
       // signatures are a pure per-vector function of the FIXED plane
       // geometry, so build(A) + delta(B) == one-shot build signatures
       val oneShot = SimilarityQueries.lshSignatures(spark, dir)
         .collect().toSet
-      assert(spark.table("hyb_dense_delta_sigs").collect().toSet == oneShot)
+      assert(spark.table(s"${HybridIndexLayout.livePrefixDense(spark, "hyb_dense_delta")}_sigs").collect().toSet == oneShot)
       // and serving equals the online query after the deltas
       val online = SimilarityQueries.lshMultiProbe(spark, dir).collect().toSeq
       val served = HybridIndexLayout.serveDense(spark, dir,
@@ -115,7 +117,7 @@ class HybridIndexLayoutSpec extends SparkSpec {
           .select(col("vec_id"), col("embedding")),
         excludeSelf = true).collect().toSeq
       assert(served == online)
-    } finally spark.sql("DROP TABLE IF EXISTS hyb_dense_delta_sigs")
+    } finally dropPrefix("hyb_dense_delta")
   }
 
   test("streamed hybrid serving answers micro-batches from the indexes") {

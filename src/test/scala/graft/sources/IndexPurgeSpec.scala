@@ -46,14 +46,13 @@ class IndexPurgeSpec extends SparkSpec {
       // compaction: rows physically gone, tombstones cleared, serve
       // byte-identical
       TextIndexLayout.compact(spark, "purge_txt", buckets = 4)
-      assert(spark.table("purge_txt_postings")
+      assert(spark.table(s"${TextIndexLayout.livePrefix(spark, "purge_txt")}_postings")
         .filter(col("doc_id").isin(victims: _*)).count() == 0L)
       assert(!spark.catalog.tableExists("purge_txt_tombstones"))
       assert(TextIndexLayout.query(spark, dir, "purge_txt").collect()
         .map(_.toString).toSeq == served.map(_.toString).toSeq)
     } finally {
-      Seq("postings", "vocab", "stats", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_txt_$t"))
+      dropPrefix("purge_txt")
     }
   }
 
@@ -63,7 +62,7 @@ class IndexPurgeSpec extends SparkSpec {
     try {
       TextIndexLayout.appendDelta(spark, dir, "purge_res",
         col("doc_id") === 100L, buckets = 4)
-      assert(spark.table("purge_res_postings")
+      assert(spark.table(s"${TextIndexLayout.livePrefix(spark, "purge_res")}_postings")
         .filter(col("doc_id") === 100L).count() > 0L)
       TextIndexLayout.purgeDocs(spark, "purge_res", Seq(100L).toDF("doc_id"))
       // the tombstone out-filters the doc even though its delta rows
@@ -78,12 +77,11 @@ class IndexPurgeSpec extends SparkSpec {
         col("doc_id") === 100L, buckets = 4)
       // presence in postings is the resurrection contract (top-k
       // membership is score-dependent); the serve filter is gone too
-      assert(spark.table("purge_res_postings")
+      assert(spark.table(s"${TextIndexLayout.livePrefix(spark, "purge_res")}_postings")
         .filter(col("doc_id") === 100L).count() > 0L)
       assert(!spark.catalog.tableExists("purge_res_tombstones"))
     } finally {
-      Seq("postings", "vocab", "stats", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_res_$t"))
+      dropPrefix("purge_res")
     }
   }
 
@@ -122,15 +120,14 @@ class IndexPurgeSpec extends SparkSpec {
         qs, excludeSelf = true).collect()
       assert(!served.exists(r => victims.contains(r.getAs[Long]("n_id"))))
       HybridIndexLayout.compactDense(spark, "purge_sig", buckets = 4)
-      assert(spark.table("purge_sig_sigs")
+      assert(spark.table(s"${HybridIndexLayout.livePrefixDense(spark, "purge_sig")}_sigs")
         .filter(col("vec_id").isin(victims: _*)).count() == 0L)
       assert(!spark.catalog.tableExists("purge_sig_tombstones"))
       assert(HybridIndexLayout.serveDense(spark, dir, "purge_sig",
         qs, excludeSelf = true).collect()
         .map(_.toString).toSeq == served.map(_.toString).toSeq)
     } finally {
-      Seq("sigs", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_sig_$t"))
+      dropPrefix("purge_sig")
     }
   }
 
@@ -159,10 +156,8 @@ class IndexPurgeSpec extends SparkSpec {
         "purge_hyb_txt", "purge_hyb_ann").collect()
         .map(_.toString).toSeq == served.map(_.toString).toSeq)
     } finally {
-      Seq("postings", "vocab", "stats", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_hyb_txt_$t"))
-      Seq("sigs", "tombstones").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_hyb_ann_$t"))
+      dropPrefix("purge_hyb_txt")
+      dropPrefix("purge_hyb_ann")
     }
   }
 
@@ -173,8 +168,7 @@ class IndexPurgeSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!p.contains("tombstones"), p)
     } finally {
-      Seq("postings", "vocab", "stats").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS purge_none_$t"))
+      dropPrefix("purge_none")
     }
   }
 }

@@ -33,9 +33,7 @@ class PrfSpec extends SparkSpec {
     d
   }
 
-  private def drop(prefix: String): Unit =
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def drop(prefix: String): Unit = dropPrefix(prefix)
 
   test("feedback expansion reaches the synonym-only document") {
     drop("prf")

@@ -132,9 +132,9 @@ class StreamDeltaIndexSpec extends SparkSpec {
   }
 
   test("streamed text deltas equal the batch delta; replays append nothing") {
-    val drop = () => Seq("postings", "vocab", "stats").foreach(t =>
-      Seq("txt_sd", "txt_sd_ref").foreach(p =>
-        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")))
+    // dropPrefix("txt_sd") also sweeps txt_sd_ref_* (the documented
+    // nested-prefix behavior — dropped together deliberately)
+    val drop = () => dropPrefix("txt_sd")
     drop()
     val predA = col("doc_id") < 300L
     TextIndexLayout.build(spark, dir, "txt_sd_ref", buckets = 4, where = predA)
@@ -157,10 +157,10 @@ class StreamDeltaIndexSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
 
-      assert(spark.table("txt_sd_postings").collect().toSet ==
-        spark.table("txt_sd_ref_postings").collect().toSet)
-      assert(spark.table("txt_sd_postings").count() ==
-        spark.table("txt_sd_ref_postings").count())
+      assert(spark.table(s"${TextIndexLayout.livePrefix(spark, "txt_sd")}_postings").collect().toSet ==
+        spark.table(s"${TextIndexLayout.livePrefix(spark, "txt_sd_ref")}_postings").collect().toSet)
+      assert(spark.table(s"${TextIndexLayout.livePrefix(spark, "txt_sd")}_postings").count() ==
+        spark.table(s"${TextIndexLayout.livePrefix(spark, "txt_sd_ref")}_postings").count())
       assert(TextIndexLayout.query(spark, dir, "txt_sd").collect().toSeq ==
         TextIndexLayout.query(spark, dir, "txt_sd_ref").collect().toSeq)
     } finally drop()

@@ -14,9 +14,7 @@ class TextIndexDriftSpec extends SparkSpec {
       texts.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
 
-  private def drop(prefix: String): Unit =
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def drop(prefix: String): Unit = dropPrefix(prefix)
 
   private def baseCorpus: Seq[(Long, String)] = (0L until 20L).map { i =>
     i -> s"alpha beta gamma w$i x$i y$i z$i common"

@@ -17,9 +17,11 @@ class TextIndexLayoutSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def dropIndex(prefix: String): Unit =
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  // generational layout: sweep the pointer view + every generation
+  private def dropIndex(prefix: String): Unit = dropPrefix(prefix)
+
+  private def physOf(prefix: String): String =
+    TextIndexLayout.livePrefix(spark, prefix)
 
   test("serving from the persisted index equals the online bm25 query") {
     TextIndexLayout.build(spark, dir, "txt_idx_spec", buckets = 4)
@@ -31,7 +33,7 @@ class TextIndexLayoutSpec extends SparkSpec {
 
       // the serve plan reads the bucketed postings...
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("txt_idx_spec_postings"), p)
+      assert(p.contains(s"${physOf("txt_idx_spec")}_postings"), p)
       // ...and tokenizes ONLY the query documents: exactly one scan of
       // the documents table (the online plan reads it for the corpus
       // grain as well), and none of the corpus-side index build stages
@@ -62,7 +64,7 @@ class TextIndexLayoutSpec extends SparkSpec {
         graft.util.Tables.load(spark, dir, "documents").filter(predA))
       val (vocabA, _) =
         TextQueries.bm25Vocab(docsA, TextQueries.bm25DocLens(docsA))
-      val persisted = spark.table("txt_idx_delta_vocab").collect().toSet
+      val persisted = spark.table(s"${physOf("txt_idx_delta")}_vocab").collect().toSet
       assert(persisted == vocabA.collect().toSet)
       val fullGrain = TextQueries.bm25TermGrain(
         graft.util.Tables.load(spark, dir, "documents"))
@@ -75,11 +77,11 @@ class TextIndexLayoutSpec extends SparkSpec {
       // once per (term, doc) — delta encoding is per-document, so the
       // union must equal a one-shot encode under the frozen geometry
       val expected = TextQueries.bm25Postings(fullGrain,
-        spark.table("txt_idx_delta_vocab"),
+        spark.table(s"${physOf("txt_idx_delta")}_vocab"),
         TextQueries.bm25DocLens(fullGrain)).collect().toSet
-      val stored = spark.table("txt_idx_delta_postings").collect().toSet
+      val stored = spark.table(s"${physOf("txt_idx_delta")}_postings").collect().toSet
       assert(stored == expected)
-      assert(spark.table("txt_idx_delta_postings").count() == expected.size)
+      assert(spark.table(s"${physOf("txt_idx_delta")}_postings").count() == expected.size)
     } finally dropIndex("txt_idx_delta")
   }
 
@@ -91,16 +93,16 @@ class TextIndexLayoutSpec extends SparkSpec {
     try {
       TextIndexLayout.appendDelta(spark, dir, "txt_idx_retry", predB,
         buckets = 4)
-      val afterFirst = spark.table("txt_idx_retry_postings").count()
+      val afterFirst = spark.table(s"${physOf("txt_idx_retry")}_postings").count()
       // a blind re-run (same predicate, e.g. a retried job) appends
       // nothing: every delta doc is already filed
       TextIndexLayout.appendDelta(spark, dir, "txt_idx_retry", predB,
         buckets = 4)
-      assert(spark.table("txt_idx_retry_postings").count() == afterFirst)
+      assert(spark.table(s"${physOf("txt_idx_retry")}_postings").count() == afterFirst)
       // and an overlapping wider predicate only files the truly new
       TextIndexLayout.appendDelta(spark, dir, "txt_idx_retry", lit(true),
         buckets = 4)
-      assert(spark.table("txt_idx_retry_postings").count() == afterFirst)
+      assert(spark.table(s"${physOf("txt_idx_retry")}_postings").count() == afterFirst)
     } finally dropIndex("txt_idx_retry")
   }
 

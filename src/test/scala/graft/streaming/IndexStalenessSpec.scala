@@ -15,9 +15,7 @@ class IndexStalenessSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def drop(prefix: String): Unit =
-    Seq("postings", "vocab", "stats").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+  private def drop(prefix: String): Unit = dropPrefix(prefix)
 
   test("a fresh index audits clean; a drifted corpus raises; rebuild clears") {
     // fixture: the real corpus plus a wave of OOV documents that the
@@ -108,7 +106,8 @@ class IndexStalenessSpec extends SparkSpec {
           // the live corpus the audit sees = base + streamed so far;
           // the spec materializes it the way a real pipeline's raw
           // sink would
-          val streamed = spark.table("stale_str_postings")
+          val streamed = spark.table(
+            s"${TextIndexLayout.livePrefix(spark, "stale_str")}_postings")
           val _ = streamed.count() // force delta visibility
           at += 1000L
           mon.check(spark, d.toString, "stale_str", at)
@@ -139,9 +138,6 @@ class IndexStalenessSpec extends SparkSpec {
         q.processAllAvailable()
         assert(mon.firing, mon.transitions.mkString(", "))
       } finally q.stop()
-    } finally {
-      Seq("postings", "vocab", "stats").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS stale_str_$t"))
-    }
+    } finally dropPrefix("stale_str")
   }
 }
