@@ -187,7 +187,12 @@ object DedupIndexLayout {
       val sizedIn =
         if (candIds.length <= 16 * maxDocs) {
           ScanPrune.ensureInPushdown(spark, candIds.length)
-          ScanPrune.inSet(sized, "doc_id", candIds)
+          // candidate-sized after the filter — materialize ONCE so the
+          // two verification legs (sa/sb) read checkpointed rows
+          // instead of re-scanning the corpus table per leg: the
+          // pruned path's corpus-shingle IO is ONE filtered scan per
+          // batch (the unpruned plan paid that scan twice)
+          ScanPrune.inSet(sized, "doc_id", candIds).localCheckpoint(true)
         } else sized
       DedupQueries.deltaVerifyFrom(cand, sizedIn, ids, shD)
     } else DedupQueries.deltaPairsCoreFrom(sized, bands, ids, shD, bD)

@@ -58,9 +58,14 @@ private[sources] object ScanPrune {
     * literals, bounded driver and planning cost. */
   val PruneMaxDeltaDocs: Long = 4096L
 
+  /** Session conf first; the `SPARK_GRAFT_PRUNE_MAX_DOCS` env var is
+    * the bench-harness A/B switch (same precedence shape as the other
+    * SPARK_GRAFT_* harness dials — a library deployment uses the
+    * conf). */
   def maxDeltaDocs(spark: SparkSession): Long =
     spark.conf.get("graft.ingest.pruneMaxDeltaDocs",
-      PruneMaxDeltaDocs.toString).toLong
+      sys.env.getOrElse("SPARK_GRAFT_PRUNE_MAX_DOCS",
+        PruneMaxDeltaDocs.toString)).toLong
 
   /** Spark pushes an IN to parquet as an eq-or-chain only up to
     * `spark.sql.parquet.pushdown.inFilterThreshold` values — beyond
