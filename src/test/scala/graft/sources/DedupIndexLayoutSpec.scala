@@ -49,11 +49,14 @@ class DedupIndexLayoutSpec extends SparkSpec {
 
       // plan shape: the check reads the persisted index. The PRUNED
       // path (default at this delta size) reads the bands table inside
-      // its materialized candidate stage, so the returned plan shows
-      // only the (pruned) shingle scan; the forced full-scan plan
-      // shows both tables.
+      // its materialized candidate stage and the pruned shingle slice
+      // inside its (candidate-sized) checkpoint, so the returned plan
+      // joins checkpointed RDDs — and scans NO corpus table and NO
+      // documents file; the forced full-scan plan shows both bucketed
+      // tables.
       val p = served.queryExecution.executedPlan.toString
-      assert(p.contains("dd_idx_shingles"), p)
+      assert(p.contains("ExistingRDD"), p)
+      assert(!p.contains("documents.parquet"), p)
       try {
         spark.conf.set("graft.ingest.pruneMaxDeltaDocs", "0")
         val pFull = DedupIndexLayout.dedupDelta(spark, "dd_idx",
