@@ -36,8 +36,14 @@ object MediaIngestBench {
       where = !deltaPred)
     val buildSec = (System.nanoTime() - tb0) / 1e9
 
+    // SPARK_GRAFT_DELTA_BOUND caps the STREAMED delta (build corpus
+    // unchanged) — the DedupIngestBench corpus-slope discipline: the
+    // same batch sizes against a 10×/100× corpus, not a 10×/100× delta
+    val bound = sys.env.get("SPARK_GRAFT_DELTA_BOUND").map(_.toLong)
+      .getOrElse(Long.MaxValue)
     val delta = graft.util.Tables.load(spark, sfDir, "documents")
-      .filter(deltaPred).select(col("doc_id"), col("text"))
+      .filter(deltaPred && col("doc_id") < bound)
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val groups = delta.grouped(
       math.max(1, (delta.length + batches - 1) / batches)).toSeq
