@@ -72,6 +72,17 @@ class PrunedVerifySpec extends SparkSpec {
     } finally dropPrefix("pv_mm")
   }
 
+  test("an empty delta prunes to an empty check (no isin-on-nothing edge)") {
+    dropPrefix("pv_empty")
+    DedupIndexLayout.buildDocs(spark, "pv_empty", docs(!deltaPred),
+      buckets = 4)
+    try {
+      val none = docs(org.apache.spark.sql.functions.lit(false))
+      assert(DedupIndexLayout.dedupDelta(spark, "pv_empty", none)
+        .count() == 0L)
+    } finally dropPrefix("pv_empty")
+  }
+
   test("the IN filter reaches the scan: pushed to parquet AND prunes buckets") {
     dropPrefix("pv_plan")
     DedupIndexLayout.buildDocs(spark, "pv_plan", docs(!deltaPred), buckets = 4)
