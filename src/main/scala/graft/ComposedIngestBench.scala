@@ -33,6 +33,13 @@ object ComposedIngestBench {
       // multi-minute GC; keep the heartbeat from killing the run
       .config("spark.network.timeout", "1200s")
       .config("spark.executor.heartbeatInterval", "120s")
+      // single-host fitting, not engine tuning (the CosGeomBench
+      // note): at the 100× decade the ~60 MB vector frame must
+      // broadcast so the cosine verify joins run broadcast-hash — as
+      // sort-merge each candidate row drags its embedding through a
+      // shuffle whose spill filled this host's disk; a cluster's
+      // aggregate shuffle capacity absorbs that by design
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timed[T](f: => T): (T, Double) = {

@@ -67,16 +67,30 @@ private[sources] object ScanPrune {
       sys.env.getOrElse("SPARK_GRAFT_PRUNE_MAX_DOCS",
         PruneMaxDeltaDocs.toString)).toLong
 
+  /** Parquet evaluates a pushed eq-or-chain RECURSIVELY, one stack
+    * frame per Or node — a 100×-composed run's candidate set (bounded
+    * only by the 16× fallback cap) built a chain deep enough to blow
+    * the executor stack (StackOverflowError inside the scan's reader
+    * init). Sets at and below this size are proven on this stack
+    * (the 1000-doc delta class pushes ≤ ~4k band keys / tile values);
+    * larger sets keep the Catalyst INSET row filter and the bucket-set
+    * FILE pruning (neither goes through parquet's filter tree) and
+    * forgo only the page-level layer. */
+  val MaxPushdownIn: Int = 4096
+
   /** Spark pushes an IN to parquet as an eq-or-chain only up to
     * `spark.sql.parquet.pushdown.inFilterThreshold` values — beyond
     * that only the [min, max] RANGE is pushed, which prunes nothing
     * for hash-uniform keys. Delta key sets legitimately run to a few
     * thousand, so raise the session threshold to cover the set being
-    * pushed (never lower it). Planning/eval cost stays bounded by the
-    * same doc gate that bounds the collect. */
+    * pushed (never lower it) — but never past [[MaxPushdownIn]]: a
+    * deeper chain overflows parquet's recursive filter evaluation, so
+    * oversized sets deliberately stay un-pushed (range only) while
+    * bucket pruning and the INSET row filter still apply. */
   def ensureInPushdown(spark: SparkSession, n: Int): Unit = {
     val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.get(k, "10").toInt < n) spark.conf.set(k, n.toString)
+    val target = math.min(n, MaxPushdownIn)
+    if (spark.conf.get(k, "10").toInt < target) spark.conf.set(k, target.toString)
   }
 
   /** `df` restricted to rows whose `key` ∈ `values` — the prunable IN
