@@ -89,12 +89,17 @@ object AnnIndexLayout {
   def livePrefix(spark: SparkSession, prefix: String): String =
     GenerationPointer.livePrefix(spark, prefix)
 
-  /** Sweep every generation EXCEPT the live one ([[GenerationPointer
-    * .sweepStale]]). Runs at the start of every [[build]]; also public
-    * for deployments that defer the post-publish drop ([[build]]'s
-    * `dropSuperseded = false`). */
-  def sweepStaleGenerations(spark: SparkSession, prefix: String): Unit =
-    GenerationPointer.sweepStale(spark, prefix)
+  /** Sweep stale generations ([[GenerationPointer.sweepStale]]) —
+    * keeps the live generation plus the `keepGenerations` most recent
+    * below it. Runs at the start of every [[build]] with the default
+    * guard (generation N−1 survives, protecting a deferred-drop
+    * deployment's in-flight readers); a deployment that deferred the
+    * post-publish drop ([[build]]'s `dropSuperseded = false`) calls
+    * this with `keepGenerations = 0` after its max query latency to
+    * reclaim the superseded generation. */
+  def sweepStaleGenerations(spark: SparkSession, prefix: String,
+      keepGenerations: Int = 1): Unit =
+    GenerationPointer.sweepStale(spark, prefix, keepGenerations)
 
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, where: Column = lit(true),

@@ -21,13 +21,24 @@ import org.apache.spark.sql.SparkSession
   * never a mix, never a missing table.
   *
   * Crash algebra: a build crashing before the flip leaves the live
-  * generation untouched and serving (the half-built one is swept by
-  * the next build's [[sweepStale]]); crashing after the flip but
-  * before the superseded drop costs bytes, never correctness (swept
-  * likewise). Deployments with long-running concurrent queries defer
-  * the superseded drop (`dropSuperseded = false` on the layout's
-  * build) and run the sweep after their max query latency, so an
+  * generation untouched and serving (the half-built one — a
+  * generation ABOVE the live pointer, which no reader can ever have
+  * resolved — is swept by the next build's [[sweepStale]]); crashing
+  * after the flip but before the superseded drop costs bytes, never
+  * correctness. Deployments with long-running concurrent queries
+  * defer the superseded drop (`dropSuperseded = false` on the
+  * layout's build) and run an explicit sweep with
+  * `keepGenerations = 0` after their max query latency, so an
   * in-flight plan over the old generation never races its drop.
+  * The build-start sweep honors that deferral: it keeps the
+  * `keepGenerations` most recent generations BELOW the live one
+  * (default 1) alive, so a deployment that deferred the drop
+  * precisely to protect an in-flight reader of generation N−1 does
+  * not lose the protection the moment the NEXT build starts — only
+  * the explicit post-latency sweep (or the publish-time drop the
+  * deployment opted out of) reclaims a superseded generation.
+  * Retained bytes stay bounded: at any time at most
+  * 1 + keepGenerations generations exist below the half-built one.
   *
   * Tombstones and other LOGICAL state intentionally stay at the
   * logical prefix — they must keep filtering across rebuilds.
@@ -76,16 +87,34 @@ private[sources] object GenerationPointer {
     tables.foreach(t =>
       BucketedTables.dropWithOrphanDir(spark, s"${prefix}_g${gen}_$t"))
 
-  /** Sweep every generation EXCEPT the live one: catalog tables first,
-    * then warehouse directories no catalog entry owns (a crashed
-    * build's half-written generation, or a crashed post-publish drop's
-    * leftovers — both from this or a previous session). Pattern-driven,
-    * so it needs no per-layout table list. */
-  def sweepStale(spark: SparkSession, prefix: String): Unit = {
-    val keep = liveGen(spark, prefix)
+  /** Sweep stale generations: catalog tables first, then warehouse
+    * directories no catalog entry owns (a crashed build's half-written
+    * generation, or a crashed post-publish drop's leftovers — both
+    * from this or a previous session). Pattern-driven, so it needs no
+    * per-layout table list.
+    *
+    * What survives: the live generation, plus the `keepGenerations`
+    * most recent generations BELOW it (default 1 — the deferred-drop
+    * reader guard, header). Generations ABOVE the live pointer were
+    * never published, so no reader can hold a plan over them — always
+    * swept. `keepGenerations = 0` is the explicit full reclaim a
+    * deferred-drop deployment runs after its max query latency; only
+    * then are `legacyTables` — a pre-pointer deployment's
+    * LOGICAL-name index tables (`<prefix>_<table>`), superseded by
+    * the first generational publish but protected like generation
+    * N−1 while readers may hold them — reclaimed too (and only under
+    * a published pointer: with no generation live, the logical names
+    * ARE the serving index). */
+  def sweepStale(spark: SparkSession, prefix: String,
+      keepGenerations: Int = 1, legacyTables: Seq[String] = Nil): Unit = {
+    require(keepGenerations >= 0,
+      s"keepGenerations must be >= 0 (got $keepGenerations)")
+    val live = liveGen(spark, prefix)
+    def retained(g: Long): Boolean =
+      live.exists(l => g <= l && g >= l - keepGenerations)
     val pat = genPattern(prefix)
     spark.catalog.listTables().collect().map(_.name).foreach {
-      case n @ pat(g) if !keep.contains(g.toLong) =>
+      case n @ pat(g) if !retained(g.toLong) =>
         BucketedTables.dropWithOrphanDir(spark, n)
       case _ => ()
     }
@@ -95,9 +124,11 @@ private[sources] object GenerationPointer {
     if (fs.exists(wh)) fs.listStatus(wh).map(_.getPath.getName).foreach {
       // managed dirs are named after their table; clearOrphanDir no-ops
       // when the catalog owns it (live data) and require-guards the path
-      case n @ pat(g) if !keep.contains(g.toLong) =>
+      case n @ pat(g) if !retained(g.toLong) =>
         BucketedTables.clearOrphanDir(spark, n)
       case _ => ()
     }
+    if (keepGenerations == 0 && live.isDefined) legacyTables.foreach(t =>
+      BucketedTables.dropWithOrphanDir(spark, s"${prefix}_$t"))
   }
 }

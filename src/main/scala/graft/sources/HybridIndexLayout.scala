@@ -94,10 +94,22 @@ object HybridIndexLayout {
     if (dropSuperseded) {
       cur.foreach(g =>
         GenerationPointer.dropGeneration(spark, prefix, g, DenseTables))
-      if (cur.isEmpty) DenseTables.foreach(t =>
+      // unconditional (not `cur.isEmpty`-gated): heals the legacy-name
+      // leak when the FIRST generational build crashed between publish
+      // and this drop ([[TextIndexLayout.buildImpl]] note)
+      DenseTables.foreach(t =>
         BucketedTables.dropWithOrphanDir(spark, s"${prefix}_$t"))
     }
   }
+
+  /** Sweep the dense leg's stale generations — [[TextIndexLayout
+    * .sweepStaleGenerations]]'s contract: `keepGenerations = 0` is the
+    * deferred-drop deployment's explicit post-latency reclaim (also
+    * drops pre-pointer logical-name tables once a generation is
+    * published). */
+  def sweepStaleGenerationsDense(spark: SparkSession, prefix: String,
+      keepGenerations: Int = 1): Unit =
+    GenerationPointer.sweepStale(spark, prefix, keepGenerations, DenseTables)
 
   /** Incremental maintenance — encode ONLY the vectors matching
     * `where` and append their signatures. Idempotent under retries via

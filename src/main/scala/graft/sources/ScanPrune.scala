@@ -43,13 +43,19 @@ import org.apache.spark.sql.functions.{col, lit}
   * bounded deltas (`graft.ingest.pruneMaxDeltaDocs` docs, default
   * [[PruneMaxDeltaDocs]]); above the gate the full-scan plan runs
   * unchanged — a bulk backfill's key set approaches the corpus's own
-  * anyway, and its one scan amortizes over the whole delta. The gate
-  * sits below [[IngestGate.ComposeCacheMaxDocs]] by design: whenever
-  * pruning collects from the shared delta frames, those frames are
-  * cached, so the collect reads checkpointed rows instead of
-  * re-running a per-doc kernel.
+  * anyway, and its one scan amortizes over the whole delta. Collect
+  * cost in the composed path: the shared delta frames cache whenever
+  * the batch sits within [[IngestGate.ComposeCacheMaxBytes]] (the
+  * usual bounded-delta case), and then the key collects read
+  * checkpointed rows. A ≤[[PruneMaxDeltaDocs]]-doc delta of LARGE
+  * documents can exceed the byte dial and stay lazy while still being
+  * pruned — there each key collect re-runs the per-doc kernel once
+  * more for that batch; accepted, because in that regime the kernels
+  * are recomputed per consumer anyway (the measured cache inversion,
+  * [[IngestGate.ComposeCacheMaxBytes]]) and the collect is one more
+  * bounded consumer.
   */
-private[sources] object ScanPrune {
+private[graft] object ScanPrune {
 
   /** Default doc-count gate for the pruned path — the steady-state
     * micro-batch class (hundreds to low thousands of docs) prunes;
@@ -86,7 +92,18 @@ private[sources] object ScanPrune {
     * pushed (never lower it) — but never past [[MaxPushdownIn]]: a
     * deeper chain overflows parquet's recursive filter evaluation, so
     * oversized sets deliberately stay un-pushed (range only) while
-    * bucket pruning and the INSET row filter still apply. */
+    * bucket pruning and the INSET row filter still apply.
+    *
+    * The raise is a DELIBERATE session-wide ratchet, never restored:
+    * the pruned frames are consumed lazily after this call (their
+    * scans plan when a downstream action runs), so a save/restore
+    * around the call would plan them back at the tiny default and
+    * silently lose the page-level layer. The ratchet is bounded by
+    * [[MaxPushdownIn]] (= 4096, the measured stack-safety ceiling),
+    * and a larger IN threshold only changes HOW an IN is pushed to
+    * parquet — eq-or-chain vs range — never a result, so unrelated
+    * queries in a long-lived serving session see at most a plan-shape
+    * change within parquet's proven bounds. */
   def ensureInPushdown(spark: SparkSession, n: Int): Unit = {
     val k = "spark.sql.parquet.pushdown.inFilterThreshold"
     val target = math.min(n, MaxPushdownIn)

@@ -142,11 +142,26 @@ object TextIndexLayout {
         GenerationPointer.dropGeneration(spark, prefix, g, IndexTables))
       // a pre-pointer (legacy) layout's logical-name tables are
       // superseded by the first generational publish exactly like an
-      // old generation (tombstones are NOT index tables and survive)
-      if (cur.isEmpty) IndexTables.foreach(t =>
+      // old generation (tombstones are NOT index tables and survive).
+      // Unconditional drop-if-exists, not `cur.isEmpty`-gated: a FIRST
+      // generational build crashed between publish and this drop would
+      // otherwise leak the legacy tables forever (every later build
+      // sees cur.nonEmpty); re-running the drop is a no-op when they
+      // are already gone.
+      IndexTables.foreach(t =>
         BucketedTables.dropWithOrphanDir(spark, s"${prefix}_$t"))
     }
   }
+
+  /** Sweep stale generations — the [[AnnIndexLayout
+    * .sweepStaleGenerations]] contract for this layout: keeps the live
+    * generation plus the `keepGenerations` most recent below it;
+    * `keepGenerations = 0` is the deferred-drop deployment's explicit
+    * post-latency reclaim, which also drops a pre-pointer deployment's
+    * logical-name index tables once a generation is published. */
+  def sweepStaleGenerations(spark: SparkSession, prefix: String,
+      keepGenerations: Int = 1): Unit =
+    GenerationPointer.sweepStale(spark, prefix, keepGenerations, IndexTables)
 
   /** Incremental maintenance — encode ONLY the documents matching
     * `where` (e.g. `doc_id >= ingestWatermark`, which prunes at the

@@ -74,7 +74,7 @@ class AnnPublishSpec extends SparkSpec {
       // the deferred sweep (what a deployment runs after its max query
       // latency) reclaims the superseded generation without touching
       // the live one
-      AnnIndexLayout.sweepStaleGenerations(spark, P)
+      AnnIndexLayout.sweepStaleGenerations(spark, P, keepGenerations = 0)
       assert(!spark.catalog.tableExists(s"${gen1}_cells"))
       assert(AnnIndexLayout.query(spark, dir, P).collect().toSeq == served)
     } finally dropPrefix(P)
@@ -94,7 +94,7 @@ class AnnPublishSpec extends SparkSpec {
       assert(AnnIndexLayout.livePrefix(spark, P) != gen1)
       // the in-flight plan still completes against the old generation
       assert(inFlight.count() > 0L)
-      AnnIndexLayout.sweepStaleGenerations(spark, P)
+      AnnIndexLayout.sweepStaleGenerations(spark, P, keepGenerations = 0)
       assert(!spark.catalog.tableExists(s"${gen1}_cells"))
     } finally dropPrefix(P)
   }

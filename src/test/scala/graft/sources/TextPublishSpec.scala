@@ -94,7 +94,7 @@ class TextPublishSpec extends SparkSpec {
 
       // leftover old-generation bytes, reclaimed by the deferred sweep
       assert(spark.catalog.tableExists(s"${gen1}_postings"))
-      GenerationPointer.sweepStale(spark, "txt_pub2")
+      GenerationPointer.sweepStale(spark, "txt_pub2", keepGenerations = 0)
       assert(!spark.catalog.tableExists(s"${gen1}_postings"))
       assert(TextIndexLayout.query(spark, dir, "txt_pub2")
         .collect().toSeq == served)
@@ -134,7 +134,7 @@ class TextPublishSpec extends SparkSpec {
       assert(t2.at == "after-publish")
       val gen2 = HybridIndexLayout.livePrefixDense(spark, "sig_pub")
       assert(gen2 != gen1)
-      GenerationPointer.sweepStale(spark, "sig_pub")
+      GenerationPointer.sweepStale(spark, "sig_pub", keepGenerations = 0)
       assert(!spark.catalog.tableExists(s"${gen1}_sigs"))
       // a delta append resolves the live generation (nothing strands
       // in the swept one), and serving equals the one-shot build
