@@ -1623,7 +1623,18 @@ object DedupQueries {
       nBands: Int, planesPerBand: Int): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val e = normedDirVecs(embs(spark, dir))
-    val bands = cosineBandsOf(e, nBands, planesPerBand)
+    cosinePoolAuditFromBands(cosineBandsOf(e, nBands, planesPerBand))
+  }
+
+  /** The saturation rollup over a GIVEN (vec_id, band, code) band
+    * frame — shared by the registered query (fresh banding of `dir`'s
+    * embeddings) and
+    * [[graft.sources.CuratedCorpusLayout.geometryAudit]], which feeds
+    * the LIVE persisted `_cos_bands` state so a deployment can watch
+    * its frozen W saturate as the corpus grows BETWEEN rebuilds (the
+    * [[graft.streaming.GeometrySaturationMonitor]] signal). */
+  private[graft] def cosinePoolAuditFromBands(bands: DataFrame)
+      : DataFrame = {
     val nb = bands.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("n_bucket"))
     // bucket grain: membership + how much of it survives the pool
@@ -2508,6 +2519,83 @@ object DedupQueries {
       .join(broadcast(deltaTrainIds.toDF("doc_id")), Seq("doc_id"),
         "left_semi")
       .join(coldDelta, Seq("s"))
+    evalPost.as("e").join(deltaPost.as("t"), col("e.s") === col("t.s"))
+      .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
+        col("e.n").as("n_eval"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast(DoubleType) / col("n_eval").cast(DoubleType)
+        >= 0.5)
+      .select(col("doc_id")).distinct()
+  }
+
+  /** [[contamDeltaFlags]] served from the S-KEYED INVERTED SIDECAR
+    * (`<ddPrefix>_cm`: (s, doc_id, n, is_train), bucketed + sorted by
+    * `s` — [[graft.sources.DedupIndexLayout]] maintains it next to the
+    * doc_id-bucketed shingle table) — the fix for the gate path's last
+    * per-batch corpus-sized term. The corpus-scan form semi-joins the
+    * doc_id-bucketed shingle table on `s` TWICE per micro-batch: `s`
+    * is not that table's bucket key, so each pass is a full scan PLUS
+    * a full shuffle of the matched postings, and none of the
+    * delta-verify pruning applies. Here both passes run against the
+    * s-bucketed sidecar: a bounded delta's shingle keys prune the scan
+    * (IN literal → bucket-file + parquet page pruning when the key set
+    * fits [[graft.sources.ScanPrune.MaxPushdownIn]]; a broadcast
+    * semi-join on the bucket key — scan-only, zero shuffle — above
+    * it), the df aggregation groups on the scan's own bucket key (no
+    * exchange), and everything downstream of the cap filter is
+    * delta-sized. At deployment bucket counts the IN makes the read
+    * delta-sized regardless of corpus, exactly the
+    * [[graft.sources.ScanPrune]] argument on the dedup-verify path.
+    *
+    * EXACT twin, not an approximation (ContamSidecarSpec pins
+    * byte-equality, including the union-cap boundary and a replayed
+    * already-filed delta): restricting the sidecar to the delta's own
+    * `s` keys is join algebra — every downstream term (old_df per
+    * delta shingle, the cold-shingle eval postings) is keyed by an `s`
+    * the delta contains — and the sidecar rows are the SAME postings
+    * (one row per (doc_id, s), `n` denormalized, `is_train` the
+    * content-hash split [[isTrainOf]]) re-bucketed. Replay exclusion
+    * anti-joins the delta's ids row-level (broadcast — no bucket help
+    * needed; the slice is already key-pruned).
+    *
+    * Cost shape, honest: without a bounded delta's IN the two sidecar
+    * passes are still corpus-LINEAR scans (narrow, shuffle-free) —
+    * linear in sidecar bytes, not in shuffle+scan of the wide shingle
+    * table; the slope measurement with this leg ON is
+    * GateIngestBench's job (STREAMBENCH.md). */
+  private[graft] def contamDeltaFlagsCm(spark: SparkSession, cm: DataFrame,
+      shD: DataFrame, deltaIds: DataFrame,
+      deltaTrainIds: DataFrame): DataFrame = {
+    import graft.sources.ScanPrune
+    val deltaCnt = shD.groupBy(col("s")).agg(count(lit(1)).as("d_cnt"))
+      .localCheckpoint(true)
+    // the delta's shingle-key footprint bounds BOTH corpus-side passes
+    val nKeys = deltaCnt.count()
+    val slice0 =
+      if (nKeys <= ScanPrune.MaxPushdownIn) {
+        val ks = deltaCnt.select(col("s")).collect().map(_.getLong(0)).toSeq
+        ScanPrune.ensureInPushdown(spark, ks.length)
+        ScanPrune.inSet(cm, "s", ks)
+      } else cm.join(broadcast(deltaCnt.select(col("s"))), Seq("s"),
+        "left_semi")
+    // replay safety: a re-run after the append must not see the
+    // delta's own filed copies (contamDeltaFlags' corpusSized contract)
+    val slice = slice0.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+    // pass 1: per-shingle corpus df — groupBy on the scan's bucket
+    // key, no exchange; delta-key-sized result
+    val oldDf = slice.groupBy(col("s")).agg(count(lit(1)).as("old_df"))
+    val coldDelta = deltaCnt.join(oldDf, Seq("s"), "left")
+      .na.fill(0L, Seq("old_df"))
+      .filter(col("old_df") + col("d_cnt") <= MaxPostingList)
+      .select(col("s")).localCheckpoint(true)
+    // pass 2: the cold delta shingles' EVAL postings — each shingle
+    // contributes ≤ MaxPostingList rows by the cap just computed
+    val evalPost = slice.filter(!col("is_train"))
+      .join(broadcast(coldDelta), Seq("s"))
+    val deltaPost = shD
+      .join(broadcast(deltaTrainIds.toDF("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .join(broadcast(coldDelta), Seq("s"))
     evalPost.as("e").join(deltaPost.as("t"), col("e.s") === col("t.s"))
       .groupBy(col("e.doc_id").as("eval_doc"), col("t.doc_id").as("doc_id"),
         col("e.n").as("n_eval"))

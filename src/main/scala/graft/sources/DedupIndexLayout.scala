@@ -46,18 +46,33 @@ import graft.util.Tables
   */
 object DedupIndexLayout {
 
+  /** The s-keyed inverted sidecar's table name: the SAME sized
+    * postings as `<prefix>_shingles` plus the content-hash `is_train`
+    * split ([[DedupQueries.isTrainOf]]), re-bucketed + sorted by `s` —
+    * the grain the gate's decontamination check joins on
+    * ([[DedupQueries.contamDeltaFlagsCm]]). Opt-in at [[build]]
+    * (`contamSidecar`): only deployments running the decontamination
+    * verdict pay the second postings copy; a pure dedup index skips
+    * it. The storage trade is a secondary index's usual one — one more
+    * copy of the postings — bought against a per-micro-batch full
+    * scan+shuffle of the primary (s is not its bucket key), which at a
+    * continuous-ingest deployment is paid forever. */
+  def cmTable(prefix: String): String = s"${prefix}_cm"
+
   /** Build the index over the documents matching `where`: one
     * tokenize+shingle pass feeds both tables (the expensive stage —
-    * md5 per shingle — runs once). */
+    * md5 per shingle — runs once). `contamSidecar` additionally writes
+    * [[cmTable]] from the same pass. */
   def build(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int = 8, where: Column = lit(true)): Unit =
+      buckets: Int = 8, where: Column = lit(true),
+      contamSidecar: Boolean = false): Unit =
     buildDocs(spark, prefix,
       Tables.load(spark, dir, "documents").filter(where)
-        .select(col("doc_id"), col("text")), buckets)
+        .select(col("doc_id"), col("text")), buckets, contamSidecar)
 
   /** [[build]] for an ARBITRARY (doc_id, text) frame. */
   def buildDocs(spark: SparkSession, prefix: String, docs: DataFrame,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, contamSidecar: Boolean = false): Unit = {
     val d = docs.dropDuplicates("doc_id")
     val sh = DedupQueries.shinglesOf(d).persist()
     sh.count()
@@ -66,6 +81,14 @@ object DedupIndexLayout {
     BucketedTables.writeBucketed(
       DedupQueries.minhashBandsOf(DedupQueries.minhashSigFrom(sh)),
       s"${prefix}_bands", "key", buckets)
+    if (contamSidecar)
+      // the same sized postings, joined to the per-doc split flag and
+      // re-bucketed by s (one more write off the cached shingle pass)
+      BucketedTables.writeBucketed(
+        DedupQueries.withSizes(sh).join(
+          d.select(col("doc_id"), DedupQueries.isTrainOf.as("is_train")),
+          Seq("doc_id")),
+        cmTable(prefix), "s", buckets)
     sh.unpersist(false)
     // the ingest ledger: every corpus doc is fully filed by definition
     BucketedTables.writeBucketed(d.select(col("doc_id").as("id")),
@@ -93,7 +116,8 @@ object DedupIndexLayout {
     val bD = DedupQueries.minhashBandsOf(
         DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
       .localCheckpoint(true)
-    appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets)
+    appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets,
+      Some(docs.select(col("doc_id"), DedupQueries.isTrainOf.as("is_train"))))
   }
 
   /** [[appendDeltaDocs]] with the delta's shingle/band passes
@@ -101,10 +125,21 @@ object DedupIndexLayout {
     * ([[IngestGate.ingestAndCurate]]) files the same materialized
     * frames the check and the curated refresh consumed, so a snapshot
     * pays the shingle pass exactly once. Same ledger/idempotence
-    * discipline as the public entry. */
+    * discipline as the public entry. `trainOf` is the delta's
+    * (doc_id, is_train) split, REQUIRED whenever the prefix carries
+    * the [[cmTable]] sidecar (which files the same rows keyed by `s`);
+    * a sidecar-equipped index silently going stale on appends would
+    * corrupt every future decontamination verdict, so the mismatch
+    * fails loudly instead. */
   private[sources] def appendDeltaDocsFrom(spark: SparkSession,
       prefix: String, ids: DataFrame, shD: DataFrame, bD: DataFrame,
-      buckets: Int): Unit = {
+      buckets: Int, trainOf: Option[DataFrame] = None): Unit = {
+    val hasCm = spark.catalog.tableExists(cmTable(prefix))
+    require(!hasCm || trainOf.isDefined,
+      s"$prefix carries the ${cmTable(prefix)} sidecar: appends must " +
+        "supply the delta's (doc_id, is_train) split so the sidecar " +
+        "files the same rows (a stale sidecar corrupts every future " +
+        "decontamination verdict)")
     val split = IngestLedger.begin(spark, prefix, ids, buckets,
       BucketedTables.read(spark, s"${prefix}_shingles").select(col("doc_id")))
     BucketedTables.appendBucketed(
@@ -117,10 +152,23 @@ object DedupIndexLayout {
         BucketedTables.read(spark, s"${prefix}_bands")
           .select(col("doc_id")).distinct()),
       s"${prefix}_bands", "key", buckets)
+    if (hasCm)
+      // the sidecar rides the SAME intent split; its dirty fallback
+      // anti-joins its OWN stored doc_ids, so a crash between any two
+      // of the three appends is healed per-table on retry
+      BucketedTables.appendBucketed(
+        IngestLedger.filed(
+          shD.join(org.apache.spark.sql.functions.broadcast(trainOf.get),
+            Seq("doc_id")),
+          "doc_id", split,
+          BucketedTables.read(spark, cmTable(prefix))
+            .select(col("doc_id")).distinct()),
+        cmTable(prefix), "s", buckets)
     // a foreachBatch clone's write must not leave the serving session
     // reading the pre-delta file listing (see AnnIndexLayout)
     spark.catalog.refreshTable(s"${prefix}_shingles")
     spark.catalog.refreshTable(s"${prefix}_bands")
+    if (hasCm) spark.catalog.refreshTable(cmTable(prefix))
   }
 
   /** Check a delta of NEW documents against corpus + delta: verified
@@ -179,13 +227,19 @@ object DedupIndexLayout {
       // the candidates' CORPUS doc_ids bound what verification can
       // read (the delta side's shingles come from shD); a degenerate
       // delta colliding with a large corpus slice falls back to the
-      // full shingle scan rather than an unbounded IN list
-      val deltaIds = ids.collect().map(_.getLong(0)).toSet
-      val candIds = cand.select(col("doc_a"))
+      // full shingle scan rather than an unbounded IN list. The bound
+      // is checked with a COUNT before anything reaches the driver — a
+      // hot band key shared with a large corpus slice (exactly the
+      // case the fallback exists for) must not collect an unbounded id
+      // list on its way to being rejected.
+      val candCorpus = cand.select(col("doc_a"))
         .unionByName(cand.select(col("doc_b").as("doc_a"))).distinct()
-        .collect().map(_.getLong(0)).filterNot(deltaIds).toSeq
+        .join(org.apache.spark.sql.functions.broadcast(ids.toDF("doc_a")),
+          Seq("doc_a"), "left_anti")
+      val nCand = candCorpus.count()
       val sizedIn =
-        if (candIds.length <= 16 * maxDocs) {
+        if (nCand <= 16L * maxDocs) {
+          val candIds = candCorpus.collect().map(_.getLong(0)).toSeq
           ScanPrune.ensureInPushdown(spark, candIds.length)
           // candidate-sized after the filter — materialize ONCE so the
           // two verification legs (sa/sb) read checkpointed rows
@@ -230,7 +284,9 @@ object DedupIndexLayout {
             DedupQueries.minhashSigFrom(shD.select(col("doc_id"), col("s"))))
           .localCheckpoint(true)
         sink(dedupDeltaFrom(spark, prefix, ids, shD, bD), batchId)
-        appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets)
+        appendDeltaDocsFrom(spark, prefix, ids, shD, bD, buckets,
+          Some(docs.select(col("doc_id"),
+            DedupQueries.isTrainOf.as("is_train"))))
       }
       .start()
   }
@@ -283,6 +339,11 @@ object DedupIndexLayout {
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
     BucketedTables.compact(spark, s"${prefix}_bands", "key", buckets,
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
+    // the sidecar erases the same tombstoned docs' rows in its pass,
+    // so the two postings copies can never disagree after a compact
+    if (spark.catalog.tableExists(cmTable(prefix)))
+      BucketedTables.compact(spark, cmTable(prefix), "s", buckets,
+        df => Tombstones.filter(spark, prefix, df, "doc_id"))
     IngestLedger.compact(spark, prefix, buckets)
     Tombstones.clear(spark, prefix)
   }

@@ -40,7 +40,14 @@ object IngestGate {
   def build(spark: SparkSession, dir: String, prefix: String,
       buckets: Int = 8, whereDocs: Column = lit(true),
       whereVecs: Column = lit(true)): Unit = {
-    DedupIndexLayout.build(spark, dir, s"${prefix}_dd", buckets, whereDocs)
+    // contamSidecar: the gate RUNS the decontamination verdict per
+    // micro-batch, so its dd index carries the s-keyed inverted
+    // sidecar — the structure that makes that verdict's corpus-side
+    // passes scan-pruned and shuffle-free instead of a per-batch full
+    // scan+shuffle of the doc_id-bucketed shingle table
+    // ([[DedupQueries.contamDeltaFlagsCm]])
+    DedupIndexLayout.build(spark, dir, s"${prefix}_dd", buckets, whereDocs,
+      contamSidecar = true)
     MediaIndexLayout.build(spark, dir, s"${prefix}_mm", buckets, whereDocs)
     AnnIndexLayout.build(spark, dir, s"${prefix}_ann", buckets, whereVecs)
     // the content-hash train/eval split of the corpus — the eval side
@@ -205,18 +212,34 @@ object IngestGate {
       .select(col("vec_new").as("doc_id")).distinct()
       .withColumn("sem_dup", lit(1L))
     // eval-leak verdict: a new TRAIN-side doc CONTAINING a corpus eval
-    // doc must be flagged before it trains — the persisted shingle
-    // index + the split table, delta-driven, union-capped
-    // (dedup_contam_delta's exact semantics, including its t.is_train
-    // scope: an eval-side delta doc can never carry the flag;
-    // IngestGateSpec reconciles)
-    val cHits = graft.queries.DedupQueries.contamDeltaFlags(
+    // doc must be flagged before it trains — delta-driven,
+    // union-capped (dedup_contam_delta's exact semantics, including
+    // its t.is_train scope: an eval-side delta doc can never carry the
+    // flag; IngestGateSpec reconciles). Served from the s-keyed
+    // inverted sidecar when the gate build wrote one (the scan-pruned,
+    // shuffle-free plan — ContamSidecarSpec pins it byte-equal to the
+    // corpus-scan form below, which remains the pre-sidecar
+    // deployments' path and the bench A/B leg
+    // (`graft.contam.sidecar=false` / SPARK_GRAFT_CONTAM_SIDECAR)).
+    val useCm =
+      spark.conf.get("graft.contam.sidecar",
+        sys.env.getOrElse("SPARK_GRAFT_CONTAM_SIDECAR", "true")).toBoolean &&
+        spark.catalog.tableExists(DedupIndexLayout.cmTable(s"${prefix}_dd"))
+    val trainIds =
+      nd.filter(graft.queries.DedupQueries.isTrainOf).select(col("doc_id"))
+    val cHits = (if (useCm)
+      graft.queries.DedupQueries.contamDeltaFlagsCm(spark,
+        BucketedTables.read(spark,
+          DedupIndexLayout.cmTable(s"${prefix}_dd")),
+        shD, ids, trainIds)
+    else
+      graft.queries.DedupQueries.contamDeltaFlags(
         BucketedTables.read(spark, s"${prefix}_dd_shingles")
           .join(broadcast(ids), Seq("doc_id"), "left_anti"),
         shD,
         BucketedTables.read(spark, s"${prefix}_split")
           .join(broadcast(ids), Seq("doc_id"), "left_anti"),
-        nd.filter(graft.queries.DedupQueries.isTrainOf).select(col("doc_id")))
+        trainIds))
       .withColumn("eval_contam", lit(1L))
     nd.select(col("doc_id"), col("source"),
         graft.queries.DedupQueries.isTrainOf.as("is_train"))
@@ -257,7 +280,9 @@ object IngestGate {
       newDocs: DataFrame, ids: DataFrame, shD: DataFrame, bD: DataFrame,
       tD: DataFrame, newVecs: DataFrame, buckets: Int): Unit = {
     DedupIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_dd", ids, shD,
-      bD, buckets)
+      bD, buckets,
+      Some(newDocs.dropDuplicates("doc_id").select(col("doc_id"),
+        graft.queries.DedupQueries.isTrainOf.as("is_train"))))
     MediaIndexLayout.appendDeltaDocsFrom(spark, s"${prefix}_mm", ids, tD,
       buckets)
     appendDeltaRest(spark, prefix, newDocs, newVecs, buckets)

@@ -73,16 +73,21 @@ private[graft] object ScanPrune {
       sys.env.getOrElse("SPARK_GRAFT_PRUNE_MAX_DOCS",
         PruneMaxDeltaDocs.toString)).toLong
 
-  /** Parquet evaluates a pushed eq-or-chain RECURSIVELY, one stack
-    * frame per Or node — a 100×-composed run's candidate set (bounded
+  /** Parquet evaluates a pushed eq-or-chain RECURSIVELY, several stack
+    * frames per Or node — a 100×-composed run's candidate set (bounded
     * only by the 16× fallback cap) built a chain deep enough to blow
     * the executor stack (StackOverflowError inside the scan's reader
-    * init). Sets at and below this size are proven on this stack
-    * (the 1000-doc delta class pushes ≤ ~4k band keys / tile values);
-    * larger sets keep the Catalyst INSET row filter and the bucket-set
-    * FILE pruning (neither goes through parquet's filter tree) and
-    * forgo only the page-level layer. */
-  val MaxPushdownIn: Int = 4096
+    * init), and the first ceiling chosen after that post-mortem (4096)
+    * was subsequently caught overflowing TOO on a ~4k-key shingle push
+    * inside the deeper composed-gate plan (the task thread enters the
+    * recursive filter eval with less headroom there, so the safe depth
+    * is plan-dependent — a constant at the observed failure point is
+    * not a bound). 1024 leaves ≥4× headroom under the shallowest
+    * observed failure on the default 1 MB task stack; larger sets keep
+    * the Catalyst INSET row filter and the bucket-set FILE pruning
+    * (neither goes through parquet's recursive filter tree) and forgo
+    * only the page-level layer. */
+  val MaxPushdownIn: Int = 1024
 
   /** Spark pushes an IN to parquet as an eq-or-chain only up to
     * `spark.sql.parquet.pushdown.inFilterThreshold` values — beyond
