@@ -38,13 +38,45 @@ import graft.util.Tables
   *    (the fold is not cryptographic; adversarial tampering is out of
   *    scope).
   *
-  * Atomicity scope: each of the three tables publishes through its own
-  * replaceBucketed swap, so no reader ever sees a torn TABLE. Cross-
-  * table consistency is fail-closed, not atomic: between the docs swap
-  * and the checksum swap (or after a crash in that window) a
-  * [[verifyHandoff]] reader sees new docs against the previous
-  * checksum and gets ok=false — the gate refuses, never falsely
-  * passes — until the rebuild completes or reruns.
+  * Atomicity scope — the full REBUILD ordering argument (why this
+  * layout does not need [[GenerationPointer]]'s generation machinery
+  * despite spanning ~10 tables):
+  *  1. Each table publishes through its own replaceBucketed swap, so
+  *     no reader ever sees a torn TABLE.
+  *  2. The READER-FACING surface is exactly [[serve]]/[[servePacked]]
+  *     (`_docs` + tombstones), [[manifest]], and [[verifyHandoff]]
+  *     (`_checksums`). Every other table (`_base`, `_mh_pairs`,
+  *     `_cos_pairs`, `_ct_pairs`, `_cos_bands`, `_cos_geom`, `_ddsrc`,
+  *     `_vecs`, `_texts`, the dd index) is INTERNAL state read only by
+  *     build/refresh — and the layout's writer contract is single-
+  *     writer, so no consumer can observe a mixed set of those.
+  *  3. The reader-facing tables publish in a FIXED, load-bearing
+  *     order: `_docs` swap → tombstone clear → `_manifest` swap →
+  *     `_checksums` swap (LAST). A reader between any two of those
+  *     sees new docs against a stale checksum — n_rows/fold mismatch —
+  *     so [[verifyHandoff]] returns ok=false: fail-closed, never a
+  *     silent mix. Conversely ok=true implies the checksum was derived
+  *     from the docs now served, and since the checksum swap is last,
+  *     the manifest swapped BEFORE it — ok=true therefore pins the
+  *     whole (docs, tombstones, manifest, checksums) set to one build.
+  *     (Caveat, accepted: two builds producing checksum-identical docs
+  *     make the gate pass with either manifest — then the doc set is
+  *     identical by construction and only intermediate attrition
+  *     counters could differ.)
+  *  4. A rebuild crashing BEFORE the `_docs` swap leaves the entire
+  *     old reader surface — docs, tombstones, manifest, checksums —
+  *     untouched and mutually consistent (ok=true, old artifact
+  *     serving); the tombstone clear deliberately sits AFTER the swap
+  *     so this holds (clearing first would resurrect refresh-evicted
+  *     docs in [[serve]] during the crash window). Crashing anywhere
+  *     after the swap leaves ok=false until the rebuild re-runs.
+  *     Either way the repair is re-running the rebuild, and it must
+  *     happen BEFORE the next [[refresh]] (the internal state tables
+  *     already carry the new corpus; a refresh diffed against the old
+  *     artifact would mix the two — the single-writer contract makes
+  *     this an operator sequencing rule, not a race).
+  *  CuratedPublishSpec kills a rebuild on both sides of the swap and
+  *  pins all of the above.
   *
   * Reference point: the reference publishes derived tables for
   * consumers to read (database/schema.sql:30-59) rather than having
@@ -132,7 +164,11 @@ object CuratedCorpusLayout {
     * missing/torn sidecar instead of the documented fail-closed
     * mismatch). The checksum derives from what was JUST swapped into
     * `_docs` (not a pre-swap plan): the gate fingerprints the artifact
-    * on disk. */
+    * on disk. ORDER IS LOAD-BEARING (header point 3): the checksum
+    * swap comes LAST, so a [[verifyHandoff]] ok=true entails the
+    * manifest already belongs to the same build — swapping the
+    * manifest after the checksums would reopen the new-docs/old-
+    * manifest window the fail-closed argument closes. */
   private[sources] def publishSidecars(spark: SparkSession, prefix: String,
       attrition: DataFrame): Unit = {
     BucketedTables.replaceBucketed(spark, s"${prefix}_manifest", "stage", 1,
@@ -248,7 +284,17 @@ object CuratedCorpusLayout {
       whereVec: Column = lit(true),
       cosNBands: Int = DedupQueries.CosineLshBands,
       cosPlanesPerBand: Int = AutoPlanes,
-      ddPrefix: Option[String] = None): Unit = {
+      ddPrefix: Option[String] = None): Unit =
+    buildIncrementalImpl(spark, dir, prefix, buckets, where, whereVec,
+      cosNBands, cosPlanesPerBand, ddPrefix, _ => ())
+
+  /** [[buildIncremental]] with the publish-crash fault hook
+    * (CuratedPublishSpec — the AnnPublishSpec/TextPublishSpec
+    * discipline for this layout's ordered-swap publication). */
+  private[sources] def buildIncrementalImpl(spark: SparkSession,
+      dir: String, prefix: String, buckets: Int, where: Column,
+      whereVec: Column, cosNBands: Int, cosPlanesPerBand: Int,
+      ddPrefix: Option[String], faultHook: String => Unit): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // resolve AUTO before anything persists: one narrow vec_id count
     // against the corpus split — build-rare, and the sidecar must name
@@ -347,14 +393,22 @@ object CuratedCorpusLayout {
       Tables.load(spark, dir, "documents").filter(lit(false))
         .select(col("doc_id"), col("text")),
       s"${prefix}_texts", "doc_id", buckets)
-    Tombstones.clear(spark, prefix)
     val (s7, attrition) = gateFromState(spark, prefix)
     val text = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    faultHook("before-docs-swap")
     BucketedTables.replaceBucketed(spark, s"${prefix}_docs", "doc_id",
       buckets,
       s7.select(col("doc_id"), col("source"), col("h"), col("n_tokens"))
         .join(text, "doc_id"))
+    // the tombstone clear belongs to the NEW artifact's publication
+    // (the rebuilt docs bake every refresh eviction in), so it sits
+    // AFTER the swap: a rebuild crashing before the swap leaves the
+    // old surface — docs AND tombstones — exactly as served (header
+    // point 4); clearing first would resurrect evicted docs in the
+    // crash window
+    Tombstones.clear(spark, prefix)
+    faultHook("after-docs-swap")
     publishSidecars(spark, prefix, attrition)
   }
 
@@ -500,7 +554,12 @@ object CuratedCorpusLayout {
     //    idempotent append would file nothing, but its ledger fallback
     //    would pay the per-table anti-join scans to find that out.
     if (!ddFiled)
-      DedupIndexLayout.appendDeltaDocsFrom(spark, dd, ids, shD, bD, buckets)
+      // deltaBase's is_train IS [[DedupQueries.isTrainOf]] over the
+      // same text, so a borrowed sidecar-equipped gate dd (the
+      // sequential buildWithCurated deployment) files its sidecar from
+      // the already-computed split
+      DedupIndexLayout.appendDeltaDocsFrom(spark, dd, ids, shD, bD, buckets,
+        Some(deltaBase.select(col("doc_id"), col("is_train"))))
     // 4. cosine pair state + band index — the delta is banded under
     //    the PERSISTED build geometry (never the code default), so the
     //    candidate join and the stored `_cos_bands` index always agree
@@ -656,6 +715,24 @@ object CuratedCorpusLayout {
       df => Tombstones.filter(spark, prefix, df, "doc_id"))
     Tombstones.clear(spark, prefix)
   }
+
+  /** SATURATION audit of the LIVE frozen cosine geometry — the
+    * `dedup_cosine_pool_audit` rollup fed from the persisted
+    * `_cos_bands` state (corpus + every refreshed delta) instead of a
+    * fresh banding of `dir`: one row per band with the
+    * saturated-bucket count, saturated member mass, and evicted share
+    * in ppm UNDER THE FROZEN W. [[autoPlanesPerBand]] sizes W once at
+    * build; a corpus that then GROWS past 2^W × pool capacity starts
+    * silently truncating candidate generation between rebuilds (the
+    * BENCH_SF1 round-15 recall inversion) — this is the periodic
+    * re-check that makes that visible on the live state, and
+    * [[graft.streaming.GeometrySaturationMonitor]] turns it into the
+    * breach-sustain-clear alert the rebuild schedule watches. Narrow
+    * state only (band/code/vec_id — no vectors, no text), so it runs
+    * per maintenance tick. */
+  def geometryAudit(spark: SparkSession, prefix: String): DataFrame =
+    DedupQueries.cosinePoolAuditFromBands(
+      BucketedTables.read(spark, s"${prefix}_cos_bands"))
 
   /** Consumer-side handoff gate: re-derive the checksum from the
     * stored rows and compare to the producer's published one. Returns
