@@ -1,0 +1,56 @@
+#!/bin/bash
+# Steal-gated bench runner: this host's CPU steal arrives in waves
+# (BENCH_SF1.md's standing caveat), so a single bench invocation can
+# land 1.3-2x inflated. For each requested leg this script waits for a
+# calm ambient window, runs the bench, and ACCEPTS the reading only if
+# the bench's own stream-phase steal delta ("steal_stream" in its JSON
+# line) stayed under the budget — otherwise it retries. Accepted JSON
+# lines append to $OUT (default /tmp/steal_gated_bench.jsonl).
+#
+# Usage: steal_gated_bench.sh <main> <sfdir> [env KEY=VAL ...]
+# Env: OUT, MAX_TRIES (default 4), CALM_TICKS (ambient ticks per 15s
+# accepted as calm, default 600), BUDGET_FRAC (steal_stream as a
+# fraction of stream wall x cpu capacity, default 0.02), CPUS.
+set -u
+MAIN=$1; SFDIR=$2; shift 2
+OUT=${OUT:-/tmp/steal_gated_bench.jsonl}
+MAX_TRIES=${MAX_TRIES:-4}
+CALM_TICKS=${CALM_TICKS:-600}
+BUDGET_FRAC=${BUDGET_FRAC:-0.02}
+CPUS=${CPUS:-32}
+
+steal() { awk '/^cpu /{print $9}' /proc/stat; }
+
+wait_calm() {
+  for _ in $(seq 1 40); do
+    local a b
+    a=$(steal); sleep 15; b=$(steal)
+    if [ $((b - a)) -lt "$CALM_TICKS" ]; then return 0; fi
+    echo "[gated] ambient steal $((b - a))/15s — waiting" >&2
+  done
+  echo "[gated] never calm; running anyway" >&2
+}
+
+for try in $(seq 1 "$MAX_TRIES"); do
+  wait_calm
+  line=$(env "$@" SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.$MAIN" 2>&1 | grep -E '^\{"metric"' | tail -1)
+  if [ -z "$line" ]; then echo "[gated] no JSON from $MAIN (try $try)" >&2; continue; fi
+  ok=$(python3 - "$line" "$BUDGET_FRAC" "$CPUS" <<'EOF'
+import json, sys
+j = json.loads(sys.argv[1]); frac = float(sys.argv[2]); cpus = int(sys.argv[3])
+wall = j.get("wall_sec", 0) or 0
+budget = frac * wall * cpus * 100
+print("OK" if j.get("steal_stream", 0) <= budget else f"STOLEN {j.get('steal_stream')} > {budget:.0f}")
+EOF
+)
+  echo "[gated] $MAIN $SFDIR try $try: $ok" >&2
+  if [ "$ok" = "OK" ]; then
+    echo "$line" >> "$OUT"
+    echo "$line"
+    exit 0
+  fi
+done
+echo "[gated] $MAIN $SFDIR: no clean window in $MAX_TRIES tries; last line recorded as STOLEN" >&2
+echo "$line" | sed 's/^{/{"stolen":true,/' >> "$OUT"
+exit 1

@@ -66,6 +66,7 @@ object DedupIngestBench {
       mem.toDF().toDF("doc_id", "text"), buckets = cpus.toInt) {
       (res, _) => pairs += res.count()
     }
+    val st0 = util.Steal.ticks()
     val t0 = System.nanoTime()
     val batchSecs = groups.map { g =>
       val b0 = System.nanoTime()
@@ -74,11 +75,12 @@ object DedupIngestBench {
       (System.nanoTime() - b0) / 1e9
     }
     val wall = (System.nanoTime() - t0) / 1e9
+    val stealStream = util.Steal.ticks() - st0
     q.stop()
     require(pairs > 0, "no near-dup pairs found in the delta")
 
     val dps = delta.length / wall
-    println(f"""{"metric":"dedup_ingest_docs_per_sec","value":$dps%.1f,"unit":"docs/sec","docs":${delta.length},"pairs_found":$pairs,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_avg":${batchSecs.sum / batchSecs.size}%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"sf":${util.Json.quote(sfDir)}}""")
+    println(f"""{"metric":"dedup_ingest_docs_per_sec","value":$dps%.1f,"unit":"docs/sec","docs":${delta.length},"pairs_found":$pairs,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_avg":${batchSecs.sum / batchSecs.size}%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"steal_stream":$stealStream,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

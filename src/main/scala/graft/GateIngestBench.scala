@@ -86,6 +86,7 @@ object GateIngestBench {
       verdicts += r.getLong(0)
       contam += Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
+    val st0 = util.Steal.ticks()
     val t0 = System.nanoTime()
     val batchSecs = groups.map { g =>
       val b0 = System.nanoTime()
@@ -94,12 +95,13 @@ object GateIngestBench {
       (System.nanoTime() - b0) / 1e9
     }
     val wall = (System.nanoTime() - t0) / 1e9
+    val stealStream = util.Steal.ticks() - st0
     q.stop()
     require(verdicts == delta.length,
       s"verdict count $verdicts != delta size ${delta.length}")
 
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_CONTAM_SIDECAR", "true")
-    println(f"""{"metric":"gate_ingest_sec_per_batch","value":${batchSecs.sum / batchSecs.size}%.2f,"unit":"sec","docs":${delta.length},"verdicts":$verdicts,"n_contam":$contam,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"contam_sidecar":$sidecar,"sf":${util.Json.quote(sfDir)}}""")
+    println(f"""{"metric":"gate_ingest_sec_per_batch","value":${batchSecs.sum / batchSecs.size}%.2f,"unit":"sec","docs":${delta.length},"verdicts":$verdicts,"n_contam":$contam,"batches":${batchSecs.size},"wall_sec":$wall%.2f,"batch_sec_max":${batchSecs.max}%.2f,"index_build_sec":$buildSec%.2f,"contam_sidecar":$sidecar,"steal_stream":$stealStream,"sf":${util.Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

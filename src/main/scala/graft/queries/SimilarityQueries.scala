@@ -2509,8 +2509,22 @@ object SimilarityQueries {
     * the online-serving surface: the LUT and the exact re-rank read
     * the given queries (a micro-batch, an external request set)
     * instead of the registered corpus subset. */
+  /** `pointLookup`: bound the exact re-rank's raw-vector lookup to the
+    * shortlist's own ids. The re-rank comment below says "|queries| ×
+    * R id-lookups", but as a plain join Spark executes it against the
+    * WHOLE raw embeddings table — a corpus-sized broadcast build (or
+    * shuffle) per call, fine for the registered queries' corpus-
+    * proportional query sets where it amortizes, a corpus-linear
+    * per-batch term on the REQUEST-SIZED serve/delta paths
+    * ([[graft.sources.AnnIndexLayout.serve]]/`semanticDedupDelta` pass
+    * true). With the flag on, the shortlist (≤ |queries|·R rows) is
+    * materialized once and the lookup becomes one broadcast-semi-join
+    * SCAN of the embeddings (no shuffle, no corpus broadcast) whose
+    * bounded result broadcasts into the re-rank — same rows, the
+    * lookup the comment always promised. */
   private[graft] def pqServeQueries(e: DataFrame, queries: DataFrame,
-      cents: DataFrame, codes: DataFrame, cand: Option[DataFrame]): DataFrame = {
+      cents: DataFrame, codes: DataFrame, cand: Option[DataFrame],
+      pointLookup: Boolean = false): DataFrame = {
     val R = PqR
     val lut = pqPartials(queries, cents, PqM)
       .select(col("vec_id").as("lq_id"), col("s").as("qs"),
@@ -2533,16 +2547,27 @@ object SimilarityQueries {
     }
     val sw = Window.partitionBy(col("q_id"))
       .orderBy(col("d2q_total"), col("n_id"))
-    val shortlist = scoredPairs
+    val shortlist0 = scoredPairs
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("d2q")).as("d2q_total"))
       .withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= R)
       .select(col("q_id"), col("n_id"))
+    // materialized ONCE under pointLookup: it feeds both the id-set
+    // broadcast and the re-rank join below — lazy it would re-run the
+    // whole ADC scan per consumer
+    val shortlist =
+      if (pointLookup) shortlist0.localCheckpoint(true) else shortlist0
     // exact re-rank of the shortlist: |queries| x R id-lookups
     val qv = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-    val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
+    val nvAll = e.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
+    val nv =
+      if (pointLookup)
+        broadcast(nvAll.join(
+          broadcast(shortlist.select(col("n_id")).distinct()),
+          Seq("n_id"), "left_semi"))
+      else nvAll
     val rw = Window.partitionBy(col("q_id"))
       .orderBy(col("d2"), col("n_id"))
     shortlist
@@ -2860,11 +2885,13 @@ object SimilarityQueries {
     * vanishes from that request's top-K. */
   private[graft] def ivfpqServeQueriesWith(spark: SparkSession, dir: String,
       queries: DataFrame, cents: DataFrame, pqCents: DataFrame,
-      assign: DataFrame, codes: DataFrame, excludeSelf: Boolean): DataFrame = {
+      assign: DataFrame, codes: DataFrame, excludeSelf: Boolean,
+      pointLookup: Boolean = false): DataFrame = {
     val pairs = ivfProbesWith(cents, queries).join(assign, Seq("cell"))
     val cand = (if (excludeSelf) pairs.filter(col("q_id") =!= col("n_id"))
       else pairs).select(col("q_id"), col("n_id"))
-    pqServeQueries(embs(spark, dir), queries, pqCents, codes, Some(cand))
+    pqServeQueries(embs(spark, dir), queries, pqCents, codes, Some(cand),
+      pointLookup)
   }
 
   /** The full production ANN layout: IVF cell pruning + LEARNED PQ

@@ -469,7 +469,11 @@ object AnnIndexLayout {
     SimilarityQueries.ivfpqServeQueriesWith(spark, dir, q, cents, pqcb,
       Tombstones.filter(spark, prefix,
         BucketedTables.read(spark, s"${phys}_cells"), "n_id"),
-      BucketedTables.read(spark, s"${phys}_codes"), excludeSelf)
+      BucketedTables.read(spark, s"${phys}_codes"), excludeSelf,
+      // request-sized query batches: the exact re-rank's raw-vector
+      // lookup must be shortlist-bounded, not a per-request
+      // corpus-sized join ([[SimilarityQueries.pqServeQueries]])
+      pointLookup = true)
   }
 
   /** SEMANTIC dedup at ingest — the third tier of the incremental
@@ -518,10 +522,21 @@ object AnnIndexLayout {
       .join(broadcast(dIds), col("n_id") === col("__did"), "left_anti")
     val qn = delta.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
-    SimilarityQueries.ivfpqServeQueriesWith(spark, dir, qn, cents, pqcb,
-        cells, BucketedTables.read(spark, s"${phys}_codes"),
-        excludeSelf = false)
-      .join(q, "q_id").join(c, "n_id")
+    // k-bounded per delta vector — materialized ONCE so the cosine
+    // verification below does not re-run the ADC scan, and so its
+    // raw-vector lookup can be bounded to the served ids (as a plain
+    // join the "point lookup" was a per-BATCH corpus-sized broadcast/
+    // shuffle of the raw embeddings — a corpus-linear ingest term the
+    // 100× gate slope measured; pointLookup bounds the re-rank's
+    // lookup inside the serve the same way)
+    val served = SimilarityQueries.ivfpqServeQueriesWith(spark, dir, qn,
+        cents, pqcb, cells, BucketedTables.read(spark, s"${phys}_codes"),
+        excludeSelf = false, pointLookup = true)
+      .localCheckpoint(true)
+    val cNeeded = c.join(broadcast(served.select(col("n_id")).distinct()),
+      Seq("n_id"), "left_semi")
+    served
+      .join(broadcast(q), "q_id").join(broadcast(cNeeded), "n_id")
       .select(col("q_id").as("vec_new"), col("n_id").as("vec_corpus"),
         (expr("graft_dot(qemb, nemb)") /
           (sqrt(expr("graft_norm2(qemb)")) * sqrt(expr("graft_norm2(nemb)"))))
