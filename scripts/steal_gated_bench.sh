@@ -51,6 +51,10 @@ EOF
     exit 0
   fi
 done
-echo "[gated] $MAIN $SFDIR: no clean window in $MAX_TRIES tries; last line recorded as STOLEN" >&2
-echo "$line" | sed 's/^{/{"stolen":true,/' >> "$OUT"
+if [ -n "${line:-}" ]; then
+  echo "[gated] $MAIN $SFDIR: no clean window in $MAX_TRIES tries; last line recorded as STOLEN" >&2
+  echo "$line" | sed 's/^{/{"stolen":true,/' >> "$OUT"
+else
+  echo "[gated] $MAIN $SFDIR: no JSON produced in $MAX_TRIES tries; nothing recorded" >&2
+fi
 exit 1

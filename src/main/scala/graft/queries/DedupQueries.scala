@@ -2572,7 +2572,7 @@ object DedupQueries {
     // the delta's shingle-key footprint bounds BOTH corpus-side passes
     val nKeys = deltaCnt.count()
     val slice0 =
-      if (nKeys <= ScanPrune.MaxPushdownIn) {
+      if (nKeys <= ScanPrune.maxPushdownIn(spark)) {
         val ks = deltaCnt.select(col("s")).collect().map(_.getLong(0)).toSeq
         ScanPrune.ensureInPushdown(spark, ks.length)
         ScanPrune.inSet(cm, "s", ks)

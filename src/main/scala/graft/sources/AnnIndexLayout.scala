@@ -96,7 +96,8 @@ object AnnIndexLayout {
     * deployment's in-flight readers); a deployment that deferred the
     * post-publish drop ([[build]]'s `dropSuperseded = false`) calls
     * this with `keepGenerations = 0` after its max query latency to
-    * reclaim the superseded generation. */
+    * reclaim the superseded generation — the runnable sequence is the
+    * deferred-drop recipe in [[GenerationPointer]]'s scaladoc. */
   def sweepStaleGenerations(spark: SparkSession, prefix: String,
       keepGenerations: Int = 1): Unit =
     GenerationPointer.sweepStale(spark, prefix, keepGenerations)
@@ -472,9 +473,34 @@ object AnnIndexLayout {
       BucketedTables.read(spark, s"${phys}_codes"), excludeSelf,
       // request-sized query batches: the exact re-rank's raw-vector
       // lookup must be shortlist-bounded, not a per-request
-      // corpus-sized join ([[SimilarityQueries.pqServeQueries]])
-      pointLookup = true)
+      // corpus-sized join ([[SimilarityQueries.pqServeQueries]]).
+      // Gated: a BULK query frame handed to this public API (a
+      // backfill re-scoring the corpus) would make the shortlist —
+      // and the forced broadcasts it feeds — |queries|-proportional,
+      // past Spark's broadcast hard limit where the plain joins
+      // degrade gracefully to shuffle; over the gate the amortized
+      // corpus-join form runs instead (same rows, join algebra).
+      pointLookup = boundedBatch(spark, queries.select(col("vec_id"))))
   }
+
+  /** Bounded-batch gate shared by [[serve]] and [[semanticDedupDelta]]
+    * — the same dial that gates the dedup-verify pruned path
+    * ([[ScanPrune.maxDeltaDocs]], default 4096 docs): a request/delta
+    * within the gate takes the broadcast-hinted `pointLookup` plan
+    * (per-batch cost delta-sized); above it every hint is dropped so
+    * the planner's own size checks pick shuffle — the previous
+    * behavior before the hints existed, and the right amortized form
+    * for bulk backfills anyway. The probe is `limit(gate+1).count()`,
+    * so deciding "over the gate" never scans more than gate+1 rows of
+    * an arbitrarily large frame. */
+  private def boundedBatch(spark: SparkSession, ids: DataFrame): Boolean = {
+    val gate = ScanPrune.maxDeltaDocs(spark)
+    val probe = math.min(gate + 1L, Int.MaxValue.toLong).toInt
+    ids.limit(probe).count() <= gate
+  }
+
+  @inline private def hinted(df: DataFrame, on: Boolean): DataFrame =
+    if (on) broadcast(df) else df
 
   /** SEMANTIC dedup at ingest — the third tier of the incremental
     * trio ([[DedupIndexLayout]] exact/MinHash, [[MediaIndexLayout]]
@@ -508,6 +534,12 @@ object AnnIndexLayout {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val delta = newVecs.dropDuplicates("vec_id")
     val dIds = delta.select(col("vec_id").as("__did")).localCheckpoint(true)
+    // broadcast/pointLookup gate (see [[boundedBatch]]): a bulk
+    // backfill delta must not be force-broadcast with its raw
+    // embeddings — over the dial the un-hinted joins run and the
+    // planner degrades to shuffle; the pair set is identical either
+    // way (join algebra; BoundedBatchGateSpec pins byte-equality)
+    val bounded = dIds.count() <= ScanPrune.maxDeltaDocs(spark)
     // serve ranks by exact squared L2 (d2); the dedup decision wants
     // cosine, derived by point lookups on the k-bounded output — the
     // corpus never scans for this
@@ -519,7 +551,7 @@ object AnnIndexLayout {
     val (cents, pqcb) = geometry(spark, phys)
     val cells = Tombstones.filter(spark, prefix,
         BucketedTables.read(spark, s"${phys}_cells"), "n_id")
-      .join(broadcast(dIds), col("n_id") === col("__did"), "left_anti")
+      .join(hinted(dIds, bounded), col("n_id") === col("__did"), "left_anti")
     val qn = delta.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_norm2(embedding)")).as("nrm"))
     // k-bounded per delta vector — materialized ONCE so the cosine
@@ -531,12 +563,13 @@ object AnnIndexLayout {
     // lookup inside the serve the same way)
     val served = SimilarityQueries.ivfpqServeQueriesWith(spark, dir, qn,
         cents, pqcb, cells, BucketedTables.read(spark, s"${phys}_codes"),
-        excludeSelf = false, pointLookup = true)
+        excludeSelf = false, pointLookup = bounded)
       .localCheckpoint(true)
-    val cNeeded = c.join(broadcast(served.select(col("n_id")).distinct()),
+    val cNeeded = c.join(
+      hinted(served.select(col("n_id")).distinct(), bounded),
       Seq("n_id"), "left_semi")
     served
-      .join(broadcast(q), "q_id").join(broadcast(cNeeded), "n_id")
+      .join(hinted(q, bounded), "q_id").join(hinted(cNeeded, bounded), "n_id")
       .select(col("q_id").as("vec_new"), col("n_id").as("vec_corpus"),
         (expr("graft_dot(qemb, nemb)") /
           (sqrt(expr("graft_norm2(qemb)")) * sqrt(expr("graft_norm2(nemb)"))))

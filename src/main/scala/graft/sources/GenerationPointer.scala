@@ -42,6 +42,38 @@ import org.apache.spark.sql.SparkSession
   *
   * Tombstones and other LOGICAL state intentionally stay at the
   * logical prefix — they must keep filtering across rebuilds.
+  *
+  * ==The deferred-drop deployment recipe==
+  *
+  * The operational sequence for a deployment whose queries may run
+  * longer than a rebuild (the only situation where the publish-time
+  * drop is unsafe). Shown for [[TextIndexLayout]]; identical for
+  * [[AnnIndexLayout]] and [[HybridIndexLayout.buildDense]] /
+  * `sweepStaleGenerationsDense` — the `keepGenerations` semantics are
+  * THIS object's and shared by all three:
+  *
+  * {{{
+  * // 1. Rebuild WITHOUT the publish-time drop: generation N+1 is
+  * //    written in full and published; generation N stays on disk,
+  * //    still serving every plan that resolved before the flip.
+  * TextIndexLayout.build(spark, dir, "txt", dropSuperseded = false)
+  *
+  * // 2. Serve. New queries resolve N+1 via the pointer; in-flight
+  * //    queries keep reading N. Later rebuilds may run in this
+  * //    window — their build-start sweep keeps N alive (default
+  * //    keepGenerations = 1), so the protection does not expire
+  * //    just because another build started.
+  *
+  * // 3. After the deployment's MAX QUERY LATENCY has elapsed since
+  * //    the publish (no plan over N can still be running), reclaim:
+  * TextIndexLayout.sweepStaleGenerations(spark, "txt",
+  *   keepGenerations = 0)
+  * // keepGenerations = 0 also drops a pre-pointer deployment's
+  * // logical-name tables (safe only now, for the same reason).
+  * }}}
+  *
+  * A deployment with short queries skips all of this: the default
+  * `dropSuperseded = true` reclaims at publish time.
   */
 private[sources] object GenerationPointer {
 

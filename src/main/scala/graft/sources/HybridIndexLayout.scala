@@ -106,7 +106,8 @@ object HybridIndexLayout {
     * .sweepStaleGenerations]]'s contract: `keepGenerations = 0` is the
     * deferred-drop deployment's explicit post-latency reclaim (also
     * drops pre-pointer logical-name tables once a generation is
-    * published). */
+    * published). The runnable sequence is the deferred-drop recipe in
+    * [[GenerationPointer]]'s scaladoc. */
   def sweepStaleGenerationsDense(spark: SparkSession, prefix: String,
       keepGenerations: Int = 1): Unit =
     GenerationPointer.sweepStale(spark, prefix, keepGenerations, DenseTables)

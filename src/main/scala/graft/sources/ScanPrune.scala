@@ -89,6 +89,21 @@ private[graft] object ScanPrune {
     * only the page-level layer. */
   val MaxPushdownIn: Int = 1024
 
+  /** The branch bound as actually consulted — the session conf
+    * `graft.scanprune.maxPushdownIn` can only LOWER it, never raise
+    * it: the constant above carries the measured stack-safety
+    * evidence, and a conf that could re-raise the ceiling would
+    * reintroduce the exact failure the r17 post-mortem removed. The
+    * lowering seam exists for (a) deployments whose plans are deeper
+    * than the measured context and want extra headroom, and (b)
+    * PushdownCeilingSpec, which forces the over-gate semi-join branch
+    * on the SAME delta to pin byte-equality of the two plans at the
+    * ceiling. */
+  def maxPushdownIn(spark: SparkSession): Int =
+    math.min(MaxPushdownIn,
+      spark.conf.get("graft.scanprune.maxPushdownIn",
+        MaxPushdownIn.toString).toInt)
+
   /** Spark pushes an IN to parquet as an eq-or-chain only up to
     * `spark.sql.parquet.pushdown.inFilterThreshold` values — beyond
     * that only the [min, max] RANGE is pushed, which prunes nothing
@@ -104,14 +119,15 @@ private[graft] object ScanPrune {
     * scans plan when a downstream action runs), so a save/restore
     * around the call would plan them back at the tiny default and
     * silently lose the page-level layer. The ratchet is bounded by
-    * [[MaxPushdownIn]] (= 4096, the measured stack-safety ceiling),
+    * [[MaxPushdownIn]] (see its scaladoc: the safe depth is
+    * plan-dependent, so the value carries the measured evidence),
     * and a larger IN threshold only changes HOW an IN is pushed to
     * parquet — eq-or-chain vs range — never a result, so unrelated
     * queries in a long-lived serving session see at most a plan-shape
     * change within parquet's proven bounds. */
   def ensureInPushdown(spark: SparkSession, n: Int): Unit = {
     val k = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val target = math.min(n, MaxPushdownIn)
+    val target = math.min(n, maxPushdownIn(spark))
     if (spark.conf.get(k, "10").toInt < target) spark.conf.set(k, target.toString)
   }
 

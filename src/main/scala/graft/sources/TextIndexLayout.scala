@@ -158,7 +158,9 @@ object TextIndexLayout {
     * generation plus the `keepGenerations` most recent below it;
     * `keepGenerations = 0` is the deferred-drop deployment's explicit
     * post-latency reclaim, which also drops a pre-pointer deployment's
-    * logical-name index tables once a generation is published. */
+    * logical-name index tables once a generation is published. The
+    * runnable sequence is the deferred-drop recipe in
+    * [[GenerationPointer]]'s scaladoc. */
   def sweepStaleGenerations(spark: SparkSession, prefix: String,
       keepGenerations: Int = 1): Unit =
     GenerationPointer.sweepStale(spark, prefix, keepGenerations, IndexTables)
