@@ -18,6 +18,22 @@ object Bench {
       // already-materialized shuffle output — no subtree re-execution —
       // which is exactly the stats-driven plan a real cluster wants.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // shuffle writer: never take the bypass-merge path (it creates one
+      // file per REDUCE partition per map task — R*M file opens/commits;
+      // jstack sampling showed ~35% of executor CPU in shuffle-file
+      // open/commit at sf0.1). The sort-based writer writes 1 data + 1
+      // index file per map task at any reduce count — and at production
+      // reduce counts (>200) bypass never fires anyway, so this only
+      // changes the small-shuffle regime where it was measured 1.3-3x.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // AQE partition coalescing: size-based, not parallelism-first —
+      // parallelismFirst=true (default) coalesces only down to the core
+      // count, pinning every tiny stage at 32 tasks whose per-task
+      // shuffle-file overhead dwarfs its rows. false lets AQE derive the
+      // partition count from bytes (advisoryPartitionSizeInBytes), the
+      // scale-adaptive behavior the optimization guide prescribes; at
+      // 100 TB the same setting yields thousands of right-sized tasks.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
