@@ -19,6 +19,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // keep the dev profiler's session identical to Bench's (see the
+      // rationale there), or its numbers stop predicting bench numbers
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,7 +31,19 @@ object Profile {
       catch { case _: Throwable => () }
     }
     val fn = SparkEntry.queries(name)
-    if (explain) fn(spark, sfDir).explain("formatted")
+    if (explain) {
+      // queries that end in Tables.released return a checkpointed RDD
+      // scan; the plan that actually ran is stashed by released —
+      // print that one when present (reset first: it is sticky across
+      // queries in one session)
+      graft.util.Tables.lastReleasedPlan = None
+      val df = fn(spark, sfDir)
+      graft.util.Tables.lastReleasedPlan match {
+        case Some(qe) => println(qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        case None => df.explain("formatted")
+      }
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

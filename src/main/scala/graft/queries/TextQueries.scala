@@ -571,10 +571,15 @@ object TextQueries {
     * index until the next rebuild, standard retrieval practice. */
   private[graft] def bm25Postings(perDoc: DataFrame, vocab: DataFrame,
       dl: DataFrame): DataFrame = {
-    perDoc.join(vocab.select(col("term"), col("df")), "term")
+    // ONE vocab join carrying (df, idf_micro, avgdl) together: joining
+    // df first and idf/avgdl after the cap filter paid a SECOND
+    // term-keyed exchange+join of the corpus-grain posting rows for the
+    // same vocabulary row (r18 plan audit: 2 joins on term -> 1; the
+    // cap filter commutes with carrying two extra vocab columns).
+    perDoc.join(vocab.select(col("term"), col("df"), col("idf_micro"),
+        col("avgdl")), "term")
       .filter(h60Pool(col("doc_id"), col("df"), Bm25MaxPosting))
       .join(dl, "doc_id")
-      .join(vocab.select(col("term"), col("idf_micro"), col("avgdl")), "term")
       .select(col("term"), col("doc_id"),
         (col("idf_micro") *
           round(col("tf").cast(DoubleType) * lit(2.2) /
