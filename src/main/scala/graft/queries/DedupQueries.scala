@@ -89,16 +89,29 @@ object DedupQueries {
 
   /** [[verifyJaccard]] against an ALREADY sized (and ideally cached)
     * index — for callers that need `withSizes` output themselves and
-    * must not pay the per-doc count window twice. */
-  private[graft] def verifyJaccardSized(cand: DataFrame, shN: DataFrame): DataFrame =
+    * must not pay the per-doc count window twice.
+    *
+    * Verification intersects per-doc sorted shingle ARRAYS map-side
+    * (the [[containmentPairs]] discipline, r10): each candidate pair
+    * pulls two bounded arrays, so no pair×posting grain ever exists —
+    * the exploded form shuffled |cand|·|shingles-per-doc| rows into a
+    * pair-grain aggregate (~1.5B rows at sf1 when containment hit it).
+    * Exactness: per-doc shingles are DISTINCT by construction, so
+    * |array_intersect| == the exploded join's per-pair count; a pair
+    * with zero common shingles now yields jaccard = 0.0 instead of no
+    * row — identical output under every caller's ≥ τ (τ > 0) filter. */
+  private[graft] def verifyJaccardSized(cand: DataFrame, shN: DataFrame): DataFrame = {
+    val arrs = shN.groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
     cand
-      .join(shN.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shN.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"),
-        col("sa.n").as("na"), col("sb.n").as("nb"))
-      .agg(count(lit(1)).as("common"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("arr").as("arr_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("arr").as("arr_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccardOf(col("common"), col("na"), col("nb")).as("jaccard"))
+        jaccardOf(size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast(LongType), col("na"), col("nb")).as("jaccard"))
+  }
 
   // ---------------------------------------------------------------------
   // dedup_exact: hash-groupBy duplicate detection
