@@ -118,6 +118,23 @@ object KMeans {
     * corpus-sized state. */
   def fitGrouped(slices: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0)
+    // Bounded-sample fast path: PQ codebook training runs on a sample
+    // bounded BY CONSTRUCTION (SimilarityQueries.pqTrainingInput caps
+    // at ≤2000 vectors at any corpus size), yet each distributed round
+    // paid a broadcast join, two shuffled aggregates, a centroid join
+    // and an eager checkpoint — ~10 scheduler round-trips per fit for
+    // kilobytes of data. When the whole sample fits a hard row gate,
+    // run the SAME Lloyd's at the driver with bit-identical arithmetic
+    // (left-fold d2, (d2, cent_id) argmin via Double.compare, HALF_UP
+    // fixed-point 2^27 component sums — order-free exact longs — and
+    // the empty-cluster carry-forward). Over the gate: the distributed
+    // loop below, unchanged (the general-operator contract).
+    fitGroupedAtDriver(slices, seeds, iters).getOrElse(
+      fitGroupedDistributed(slices, seeds, iters))
+  }
+
+  private def fitGroupedDistributed(slices: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
     val d2 = aggregate(
       zip_with(col("x"), col("cvec"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v)
@@ -150,5 +167,81 @@ object KMeans {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Row gate for the driver-side grouped fit: ~10 MB of slice rows.
+    * limit(gate+1)+length-check bounds what the driver can ever hold
+    * (the bounded-collect discipline); an over-gate input returns None
+    * and the caller falls back to the distributed loop. */
+  private val MaxDriverFitRows = 200000
+
+  private def fitGroupedAtDriver(slices: DataFrame, seeds: DataFrame,
+      iters: Int): Option[DataFrame] = {
+    val sliceRows = slices.select(col("grp"), col("x"))
+      .limit(MaxDriverFitRows + 1).collect()
+    if (sliceRows.length > MaxDriverFitRows) return None
+    val seedRows = seeds.select(col("grp"), col("cent_id"), col("cvec"))
+      .limit(MaxDriverFitRows + 1).collect()
+    if (seedRows.length > MaxDriverFitRows) return None
+    val pts: Array[(Int, Array[Double])] = sliceRows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // (grp, cent_id) -> centroid; per-group views rebuilt per round
+    var cents: Array[((Int, Long), Array[Double])] = seedRows
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2).toArray))
+    val Unit27 = (1L << 27).toDouble
+    for (_ <- 0 until iters) {
+      val byGrp: Map[Int, Array[(Long, Array[Double])]] = cents
+        .groupBy(_._1._1).map { case (g, a) =>
+          g -> a.map { case ((_, c), v) => (c, v) } }
+      val sums = scala.collection.mutable.Map.empty[(Int, Long), Array[Long]]
+      val counts = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      pts.foreach { case (grp, x) =>
+        byGrp.get(grp).foreach { cs => // grp without seeds: inner-join drop
+          // argmin by (d2, cent_id) under Spark's double ordering
+          var bestD = Double.NaN
+          var bestC = 0L
+          var bestSet = false
+          cs.foreach { case (cid, cv) =>
+            var d = 0.0 // left fold in array order, as the SQL aggregate
+            var i = 0
+            while (i < x.length) {
+              val t = x(i) - cv(i); d += t * t; i += 1
+            }
+            val cmp = java.lang.Double.compare(d, bestD)
+            if (!bestSet || cmp < 0 || (cmp == 0 && cid < bestC)) {
+              bestD = d; bestC = cid; bestSet = true
+            }
+          }
+          val key = (grp, bestC)
+          val acc = sums.getOrElseUpdate(key, new Array[Long](x.length))
+          var i = 0
+          while (i < x.length) {
+            // Spark round() is BigDecimal HALF_UP (math.round is not,
+            // for negative halves), then the long cast truncates the
+            // integer-valued double exactly
+            acc(i) += java.math.BigDecimal.valueOf(x(i) * Unit27)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue().toLong
+            i += 1
+          }
+          counts(key) = counts.getOrElse(key, 0L) + 1L
+        }
+      }
+      cents = cents.map { case (key, old) =>
+        counts.get(key) match {
+          case Some(n) =>
+            val s = sums(key)
+            // sum.cast(double) / 2^27 / count — the exact expression
+            // order of the distributed aggregate
+            (key, s.map(v => v.toDouble / Unit27 / n.toDouble))
+          case None => (key, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    val spark = slices.sparkSession
+    import spark.implicits._
+    Some(cents.toSeq
+      .map { case ((g, c), v) => (g, c, v.toSeq) }
+      .toDF("grp", "cent_id", "cvec"))
   }
 }
