@@ -2057,24 +2057,23 @@ object SimilarityQueries {
     val Scale = 1048576.0 // 2^20 — power of two keeps the product exact
     val sv = aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))
+    // ONE map-side-combinable aggregate computes all 64 per-position
+    // fixed-point sums straight off the row — no posexplode, no (pos)
+    // exchange, no 64-way max(when) re-pivot, and no corpus-wide
+    // barrier repartition (r18: the old shape shuffled the whole
+    // (s, embedding) frame just to spread the explode). Each term is
+    // the IDENTICAL int64 round(s·x·2^20), and int64 sums are
+    // order-free, so the output doubles are bit-identical.
+    val sums = (0 until Dim).map(i =>
+      sum(round(col("s") * element_at(col("embedding"), i + 1)
+        .cast(DoubleType) * lit(Scale)).cast(LongType)).as(s"sq$i"))
     val accum = embs(spark, dir)
-      .select(col("vec_id"), col("embedding"), sv.as("s"))
-      // barrier: s is consumed per exploded position below;
-      // CollapseProject would otherwise inline the 64-element fold
-      // into every generated row
-      .repartition(col("vec_id"))
-      .select(col("s"), posexplode(col("embedding")))
-      .select(col("pos"),
-        round(col("s") * col("col").cast(DoubleType) * lit(Scale))
-          .cast(LongType).as("q"))
-      .groupBy(col("pos"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-      .select(col("pos"), col("n"),
-        (col("sq").cast(DoubleType) / lit(Scale)).as("m"))
-    val pivots = (0 until Dim).map(i =>
-      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+      .select(col("embedding"), sv.as("s"))
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("n_vecs") +: (0 until Dim).map(i =>
+        (col(s"sq$i").cast(DoubleType) / lit(Scale)).as(s"m$i")): _*)
     val norm2 = (0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _)
-    accum.agg(max(col("n")).as("n_vecs"), pivots: _*)
+    accum
       .select(col("n_vecs"), sqrt(norm2).as("anorm"),
         (col("m0") / sqrt(norm2)).as("v1_0"),
         (col("m31") / sqrt(norm2)).as("v1_31"),
@@ -2139,23 +2138,19 @@ object SimilarityQueries {
   private def pca2StageA(spark: SparkSession, dir: String): DataFrame = {
     val sv = aggregate(col("embedding"), lit(0.0),
       (acc, x) => acc + x.cast(DoubleType))
+    // single-aggregate accumulation — same int64 terms, no posexplode/
+    // (pos) exchange/pivot/barrier shuffle (see powerIteration)
+    val sums = (0 until Dim).map(i =>
+      sum(round(col("s") * element_at(col("embedding"), i + 1)
+        .cast(DoubleType) * lit(Pca2Scale)).cast(LongType)).as(s"sq$i"))
     val accum = embs(spark, dir)
-      .select(col("vec_id"), col("embedding"), sv.as("s"))
-      // barrier against CollapseProject inlining the fold per row
-      // (see powerIteration)
-      .repartition(col("vec_id"))
-      .select(col("s"), posexplode(col("embedding")))
-      .select(col("pos"),
-        round(col("s") * col("col").cast(DoubleType) * lit(Pca2Scale))
-          .cast(LongType).as("q"))
-      .groupBy(col("pos"))
-      .agg(sum(col("q")).as("sq"))
-      .select(col("pos"), (col("sq").cast(DoubleType) / lit(Pca2Scale)).as("m"))
-    val pivots1 = (0 until Dim).map(i =>
-      max(when(col("pos") === i, col("m"))).as(s"m$i"))
+      .select(col("embedding"), sv.as("s"))
+      .agg(sums.head, sums.tail: _*)
+      .select((0 until Dim).map(i =>
+        (col(s"sq$i").cast(DoubleType) / lit(Pca2Scale)).as(s"m$i")): _*)
     val norm1 =
       sqrt((0 until Dim).map(i => col(s"m$i") * col(s"m$i")).reduce(_ + _))
-    accum.agg(pivots1.head, pivots1.tail: _*)
+    accum
       .select(array((0 until Dim).map(i => col(s"m$i") / norm1): _*).as("v1"),
         norm1.as("anorm1"))
   }
@@ -2182,23 +2177,21 @@ object SimilarityQueries {
     * accumulations, v0..v63 = v1's components) from a deflated frame. */
   private def pca2StageB(deflated: DataFrame): DataFrame = {
     val s2 = aggregate(col("y"), lit(0.0), (acc, x) => acc + x)
-    val accum2 = deflated
-      .select(col("vec_id"), col("v1"), col("y"), s2.as("s2"))
-      .repartition(col("vec_id")) // same barrier as stage A
-      .select(col("s2"), col("v1"), posexplode(col("y")))
-      .select(col("pos"),
-        element_at(col("v1"), col("pos") + 1).as("v1p"),
-        round(col("s2") * col("col") * lit(Pca2Scale)).cast(LongType).as("q"))
-      .groupBy(col("pos"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"),
-        max(col("v1p")).as("v1p"))
-      .select(col("pos"), col("n"), col("v1p"),
-        (col("sq").cast(DoubleType) / lit(Pca2Scale)).as("m"))
-    val pivots2 = (0 until Dim).map(i =>
-      max(when(col("pos") === i, col("m"))).as(s"m$i")) ++
+    // single-aggregate accumulation (see powerIteration); the v1
+    // pivots are max over a per-row constant (the broadcast v1's own
+    // components), identical to the old per-pos max(v1p)
+    val aggs = (0 until Dim).map(i =>
+      sum(round(col("s2") * element_at(col("y"), i + 1) * lit(Pca2Scale))
+        .cast(LongType)).as(s"sq$i")) ++
       (0 until Dim).map(i =>
-        max(when(col("pos") === i, col("v1p"))).as(s"v$i"))
-    accum2.agg(max(col("n")).as("n_vecs"), pivots2: _*)
+        max(element_at(col("v1"), i + 1)).as(s"v$i"))
+    deflated
+      .select(col("v1"), col("y"), s2.as("s2"))
+      .agg(count(lit(1)).as("n_vecs"), aggs: _*)
+      .select(col("n_vecs") +:
+        ((0 until Dim).map(i =>
+          (col(s"sq$i").cast(DoubleType) / lit(Pca2Scale)).as(s"m$i")) ++
+          (0 until Dim).map(i => col(s"v$i"))): _*)
   }
 
   private def pca2Frames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
