@@ -1626,23 +1626,26 @@ object TextQueries {
   private[graft] def winnowFingerprints(spark: SparkSession,
       dir: String): DataFrame = {
     val sp = spanIndex(spark, dir, withNTokens = true)
-    // window membership: span at pos belongs to windows i = pos-o,
-    // o in [0, W); only fully-inside windows count (i in [0, nspan-W])
-    val bounded = sp
-      .withColumn("nspan", col("n_tokens") - (SpanL - 1))
-      .select(col("doc_id"), col("nspan"), col("pos"), col("s"),
-        explode(sequence(lit(0), lit(WinnowW - 1))).as("o"))
-      .withColumn("i", col("pos") - col("o"))
-      .filter(col("i") >= 0 && col("i") <= col("nspan") - WinnowW)
-      .select(col("doc_id"), col("i"), col("pos"), col("s"))
-    val wmin = bounded.groupBy(col("doc_id"), col("i"))
-      .agg(min(col("s")).as("m"))
+    // Sliding-window rightmost-min, ONE ordered window pass: each span
+    // row IS window i = pos, its frame the next W span hashes;
+    // min(struct(s, -pos)) picks the min hash with ties to the highest
+    // position — exactly the old explode(W)+groupBy+self-join's
+    // (min s, max pos | s = min) per window, without the W× row
+    // multiplier, the (doc,i) exchange, or the join back (r18: the
+    // exploded form was 3 exchanges over a W×-inflated span grain).
+    // Only fully-inside windows count: i in [0, nspan-W], whose frames
+    // are complete by construction (last row read = nspan-1).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        WinnowW - 1)
     Tables.released(
-      bounded.join(wmin, Seq("doc_id", "i"))
-        .filter(col("s") === col("m"))
-        .groupBy(col("doc_id"), col("i"), col("m"))
-        .agg(max(col("pos")).as("fp_pos")) // rightmost on hash ties
-        .select(col("doc_id"), col("fp_pos"), col("m").as("fp"))
+      sp.withColumn("nspan", col("n_tokens") - (SpanL - 1))
+        .withColumn("best",
+          min(struct(col("s"), (-col("pos")).as("negpos"))).over(w))
+        .filter(col("pos") <= col("nspan") - WinnowW)
+        .select(col("doc_id"), (-col("best.negpos")).as("fp_pos"),
+          col("best.s").as("fp"))
         .distinct(), // adjacent windows often pick the same position
       sp)
   }
