@@ -71,25 +71,10 @@ object DedupQueries {
   private def jaccardOf(common: Column, na: Column, nb: Column): Column =
     common.cast(DoubleType) / (na + nb - common).cast(DoubleType)
 
-  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs via
-    * the inverted index — returns pairs with `jaccard` attached. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    // both join legs read the sized posting list; one cache build
-    // instead of re-running the sizes aggregate per side (callers
-    // clear the cache after each query run)
-    val shN = withSizes(sh).persist()
-    shN.count()
-    // the sized copy supersedes the raw index: drop the raw cache now
-    // (same discipline as ngramJaccard/contamination) so two copies of
-    // the shingle index never sit in memory through the heavy pair join.
-    // No-op when the caller didn't persist sh.
-    sh.unpersist(false)
-    verifyJaccardSized(cand, shN)
-  }
-
-  /** [[verifyJaccard]] against an ALREADY sized (and ideally cached)
-    * index — for callers that need `withSizes` output themselves and
-    * must not pay the per-doc count window twice.
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    * against an ALREADY sized (and ideally cached) index — callers
+    * build `withSizes` output once and share it (every consumer needs
+    * the per-doc counts anyway).
     *
     * Verification intersects per-doc sorted shingle ARRAYS map-side
     * (the [[containmentPairs]] discipline, r10): each candidate pair
@@ -225,13 +210,20 @@ object DedupQueries {
     * the τ·max ≤ min size filter prunes before the distinct; exact
     * verification reuses [[verifyJaccard]] on the surviving pairs. */
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tau = PrefixTau
     // ONE sized-index build feeds all three consumers (df counts, the
     // prefix rank, the exact verify) — paying the per-doc count window
     // a second time inside verifyJaccard measured ~1.3x on the whole
     // query at sf0.1
     val shN = withSizes(shingles(spark, dir)).persist()
     shN.count()
+    prefixJaccardFromSized(shN)
+  }
+
+  /** [[prefixJaccard]] over an ALREADY persisted sized shingle index —
+    * lets [[dedupRecallAudit]] share one index build between its exact
+    * and banded legs. */
+  private def prefixJaccardFromSized(shN: DataFrame): DataFrame = {
+    val tau = PrefixTau
     val dfs = shN.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -480,12 +472,14 @@ object DedupQueries {
   /** Verified (doc_a, doc_b, jaccard) near-dup pairs, unsorted — shared
     * by [[minhashPairs]] and the cluster query. */
   private def minhashPairsBody(spark: SparkSession, dir: String): DataFrame = {
-    // shingle index feeds signature build + exact verify (4 subtree
-    // uses); signature feeds both sides of the band self-join.
-    // count() serializes the cache builds (see ngramJaccard).
-    val sh = shingles(spark, dir).persist()
-    sh.count()
-    minhashPairsFrom(sh)
+    // ONE sized shingle cache feeds signature build, band join and the
+    // array verify (r18: the raw-shingle cache plus a SECOND sized copy
+    // built inside verifyJaccard paid an extra cache materialization +
+    // eager count per consumer — and this body backs ~10 registered
+    // queries). count() serializes the cache build (see ngramJaccard).
+    val shN = withSizes(shingles(spark, dir)).persist()
+    shN.count()
+    minhashPairsFromSized(shN)
   }
 
   /** (doc_id, band_id, key) LSH band rows of a signature frame — the
@@ -517,13 +511,11 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
   }
 
-  /** [[minhashPairsBody]] over an ALREADY persisted shingle index —
-    * for composites ([[pipelineCurate]]) that feed several stages from
-    * ONE tokenize+shingle pass. NOTE: [[verifyJaccard]] drops `sh`'s
-    * cache once its sized copy is built, so a caller sharing `sh`
-    * must materialize its other consumers FIRST. */
-  private def minhashPairsFrom(sh: DataFrame): DataFrame =
-    minhashPairsFromConfig(sh, 4, 4)
+  /** [[minhashPairsBody]] over an ALREADY persisted SIZED shingle
+    * index — for composites ([[dedupRecallAudit]]) that feed several
+    * consumers from ONE tokenize+shingle pass. */
+  private def minhashPairsFromSized(shN: DataFrame): DataFrame =
+    minhashPairsFromConfigSized(shN, 4, 4)
 
   /** The FULL verified pair set read from an already PERSISTED dedup
     * index — `sized` the sized shingle table, `bands` the band rows
@@ -541,9 +533,9 @@ object DedupQueries {
     verifyJaccardSized(cand, sized).filter(col("jaccard") >= 0.3)
   }
 
-  private def minhashPairsFromConfig(sh: DataFrame, nBands: Int,
+  private def minhashPairsFromConfigSized(shN: DataFrame, nBands: Int,
       rows: Int): DataFrame = {
-    val sig = minhashSigFrom(sh).persist()
+    val sig = minhashSigFrom(shN).persist()
     sig.count()
     val bands = minhashBandsConfigOf(sig, nBands, rows)
     val cand = bands.as("a").join(bands.as("b"),
@@ -551,7 +543,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh)
+    verifyJaccardSized(cand, shN)
       .filter(col("jaccard") >= 0.3)
   }
 
@@ -566,9 +558,9 @@ object DedupQueries {
     * rows and a larger candidate volume — the measured trade, next to
     * [[dedupRecallAudit]]'s per-band S-curve. */
   def minhashPairs8x2(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).persist()
-    sh.count()
-    minhashPairsFromConfig(sh, 8, 2).orderBy(col("doc_a"), col("doc_b"))
+    val shN = withSizes(shingles(spark, dir)).persist()
+    shN.count()
+    minhashPairsFromConfigSized(shN, 8, 2).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the SQL twin
@@ -706,9 +698,14 @@ object DedupQueries {
     * long cast truncates in Spark but DuckDB's CAST rounds, so a band
     * at e.g. 2/3 recall would hash-mismatch without the floor. */
   def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val exact = prefixJaccard(spark, dir)
+    // ONE sized shingle index feeds BOTH legs (r18): the exact
+    // prefix-filtered truth and the banded MinHash catch previously
+    // each built their own tokenize+shingle+window cache
+    val shN = withSizes(shingles(spark, dir)).persist()
+    shN.count()
+    val exact = prefixJaccardFromSized(shN)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val caught = minhashPairs(spark, dir)
+    val caught = minhashPairsFromSized(shN)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     exact.join(caught, Seq("doc_a", "doc_b"), "left_outer")
       .select(
