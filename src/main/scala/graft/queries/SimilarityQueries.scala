@@ -2155,22 +2155,34 @@ object SimilarityQueries {
         norm1.as("anorm1"))
   }
 
-  /** The per-row deflation x → y = x − (x·v1)v1 under a 1-row v1
-    * frame. With keepExtras the frame also carries the raw embedding
-    * and the stage-computed projection t = x·v1 (identical expression
-    * both ways — the extras only widen the row). */
-  private def pca2Deflated(spark: SparkSession, dir: String, v1f: DataFrame,
-      keepExtras: Boolean): DataFrame = {
+  /** The pre-deflation frame (vec_id, v1, embedding, t = x·v1) under a
+    * 1-row v1 frame — the NARROW whitening cache: the deflated y is a
+    * 64-flop row-local recompute from these columns ([[pca2YExpr]]), so
+    * persisting this frame instead of one that also carries y keeps 64
+    * doubles per row out of the cache with zero extra corpus passes. */
+  private def pca2DeflBase(spark: SparkSession, dir: String,
+      v1f: DataFrame): DataFrame = {
     val t = aggregate(
       zip_with(col("embedding"), col("v1"), (x, v) => x.cast(DoubleType) * v),
       lit(0.0), (acc, x) => acc + x)
-    val base = embs(spark, dir).crossJoin(broadcast(v1f))
+    embs(spark, dir).crossJoin(broadcast(v1f))
       .select(col("vec_id"), col("v1"), col("embedding"), t.as("t"))
-    val y = zip_with(col("embedding"), col("v1"),
-      (x, v) => x.cast(DoubleType) - col("t") * v).as("y")
+  }
+
+  /** The per-row deflation y = x − (x·v1)v1 over [[pca2DeflBase]]'s
+    * columns — ONE definition, so a recompute-from-cache read can never
+    * drift from a materialized column. */
+  private def pca2YExpr: Column = zip_with(col("embedding"), col("v1"),
+    (x, v) => x.cast(DoubleType) - col("t") * v)
+
+  /** The deflated frame x → y = x − (x·v1)v1 under a 1-row v1 frame. */
+  private def pca2Deflated(spark: SparkSession, dir: String, v1f: DataFrame,
+      keepExtras: Boolean): DataFrame = {
+    val base = pca2DeflBase(spark, dir, v1f)
     if (keepExtras)
-      base.select(col("vec_id"), col("v1"), col("embedding"), col("t"), y)
-    else base.select(col("vec_id"), col("v1"), y)
+      base.select(col("vec_id"), col("v1"), col("embedding"), col("t"),
+        pca2YExpr.as("y"))
+    else base.select(col("vec_id"), col("v1"), pca2YExpr.as("y"))
   }
 
   /** Stage B: the 1-row pivot aggregate (n_vecs, m0..m63 second-pass
@@ -2324,14 +2336,20 @@ object SimilarityQueries {
     * hash-matches cross-engine at every SF. */
   def whiten2(spark: SparkSession, dir: String): DataFrame = {
     // TWO corpus scans total: stage A, then ONE deflation pass whose
-    // frame (with the raw embedding and the stage-computed t = x·v1)
-    // persists and feeds stage B, the v2 projection, and the scale
-    // pass — t1 is stage B's own t, never recomputed, exactly as the
-    // SQL twin reads it from the shared d0 CTE
+    // NARROW frame (vec_id, v1, embedding, t = x·v1 — y recomputed
+    // row-locally per read, see pca2DeflBase) persists and feeds stage
+    // B, the v2 projection, and the scale pass — t1 is stage B's own t,
+    // never recomputed, exactly as the SQL twin reads it from the
+    // shared d0 CTE. NO eager count fences (r19): every consumer is a
+    // broadcast side built strictly before its probe (scales before the
+    // final projection, wb before proj, v1f before the deflation), so
+    // the one released-checkpoint job fills each cache exactly once in
+    // dependency order — the two count() fences were two extra full
+    // passes over the cached frames plus two scheduler barriers.
     val v1f = pca2StageA(spark, dir)
-    val defl = pca2Deflated(spark, dir, v1f, keepExtras = true).persist()
-    defl.count()
-    val p2 = pca2StageB(defl)
+    val defl = pca2DeflBase(spark, dir, v1f).persist()
+    val p2 = pca2StageB(
+      defl.select(col("vec_id"), col("v1"), pca2YExpr.as("y")))
     // hoist the 64-term norm chain into its own projection (the SQL
     // twin's p2n CTE): inlining it into all 64 v2 elements builds a
     // ~4k-node expression tree that costs more to compile than to run
@@ -2346,7 +2364,6 @@ object SimilarityQueries {
           zip_with(col("embedding"), col("v2a"), (x, c) => x.cast(DoubleType) * c),
           lit(0.0), (acc, x) => acc + x).as("t2"))
       .persist()
-    proj.count()
     val scales = proj.agg(
       sum(round(col("t1") * col("t1") * lit(Pca2Scale)).cast(LongType)).as("q1"),
       sum(round(col("t2") * col("t2") * lit(Pca2Scale)).cast(LongType)).as("q2"),

@@ -1006,14 +1006,23 @@ object TextQueries {
     * fraction, top-bigram character coverage, duplicate-trigram
     * fraction, and a pass/fail gate over fixed thresholds.
     *
-    * Shape: the word/bigram grain is relational (one explode + two
-    * shrinking aggregations — the same inverted-index discipline as
-    * tfidf; no per-row quadratic mode search), the trigram fraction is
-    * per-row HOF work on the already-distinct shingle hashes. All
-    * fractions are single divisions of exact int64s — bit-identical
-    * cross-engine with no quantization. "Coverage" is max over grams of
-    * c*len(gram)/n_chars (an argmax-free formulation: no tie-breaking
-    * divergence between engines).
+    * Shape (r19): ALL grains are per-row HOF work — each doc's gram
+    * stats come from one sorted run-length pass over its own token /
+    * bigram array (sort_array groups equal grams adjacently; a running
+    * `run × length(gram)` maximum equals the relational max(c·len)
+    * exactly, because the max of a run is reached at its last element),
+    * and the trigram fraction stays on the already-distinct shingle
+    * hashes. The former relational form (explode to gram grain → two
+    * shrinking aggregations → self-join) shuffled the corpus at TOKEN
+    * grain; per-doc sort+scan is O(n log n) in the doc's own length,
+    * never leaves the row, and drops the query to a single corpus pass
+    * with no join — at 100 TB the only shuffle left is the
+    * load-balancing repartition. All fractions remain single divisions
+    * of exact int64s — bit-identical cross-engine with no quantization
+    * (RepetitionSpec pins per-row == relational on a planted fixture).
+    * "Coverage" is max over grams of c*len(gram)/n_chars (an
+    * argmax-free formulation: no tie-breaking divergence between
+    * engines).
     *
     * Caveat: the distinct-trigram count reuses the 60-bit shingle
     * hashes, so a hash collision between two distinct trigrams in the
@@ -1022,47 +1031,57 @@ object TextQueries {
     * collision probability is ~n_tri^2 / 2^61 — negligible even for
     * million-token documents — and a deflated count only makes the
     * quality gate marginally stricter. */
+  /** max over the grams of a SORTED gram array of
+    * count(gram) × length(gram), as one run-length fold: equal grams
+    * are adjacent after sort_array, the run counter resets on every
+    * new gram, and `run × length` is maximal at the run's last
+    * element, so the running `greatest` equals the relational
+    * max(c·len(gram)) exactly. Sort order beyond grouping equals
+    * adjacently is irrelevant — only equality is consulted. */
+  private def runCover(sortedGrams: Column): Column =
+    aggregate(
+      sortedGrams,
+      struct(lit(0L).as("run"), lit(0L).as("best"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        // first element / new gram: x === null-prev is NULL -> otherwise
+        val run = when(x === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(run.as("run"),
+          greatest(acc("best"), run * length(x).cast(LongType)).as("best"),
+          x.as("prev"))
+      },
+      acc => acc("best"))
+
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    // base is consumed three times (unigrams, bigrams, trigram stats);
-    // without persist the scan + tokenize + repartition re-execute per
-    // consumer — the twice-consumed-DataFrame trap tfidf persists
-    // against. Eager count() materializes before the fan-out.
+    // repartition carries RAW text (narrowest possible shuffle) and
+    // load-balances the single-row-group scan; toks is projected once
+    // above it (multi-referenced non-cheap alias — CollapseProject
+    // leaves it materialized) and every metric is row-local from there:
+    // no persist fence, no token-grain shuffle, no join.
     val base = docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars_m"),
         tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .persist()
-    base.count()
 
-    val unigrams = base.select(col("doc_id"), col("n_chars_m"),
-      lit(1).as("ng"), explode(col("toks")).as("gram"))
-    val bigrams = base
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("n_chars_m"), lit(2).as("ng"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2)))))
-          .as("gram"))
-
-    val grams = unigrams.union(bigrams)
-      .groupBy(col("doc_id"), col("n_chars_m"), col("ng"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_chars_m"), col("ng"))
-      .agg(
-        sum(col("c")).as("total"),
-        count(lit(1)).as("uniq"),
-        max(col("c") * length(col("gram")).cast(LongType)).as("cover"))
-      .groupBy(col("doc_id"), col("n_chars_m"))
-      .agg(
-        max(when(col("ng") === 1, col("total"))).as("t1"),
-        max(when(col("ng") === 1, col("uniq"))).as("u1"),
-        max(when(col("ng") === 1, col("cover"))).as("cov1"),
-        max(when(col("ng") === 2, col("total"))).as("t2"),
-        max(when(col("ng") === 2, col("uniq"))).as("u2"),
-        max(when(col("ng") === 2, col("cover"))).as("cov2"))
-
-    val tri = base.select(col("doc_id"),
+    val bigramsOf = transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2))))
+    val stats = base.select(
+      col("doc_id"), col("n_chars_m"),
+      size(col("toks")).cast(LongType).as("t1"),
+      size(array_distinct(col("toks"))).cast(LongType).as("u1"),
+      runCover(sort_array(col("toks"))).as("cov1"),
+      // guard: sequence(0, size-2) is only well-formed for size >= 2
+      // (the relational form filtered those rows out, yielding NULL
+      // t2/u2/cov2 from the ng=2 pivot — mirrored here)
+      when(size(col("toks")) >= 2, (size(col("toks")) - 1).cast(LongType))
+        .as("t2"),
+      when(size(col("toks")) >= 2,
+        size(array_distinct(bigramsOf)).cast(LongType)).as("u2"),
+      when(size(col("toks")) >= 2, runCover(sort_array(bigramsOf))).as("cov2"),
       when(size(col("toks")) >= 3, size(col("toks")) - 2).otherwise(lit(0))
         .cast(LongType).as("t3"),
       size(shingleHashesOfToks(col("toks"), 3)).cast(LongType).as("d3"))
@@ -1078,21 +1097,19 @@ object TextQueries {
       lit(1.0) - col("d3").cast(DoubleType) / col("t3").cast(DoubleType))
       .otherwise(lit(0.0))
 
-    Tables.released(
-      grams.join(tri, "doc_id")
-        .select(
-          col("doc_id"),
-          col("n_chars_m"),
-          col("t1").as("n_tokens"),
-          dupWordFrac.as("dup_word_frac"),
-          topWordFrac.as("top_word_char_frac"),
-          dupBigramFrac.as("dup_bigram_frac"),
-          topBigramFrac.as("top_bigram_char_frac"),
-          dupTrigramFrac.as("dup_trigram_frac"),
-          when(dupWordFrac < 0.5 && topWordFrac < 0.3 && dupTrigramFrac < 0.5,
-            lit(1L)).otherwise(lit(0L)).as("passes_quality"))
-        .orderBy(col("doc_id")),
-      base)
+    stats
+      .select(
+        col("doc_id"),
+        col("n_chars_m"),
+        col("t1").as("n_tokens"),
+        dupWordFrac.as("dup_word_frac"),
+        topWordFrac.as("top_word_char_frac"),
+        dupBigramFrac.as("dup_bigram_frac"),
+        topBigramFrac.as("top_bigram_char_frac"),
+        dupTrigramFrac.as("dup_trigram_frac"),
+        when(dupWordFrac < 0.5 && topWordFrac < 0.3 && dupTrigramFrac < 0.5,
+          lit(1L)).otherwise(lit(0L)).as("passes_quality"))
+      .orderBy(col("doc_id"))
   }
 
   val repetitionSql: String =
