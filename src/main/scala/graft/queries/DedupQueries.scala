@@ -2152,12 +2152,36 @@ object DedupQueries {
       .select(col("source"), expr(s"cum_before div $CurateBin").as("seq_id"))
       .distinct()
       .agg(count(lit(1)).as("n_seq"))
-    def stat(df: DataFrame, i: Int): DataFrame =
-      df.agg(count(lit(1)).as(s"n$i"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as(s"t$i"))
-    val all = Seq(stat(base, 0), stat(s1, 1), stat(s2, 2), stat(s3, 3),
-      stat(s4, 4), stat(s5, 5), stat(s6, 6), stat(s7, 7), packed)
-      .reduce((a, b) => a.crossJoin(broadcast(b))) // all 1-row scalars
+    // attrition stats: ONE union-by-stage aggregate over the (already
+    // materialized) stage frames, pivoted to a single row — the former
+    // shape ran 8 separate scalar aggregates and crossJoined their
+    // broadcasts, paying ~9 extra scheduler/AQE stage round-trips per
+    // run for the same 16 numbers. count/sum per stage are unchanged
+    // (same rows, same int64 sums); a stage with zero survivors simply
+    // produces no group, so each pivot coalesces to the same 0 the old
+    // empty-frame aggregate returned.
+    val perStage = Seq(base, s1, s2, s3, s4, s5, s6, s7).zipWithIndex
+      .map { case (df, i) =>
+        df.select(lit(i.toLong).as("stage_i"), col("n_tokens")) }
+      .reduce(_ unionByName _)
+      .groupBy(col("stage_i"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+    val all = perStage
+      .agg(
+        (0 to 7).flatMap(i => Seq(
+          coalesce(max(when(col("stage_i") === i, col("n"))), lit(0L))
+            .as(s"n$i"),
+          coalesce(max(when(col("stage_i") === i, col("t"))), lit(0L))
+            .as(s"t$i"))).head,
+        (0 to 7).flatMap(i => Seq(
+          coalesce(max(when(col("stage_i") === i, col("n"))), lit(0L))
+            .as(s"n$i"),
+          coalesce(max(when(col("stage_i") === i, col("t"))), lit(0L))
+            .as(s"t$i"))).tail: _*)
+      .crossJoin(broadcast(packed))
+      // 1 row; eager-checkpoint so the 8 stage-row projections below
+      // scan a tiny RDD instead of re-planning the union subtree 8x
+      .localCheckpoint(true)
     val stages = Seq((1L, "split"), (2L, "quality"), (3L, "exact"),
       (4L, "near_dup"), (5L, "semantic"), (6L, "decontam"), (7L, "mix"))
     val rows = stages.map { case (i, nm) =>
