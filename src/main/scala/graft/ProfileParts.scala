@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileParts {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.ProfileParts <q1,q2,...> [sfDir] [reps]")
+      sys.exit(2)
+    }
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
@@ -73,8 +78,17 @@ object ProfileParts {
         val tEnd = System.nanoTime()
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        // listener events are async; give the bus a moment before reading
-        Thread.sleep(300)
+        // listener events are async; drain by waiting until the
+        // counters go quiet (a fixed sleep undercounts on a loaded
+        // host; the listener bus itself is private[spark])
+        var snap = (jobs, stages, tasks)
+        var quiet = 0
+        val drainDeadline = System.currentTimeMillis() + 5000L
+        while (quiet < 2 && System.currentTimeMillis() < drainDeadline) {
+          Thread.sleep(100)
+          val now = (jobs, stages, tasks)
+          if (now == snap) quiet += 1 else { quiet = 0; snap = now }
+        }
         println(f"[parts] $name rep $i: wall ${(tEnd - t0) / 1e9}%.2f s " +
           f"(build ${(tBuild - t0) / 1e9}%.2f plan ${(tPlan - tBuild) / 1e9}%.2f) " +
           f"rows $n jobs $jobs stages $stages " +

@@ -2227,8 +2227,11 @@ object EventsQueries {
     // the driver can ever hold (the count-gate discipline).
     val pairs = trans.limit(100001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(pairs.length <= 100000,
-      s"transition matrix unexpectedly large: > 100000 pairs")
+    // over-gate: fall back to the relational power iteration instead
+    // of failing — event-type-domain growth degrades to the
+    // distributed loop, the fitGroupedAtDriver convention (ADVICE r18)
+    if (pairs.length > 100000)
+      return markovSteadyDistributed(trans, iters)
     val outSum: Map[String, Long] =
       pairs.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
     val states: Seq[String] =
@@ -2246,6 +2249,44 @@ object EventsQueries {
     }
     import spark.implicits._
     states.map(t => (t, pi(t))).toDF("event_type", "pi_pico")
+      .orderBy(col("pi_pico").desc, col("event_type"))
+  }
+
+  /** Over-gate fallback for [[markovSteadyIters]]: the SAME damped
+    * power iteration as join+agg rounds over the (src, dst, n_trans)
+    * frame — the pre-r18 relational form, kept so a transition matrix
+    * beyond the driver gate degrades to the distributed loop instead
+    * of a runtime failure. Bit-identical arithmetic: truncated int64
+    * `div` on non-negative values (never the double `/`), order-free
+    * integer sums, the same 15% teleport base; localCheckpoint per
+    * round keeps lineage flat (persist does not truncate plans). */
+  private[queries] def markovSteadyDistributed(trans0: DataFrame,
+      iters: Int): DataFrame = {
+    val trans = trans0.localCheckpoint(true)
+    val outSum = trans.groupBy(col("src")).agg(sum(col("n_trans")).as("n_from"))
+    val states = trans.select(col("src").as("t"))
+      .unionByName(trans.select(col("dst").as("t")))
+      .distinct().localCheckpoint(true)
+    val kf = broadcast(states.agg(greatest(count(lit(1)), lit(1L)).as("k")))
+    val withK = states.crossJoin(kf)
+    val baseExpr = expr(s"${MsUnit * 15L / 100L} div k")
+    var pi = withK
+      .select(col("t"), expr(s"$MsUnit div k").as("pi_pico"), col("k"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = trans
+        .join(pi.select(col("t").as("src"), col("pi_pico")), "src")
+        .join(outSum, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("(pi_pico div n_from) * n_trans")).as("inflow"))
+      pi = withK
+        .join(inflow.select(col("dst").as("t"), col("inflow")), Seq("t"), "left")
+        .na.fill(0L, Seq("inflow"))
+        .select(col("t"),
+          (baseExpr + expr("(inflow * 85) div 100")).as("pi_pico"), col("k"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("t").as("event_type"), col("pi_pico"))
       .orderBy(col("pi_pico").desc, col("event_type"))
   }
 

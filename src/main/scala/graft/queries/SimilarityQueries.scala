@@ -2641,8 +2641,11 @@ object SimilarityQueries {
     val seeds = xfSlices(xfProjection(spark, dir)
       .filter(col("vec_id") < 500 && col("vec_id") % 16 === 7))
       .select(col("grp"), col("vec_id").as("cent_id"), col("x").as("cvec"))
+    // rowHint: ≤2000 training vectors by construction (vec_id < 8000,
+    // %4 == 1) × 16 subspace slices = ≤32000 rows at any corpus size
     val trained = graft.operators.KMeans.fitGrouped(
-      pqTrainingInput(spark, dir), seeds, iters = 2)
+      pqTrainingInput(spark, dir), seeds, iters = 2,
+      rowHint = Some(32000L))
     // stitch: composite centroid j = concat of subspace codebooks' entry
     // j in subspace order (identical id sets per group by fitGrouped's
     // empty-cluster carry-forward); cast to float for the fused kernel

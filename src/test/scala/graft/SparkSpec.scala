@@ -6,14 +6,41 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all specs (one JVM-wide instance). */
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    // deploy-time registration path for the custom expressions
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      // deploy-time registration path for the custom expressions
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // Deterministic teardown: at JVM exit, Spark's own shutdown hook
+    // (Hadoop priority 40 = FileSystem.SHUTDOWN_HOOK_PRIORITY + 30)
+    // stops the SparkContext even while local tasks are still
+    // reporting, and every late statusUpdate then hits the terminated
+    // TaskResultGetter pool — the RejectedExecutionException spew that
+    // made a full green `sbt test` run exit dirty. This hook runs
+    // FIRST (higher Hadoop priority): stop any streaming query a spec
+    // leaked, wait for in-flight jobs to drain (bounded), give the
+    // local endpoint a beat to deliver the final status updates, then
+    // stop the session cleanly so Spark's own hook finds the context
+    // already stopped.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = try {
+          s.streams.active.foreach(q =>
+            try q.stop() catch { case _: Throwable => () })
+          val deadline = System.currentTimeMillis() + 20000L
+          while (s.sparkContext.statusTracker.getActiveJobIds().nonEmpty &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(50L)
+          Thread.sleep(200L)
+          s.stop()
+        } catch { case _: Throwable => () }
+      }, 60, 30L, java.util.concurrent.TimeUnit.SECONDS)
+    s
+  }
 }
 
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {

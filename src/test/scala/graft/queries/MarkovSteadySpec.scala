@@ -46,4 +46,24 @@ class MarkovSteadySpec extends SparkSpec {
     assert(math.abs(out("A") - out("B")) < 100L, out)
     assert(math.abs(out("A") - 500000000000L) < 1000000L, out)
   }
+
+  test("over-gate relational fallback equals the driver iteration") {
+    import org.apache.spark.sql.functions._
+    // the same transition frame the query builds, fed to both paths
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val trans = graft.util.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        graft.util.Tables.epochUs(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromDriver = EventsQueries.markovSteadyIters(spark, dir, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromFallback = EventsQueries.markovSteadyDistributed(trans, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromFallback == fromDriver,
+      s"fallback diverged:\n$fromFallback\nvs\n$fromDriver")
+  }
 }
