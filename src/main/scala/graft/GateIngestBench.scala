@@ -46,6 +46,14 @@ object GateIngestBench {
       // frame must broadcast so the cosine verify joins run
       // broadcast-hash instead of spilling a sort-merge shuffle
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      // r19: the gate slope is re-based under the SAME two shuffle
+      // configs the r18 Bench session added (see Bench.scala for the
+      // full rationale); the r17 trio row in STREAMBENCH.md was taken
+      // without them and stays recorded for comparison. The other
+      // per-tier dev benches keep their old sessions so their standing
+      // rows remain comparable round-over-round.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -1876,8 +1876,15 @@ object DedupQueries {
     // both sides of the containment self-join read the same posting
     // list; persist it once instead of re-running the sizes aggregate
     // and both joins per side (count() serializes the cache build, as
-    // in ngramJaccard)
-    val postings = withSizes(sh).join(cold, "s").join(splits, "doc_id")
+    // in ngramJaccard). Join ORDER (r19): splits first, cold LAST —
+    // the splits join runs on the doc_id partitioning the sizes window
+    // already established (no exchange on the posting side), and the
+    // cached frame comes out hash-partitioned by s, so the e×t
+    // self-join below reads both sides co-partitioned with NO shuffle
+    // of the posting table (the doc→s→doc order paid one more
+    // posting-grain exchange and left the cache doc_id-keyed). Inner
+    // equi-joins commute: same rows either way.
+    val postings = withSizes(sh).join(splits, "doc_id").join(cold, "s")
       .persist()
     postings.count()
     // the raw shingle cache only feeds `cold` and `postings`; once the
@@ -2087,8 +2094,11 @@ object DedupQueries {
       sh: DataFrame): (DataFrame, DataFrame) = {
     val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxPostingList).select(col("s"))
-    val post = withSizes(sh).join(cold, "s")
+    // split join first, cold join LAST (see contaminationImpl): cache
+    // comes out s-keyed, e×t self-join exchange-free
+    val post = withSizes(sh)
       .join(base.select(col("doc_id"), col("is_train")), "doc_id")
+      .join(cold, "s")
       .persist()
     post.count()
     val pairs = post.as("e").filter(!col("e.is_train"))
@@ -2484,8 +2494,12 @@ object DedupQueries {
       (pmod(h60(col("text")), lit(100L)) < 80).as("is_train"))
     val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxPostingList).select(col("s"))
-    val post = withSizes(sh).join(cold, "s")
+    // split join first, cold join LAST: posting side rides the sizes
+    // window's doc_id partitioning, and the cache comes out s-keyed so
+    // the e×t self-join is exchange-free (see contaminationImpl)
+    val post = withSizes(sh)
       .join(base.select(col("doc_id"), col("is_train")), "doc_id")
+      .join(cold, "s")
       .persist()
     post.count()
     sh.unpersist(false)

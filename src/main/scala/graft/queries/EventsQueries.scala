@@ -190,7 +190,14 @@ object EventsQueries {
   /** 24-row rolling averages over the hourly rollup. Sliding AVG is
     * computed as exact SUM over the frame / COUNT over the frame so both
     * engines produce bit-identical doubles (segment-tree vs sequential
-    * float summation would not). */
+    * float summation would not).
+    *
+    * The unpartitioned window (WindowExec's single-partition warning)
+    * is deliberate and bounded: it runs over the PRE-AGGREGATED hourly
+    * grain — hours-per-corpus rows (720 at sf0.1, ~9k/decade at any
+    * data scale), never raw events — the same §2.6 discipline as
+    * hourlyBookends/lengthDeciles. A global hour series has no valid
+    * partitioning key; the frame is provably tiny at this point. */
   def rolling24h(spark: SparkSession, dir: String,
       from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour")).rowsBetween(-23, 0)
@@ -432,6 +439,8 @@ object EventsQueries {
   // W2: Green Adoption — cumulative sums (business-metrics.json:806)
   // ---------------------------------------------------------------------
 
+  /** Unpartitioned cumulative window: pre-aggregated hourly grain only
+    * (hours-per-corpus rows) — see rolling24h's bounded-frame note. */
   def cumulativeAdoption(spark: SparkSession, dir: String,
       from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour"))
@@ -457,6 +466,8 @@ object EventsQueries {
   // W3: Demand Elasticity — LAG + pct change (business-metrics.json:945)
   // ---------------------------------------------------------------------
 
+  /** Unpartitioned LAG window: pre-aggregated hourly grain only — see
+    * rolling24h's bounded-frame note. */
   def demandElasticity(spark: SparkSession, dir: String,
       from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val w = Window.orderBy(col("hour"))
@@ -581,7 +592,9 @@ object EventsQueries {
   // ---------------------------------------------------------------------
 
   /** 14-sample same-hour-of-day rolling baseline (partitioned ROWS frame)
-    * + revenue percentile. */
+    * + revenue percentile. The percentile's unpartitioned window runs
+    * over the pre-aggregated hourly grain only — see rolling24h's
+    * bounded-frame note. */
   def dynamicPricing(spark: SparkSession, dir: String,
       from: Option[String] = None, to: Option[String] = None): DataFrame = {
     val seasonal = Window.partitionBy(hour(col("hour")))
@@ -1785,6 +1798,9 @@ object EventsQueries {
     * aggregate; the join and the LOCF window run on the hourly grain
     * (≤ hours-per-corpus rows), never raw events — the reference's own
     * rollup-first discipline. */
+  /** Unpartitioned carry-forward window: runs over the hourly SPINE
+    * (one row per hour between the corpus bounds) — see rolling24h's
+    * bounded-frame note. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val errs = events(spark, dir).filter(col("event_type") === "error")
     val h = errs
